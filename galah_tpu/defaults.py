@@ -1,0 +1,59 @@
+"""Default operating points.
+
+Parity with the reference's constants (reference: src/lib.rs:78-92) plus
+the TPU-native engine's own sketching defaults.
+"""
+
+# --- Reference-parity defaults (src/lib.rs:78-92) ---
+DEFAULT_ANI = 95.0
+DEFAULT_PRETHRESHOLD_ANI = 90.0
+DEFAULT_ALIGNED_FRACTION = 15.0
+DEFAULT_FRAGMENT_LENGTH = 3000
+DEFAULT_QUALITY_FORMULA = "Parks2020_reduced"
+
+# The reference dispatches to external skani/fastANI/finch
+# (src/lib.rs:83-86). Here 'native' is the TPU-native engine which is both
+# a preclusterer and a clusterer; 'finch' is the exact-parity Mash MinHash
+# preclusterer; 'skani'/'fastani' are subprocess passthroughs retained for
+# users with those binaries installed.
+DEFAULT_PRECLUSTER_METHOD = "native"
+PRECLUSTER_METHODS = ("native", "finch", "skani")
+DEFAULT_CLUSTER_METHOD = "native"
+CLUSTER_METHODS = ("native", "skani", "fastani")
+
+DEFAULT_QUALITY_METHOD = "checkm2"
+QUALITY_METHODS = ("checkm2",)
+DEFAULT_RRNA_METHOD = "barrnap"
+RRNA_METHODS = ("barrnap",)
+DEFAULT_TRNA_METHOD = "trnascan"
+TRNA_METHODS = ("trnascan",)
+
+# Finch/Mash-parity sketch parameters (src/finch.rs:55-61)
+MASH_NUM_HASHES = 1000
+MASH_KMER_LENGTH = 21
+MASH_HASH_SEED = 0
+
+# skani's accuracy envelope: the reference refuses thresholds below 85%
+# ANI (src/skani.rs:116-121). The native engine keeps the same guard for
+# its skani-compatible modes.
+MIN_SUPPORTED_PRECLUSTER_ANI = 85.0
+
+# --- Native engine sketch defaults (TPU-first; no reference analog) ---
+# Genome-level FracMinHash: keep hashes h < 2**64 / scale.
+NATIVE_KMER_LENGTH = 21
+NATIVE_SCALE = 50            # ~1 hash kept per 50bp
+NATIVE_SMALL_SCALE = 10      # --small-genomes: denser sampling for <20kb seqs
+# Bitmap width (bits) for the genome-level packed sketch used by the
+# tiled popcount prefilter kernel. Must be a multiple of 1024.
+NATIVE_PREFILTER_BITS = 1 << 17
+# Fragment-level sampling for the high-precision ANI stage.
+NATIVE_FRAGMENT_SCALE = 8    # ~1 hash kept per 8bp within each fragment
+NATIVE_SMALL_FRAGMENT_SCALE = 2
+# Max sampled hashes retained per fragment (padding size; fragment of
+# 3000bp at scale 8 gives ~375 expected hashes).
+NATIVE_FRAGMENT_MAX_HASHES = 512
+# A fragment counts as "aligned" if its estimated identity passes this.
+NATIVE_FRAGMENT_MIN_IDENTITY = 0.80
+# Genome-level membership bitmap width for the fragment-containment ANI
+# stage (bits). Load factor is corrected for analytically.
+NATIVE_MEMBER_BITS = 1 << 22
