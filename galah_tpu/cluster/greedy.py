@@ -25,17 +25,21 @@ from __future__ import annotations
 import logging
 from typing import Dict, List, Optional, Sequence, Tuple
 
+from typing import TYPE_CHECKING
+
 from galah_tpu.cluster.cache import SortedPairDistanceCache
 from galah_tpu.cluster.union_find import DisjointSet
-from galah_tpu.engines.base import ClusterDistanceFinder, PreclusterDistanceFinder
+
+if TYPE_CHECKING:  # avoid a runtime circular import via engines.base
+    from galah_tpu.engines.base import ClusterDistanceFinder, PreclusterDistanceFinder
 
 logger = logging.getLogger(__name__)
 
 
 def cluster(
     genomes: Sequence[str],
-    preclusterer: PreclusterDistanceFinder,
-    clusterer: ClusterDistanceFinder,
+    preclusterer: "PreclusterDistanceFinder",
+    clusterer: "ClusterDistanceFinder",
     cluster_contigs: bool = False,
     contig_names: Optional[Sequence[str]] = None,
     reference_genomes: Optional[Sequence[str]] = None,
@@ -96,7 +100,7 @@ def cluster(
     return all_clusters
 
 
-def _supports_contigs(preclusterer: PreclusterDistanceFinder) -> bool:
+def _supports_contigs(preclusterer: "PreclusterDistanceFinder") -> bool:
     return getattr(preclusterer, "supports_contigs", True)
 
 
@@ -110,7 +114,7 @@ def _partition_sketches(n: int, cache: SortedPairDistanceCache) -> List[List[int
 
 
 def _find_precluster_cluster_representatives(
-    clusterer: ClusterDistanceFinder,
+    clusterer: "ClusterDistanceFinder",
     precl_cache: SortedPairDistanceCache,
     genomes: Sequence[str],
     skip_clusterer: bool,
@@ -166,7 +170,7 @@ def _find_precluster_cluster_representatives(
 
 
 def _find_precluster_cluster_memberships(
-    clusterer: ClusterDistanceFinder,
+    clusterer: "ClusterDistanceFinder",
     representatives: List[int],
     precl_cache: SortedPairDistanceCache,
     genomes: Sequence[str],

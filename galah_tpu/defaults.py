@@ -39,21 +39,26 @@ MASH_HASH_SEED = 0
 MIN_SUPPORTED_PRECLUSTER_ANI = 85.0
 
 # --- Native engine sketch defaults (TPU-first; no reference analog) ---
+# Native estimator k-mer length: k=15 balances sensitivity at the 80%
+# fragment-identity cutoff against specificity near 100% ANI.
+NATIVE_KMER_LENGTH = 15
 # Genome-level FracMinHash: keep hashes h < 2**64 / scale.
-NATIVE_KMER_LENGTH = 21
-NATIVE_SCALE = 50            # ~1 hash kept per 50bp
+NATIVE_SCALE = 200           # ~1 hash kept per 200bp (5Mb genome -> ~25k)
 NATIVE_SMALL_SCALE = 10      # --small-genomes: denser sampling for <20kb seqs
-# Bitmap width (bits) for the genome-level packed sketch used by the
-# tiled popcount prefilter kernel. Must be a multiple of 1024.
-NATIVE_PREFILTER_BITS = 1 << 17
+# Indicator width (bits) for the genome-level sketch used by the MXU
+# screen matmul. ~10% load factor at the default scale.
+NATIVE_PREFILTER_BITS = 1 << 18
+NATIVE_SMALL_PREFILTER_BITS = 1 << 15
 # Fragment-level sampling for the high-precision ANI stage.
 NATIVE_FRAGMENT_SCALE = 8    # ~1 hash kept per 8bp within each fragment
 NATIVE_SMALL_FRAGMENT_SCALE = 2
-# Max sampled hashes retained per fragment (padding size; fragment of
-# 3000bp at scale 8 gives ~375 expected hashes).
-NATIVE_FRAGMENT_MAX_HASHES = 512
 # A fragment counts as "aligned" if its estimated identity passes this.
 NATIVE_FRAGMENT_MIN_IDENTITY = 0.80
 # Genome-level membership bitmap width for the fragment-containment ANI
 # stage (bits). Load factor is corrected for analytically.
 NATIVE_MEMBER_BITS = 1 << 22
+NATIVE_SMALL_MEMBER_BITS = 1 << 17
+# Screen-stage safety margin: a candidate survives the screen if its
+# containment exceeds margin * min_af * (ani/100)**k.
+NATIVE_SCREEN_MARGIN = 0.5
+NATIVE_SCREEN_MIN_AF_FLOOR = 0.05

@@ -1,0 +1,344 @@
+"""The native TPU engine: preclusterer + clusterer.
+
+This replaces the reference's external skani and fastANI backends
+(src/skani.rs, src/fastani.rs). One engine context owns the sketch
+store and device caches; the preclusterer and clusterer views share it
+so genomes are sketched exactly once per run (the reference re-reads
+FASTA files for every subprocess pair, src/skani.rs:718-788).
+
+Pipeline for `distances()` (triangle mode):
+1. sketch every genome (host, parallel; C++ fast path when available);
+2. MXU indicator-matmul screen over all pairs
+   (galah_tpu.ops.prefilter) with a conservative containment cutoff;
+3. fragment-containment verify of surviving pairs, batched
+   one-query-many-refs (galah_tpu.ops.fragment_ani);
+4. pairs whose verified ANI >= threshold and AF passes are returned in
+   the sparse cache — the same contract as the reference's
+   `skani triangle --sparse --min-af` (src/skani.rs:144-225).
+
+The clusterer view exposes batched pair ANI with skani-compatible
+return semantics (0.0 when the AF filter fails, matching `skani dist`'s
+empty output treated as 0.0, src/skani.rs:758-787) or fastANI-
+compatible (None on AF failure, src/fastani.rs:56-68).
+"""
+
+from __future__ import annotations
+
+import logging
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from galah_tpu import defaults
+from galah_tpu.cluster.cache import SortedPairDistanceCache
+from galah_tpu.engines.base import ClusterDistanceFinder, PreclusterDistanceFinder
+from galah_tpu.io.fasta import read_fasta
+from galah_tpu.ops.fragment_ani import FragmentAniConfig, FragmentAniEngine
+from galah_tpu.ops.prefilter import screen_rectangle, screen_triangle
+from galah_tpu.sketch.fracminhash import (
+    NativeSketch,
+    NativeSketchParams,
+    sketch_file_native,
+    sketch_sequences_native,
+    small_genome_params,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class NativeContext:
+    """Shared state for the native engine: sketch params, sketch store,
+    and the device-side fragment-ANI engine."""
+
+    def __init__(
+        self,
+        small_genomes: bool = False,
+        fragment_length: int = defaults.DEFAULT_FRAGMENT_LENGTH,
+        threads: int = 4,
+        low_memory: bool = False,
+        params: Optional[NativeSketchParams] = None,
+    ) -> None:
+        if params is not None:
+            self.params = params
+        elif small_genomes:
+            self.params = small_genome_params()
+        else:
+            self.params = NativeSketchParams(fragment_length=fragment_length)
+        self.threads = max(1, threads)
+        self.low_memory = low_memory
+        self._store: Dict[str, NativeSketch] = {}
+        self._contig_store: Dict[str, List[NativeSketch]] = {}
+        self.frag_engine = FragmentAniEngine(
+            FragmentAniConfig(
+                k=self.params.k,
+                member_bits=self.params.member_bits,
+                min_fragment_hashes=self.params.min_fragment_hashes,
+            )
+        )
+        self._key_counter = 0
+        self._keys: Dict[int, int] = {}  # id(sketch) -> stable small int
+
+    def key_for(self, sketch: NativeSketch) -> int:
+        k = self._keys.get(id(sketch))
+        if k is None:
+            k = self._key_counter
+            self._key_counter += 1
+            self._keys[id(sketch)] = k
+        return k
+
+    def sketch(self, path: str) -> NativeSketch:
+        sk = self._store.get(path)
+        if sk is None:
+            sk = sketch_file_native(path, self.params)
+            self._store[path] = sk
+        return sk
+
+    def sketch_many(self, paths: Sequence[str]) -> List[NativeSketch]:
+        missing = [p for p in dict.fromkeys(paths) if p not in self._store]
+        if missing:
+            logger.info("Sketching %d genomes ..", len(missing))
+            if self.threads > 1 and len(missing) > 1:
+                with ThreadPoolExecutor(max_workers=self.threads) as ex:
+                    for p, sk in zip(
+                        missing,
+                        ex.map(lambda p: sketch_file_native(p, self.params), missing),
+                    ):
+                        self._store[p] = sk
+            else:
+                for p in missing:
+                    self._store[p] = sketch_file_native(p, self.params)
+            logger.info("Finished sketching genomes")
+        return [self._store[p] for p in paths]
+
+    def sketch_contigs(self, paths: Sequence[str]) -> List[NativeSketch]:
+        """One sketch per contig, across files, in file order (the unit
+        order the reference's contig mode uses,
+        src/cluster_argument_parsing.rs:595-629)."""
+        out: List[NativeSketch] = []
+        for path in paths:
+            if path not in self._contig_store:
+                sketches = []
+                for rec in read_fasta(path):
+                    sketches.append(
+                        sketch_sequences_native(rec.contig_name, [rec.seq], self.params)
+                    )
+                self._contig_store[path] = sketches
+            out.extend(self._contig_store[path])
+        return out
+
+
+def _screen_min_containment(
+    ani_threshold_pct: float, min_af: float, k: int
+) -> float:
+    af = max(min_af, defaults.NATIVE_SCREEN_MIN_AF_FLOOR)
+    return defaults.NATIVE_SCREEN_MARGIN * af * (ani_threshold_pct / 100.0) ** k
+
+
+def _group_pairs_by_query(pairs: np.ndarray) -> Dict[int, List[int]]:
+    """Group candidate (i, j) pairs by one endpoint so each group runs
+    as a single one-query-many-refs device dispatch. The endpoint with
+    the larger adjacency plays 'query' to maximize batch sizes."""
+    from collections import defaultdict
+
+    deg: Dict[int, int] = defaultdict(int)
+    for i, j in pairs:
+        deg[int(i)] += 1
+        deg[int(j)] += 1
+    groups: Dict[int, List[int]] = defaultdict(list)
+    for i, j in pairs:
+        i, j = int(i), int(j)
+        q, r = (i, j) if deg[i] >= deg[j] else (j, i)
+        groups[q].append(r)
+    return groups
+
+
+class _VerifyMixin:
+    """Shared verify stage: candidate pairs -> verified sparse cache."""
+
+    def _verify_pairs(
+        self,
+        sketches: Sequence[NativeSketch],
+        pairs: np.ndarray,
+        threshold_pct: float,
+        min_af: float,
+    ) -> SortedPairDistanceCache:
+        ctx = self.ctx
+        cache = SortedPairDistanceCache()
+        groups = _group_pairs_by_query(pairs)
+        total = len(pairs)
+        done = 0
+        for q, refs in groups.items():
+            res = ctx.frag_engine.pair_ani(
+                sketches[q],
+                ctx.key_for(sketches[q]),
+                [sketches[r] for r in refs],
+                [ctx.key_for(sketches[r]) for r in refs],
+            )
+            for r, (ani, af_f, af_r) in zip(refs, res):
+                if max(af_f, af_r) >= min_af and ani >= threshold_pct:
+                    cache.insert((q, r), float(np.float32(ani)))
+            done += len(refs)
+        logger.info(
+            "Verified %d candidate pairs; %d passed ANI>=%.4g with AF>=%.3g",
+            total,
+            len(cache),
+            threshold_pct,
+            min_af,
+        )
+        return cache
+
+
+class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
+    supports_contigs = True
+
+    def __init__(
+        self,
+        threshold: float,
+        min_aligned_threshold: float,
+        ctx: NativeContext,
+    ) -> None:
+        """threshold: percent (e.g. 95.0); min_aligned_threshold:
+        fraction (e.g. 0.15), as in the reference's SkaniPreclusterer
+        (src/skani.rs:12-18)."""
+        if threshold < defaults.MIN_SUPPORTED_PRECLUSTER_ANI:
+            raise ValueError(
+                "Error: the native engine produces inaccurate results with ANI "
+                f"less than 85%. Provided: {threshold:g}"
+            )
+        self.threshold = threshold
+        self.min_aligned_threshold = min_aligned_threshold
+        self.ctx = ctx
+
+    # -- triangle mode --
+    def distances(self, genome_fasta_paths: Sequence[str]) -> SortedPairDistanceCache:
+        sketches = self.ctx.sketch_many(genome_fasta_paths)
+        return self._screen_and_verify(sketches)
+
+    # -- contig mode --
+    def distances_contigs(
+        self, genome_fasta_paths: Sequence[str], contig_names: Sequence[str]
+    ) -> SortedPairDistanceCache:
+        sketches = self.ctx.sketch_contigs(genome_fasta_paths)
+        if [s.name for s in sketches] != list(contig_names):
+            raise ValueError(
+                "Contig names passed to distances_contigs do not match file contents"
+            )
+        return self._screen_and_verify(sketches)
+
+    # -- reference-genome (rectangular) mode --
+    def distances_with_references(
+        self, genome_fasta_paths: Sequence[str], reference_genomes: Sequence[str]
+    ) -> SortedPairDistanceCache:
+        """Cross-group comparisons only (src/skani.rs:502-687): members
+        of `genome_fasta_paths` that are references are compared against
+        nothing within their own group."""
+        sketches = self.ctx.sketch_many(genome_fasta_paths)
+        ref_set = set(reference_genomes)
+        ref_idx = [i for i, p in enumerate(genome_fasta_paths) if p in ref_set]
+        query_idx = [i for i, p in enumerate(genome_fasta_paths) if p not in ref_set]
+        if not ref_idx or not query_idx:
+            return SortedPairDistanceCache()
+        res = screen_rectangle(
+            [sketches[i].prefilter_indicator() for i in query_idx],
+            np.asarray([sketches[i].n_prefilter for i in query_idx]),
+            [sketches[i].prefilter_indicator() for i in ref_idx],
+            np.asarray([sketches[i].n_prefilter for i in ref_idx]),
+            self.ctx.params.k,
+            _screen_min_containment(
+                self.threshold, self.min_aligned_threshold, self.ctx.params.k
+            ),
+        )
+        if len(res.pairs) == 0:
+            return SortedPairDistanceCache()
+        remapped = np.stack(
+            [
+                np.asarray(query_idx, dtype=np.int64)[res.pairs[:, 0]],
+                np.asarray(ref_idx, dtype=np.int64)[res.pairs[:, 1]],
+            ],
+            axis=1,
+        )
+        return self._verify_pairs(
+            sketches, remapped, self.threshold, self.min_aligned_threshold
+        )
+
+    def method_name(self) -> str:
+        return "native"
+
+    def _screen_and_verify(
+        self, sketches: Sequence[NativeSketch]
+    ) -> SortedPairDistanceCache:
+        k = self.ctx.params.k
+        logger.info("Screening %d sketches all-vs-all ..", len(sketches))
+        res = screen_triangle(
+            [s.prefilter_indicator() for s in sketches],
+            np.asarray([s.n_prefilter for s in sketches]),
+            k,
+            _screen_min_containment(self.threshold, self.min_aligned_threshold, k),
+        )
+        logger.info("Screen produced %d candidate pairs", len(res.pairs))
+        if len(res.pairs) == 0:
+            return SortedPairDistanceCache()
+        return self._verify_pairs(
+            sketches, res.pairs, self.threshold, self.min_aligned_threshold
+        )
+
+
+class NativeClusterer(ClusterDistanceFinder):
+    def __init__(
+        self,
+        threshold: float,
+        min_aligned_threshold: float,
+        ctx: NativeContext,
+        af_fail_result: Optional[float] = 0.0,
+    ) -> None:
+        """af_fail_result: value returned when the AF filter fails —
+        0.0 for skani-compatible semantics (src/skani.rs:758-787), None
+        for fastANI-compatible (src/fastani.rs:56-68)."""
+        self.threshold = threshold
+        self.min_aligned_threshold = min_aligned_threshold
+        self.ctx = ctx
+        self.af_fail_result = af_fail_result
+
+    def initialise(self) -> None:
+        assert self.threshold > 1.0, "ANI threshold must be a percentage"
+
+    def method_name(self) -> str:
+        return "native"
+
+    def get_ani_threshold(self) -> float:
+        return self.threshold
+
+    def calculate_ani(self, fasta1: str, fasta2: str) -> Optional[float]:
+        return self.calculate_ani_batch([(fasta1, fasta2)])[0]
+
+    def calculate_ani_batch(
+        self, pairs: Sequence[Tuple[str, str]]
+    ) -> List[Optional[float]]:
+        """Pairs are (ref, query) paths; batches are grouped by shared
+        query — the greedy core's many-to-one access pattern."""
+        if not pairs:
+            return []
+        ctx = self.ctx
+        results: Dict[int, Optional[float]] = {}
+        # group consecutive runs sharing pair[1]
+        from collections import defaultdict
+
+        groups: Dict[str, List[Tuple[int, str]]] = defaultdict(list)
+        for idx, (ref, query) in enumerate(pairs):
+            groups[query].append((idx, ref))
+        for query, members in groups.items():
+            qs = ctx.sketch(query)
+            refs = [ctx.sketch(ref) for _, ref in members]
+            res = ctx.frag_engine.pair_ani(
+                qs,
+                ctx.key_for(qs),
+                refs,
+                [ctx.key_for(r) for r in refs],
+            )
+            for (idx, _), (ani, af_f, af_r) in zip(members, res):
+                if max(af_f, af_r) >= self.min_aligned_threshold:
+                    results[idx] = float(np.float32(ani))
+                else:
+                    results[idx] = self.af_fail_result
+        return [results[i] for i in range(len(pairs))]

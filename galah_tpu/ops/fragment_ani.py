@@ -1,0 +1,295 @@
+"""Fragment-containment ANI — the high-precision verify stage.
+
+Replaces the reference's per-pair external ANI subprocesses
+(`skani dist` src/skani.rs:718-788, `fastANI` src/fastani.rs:82-152)
+with batched on-device computation:
+
+- the query genome's fragment-level FracMinHash buckets are tested for
+  membership in the reference genome's bucket bitmap (a gather + bit
+  test), giving per-fragment shared-k-mer counts via segment sums;
+- per-fragment identity = (corrected containment)**(1/k);
+- a direction's ANI is the mean identity of aligned fragments
+  (identity >= min_identity), and its aligned fraction is the aligned
+  fragment count over usable fragments — fragment-count AF semantics,
+  exactly the combination galah applies to fastANI output
+  (max of the two directions' ANI, AF pass if either direction passes;
+  src/fastani.rs:31-73).
+
+Batch shapes are padded to coarse buckets so XLA compiles a handful of
+program shapes; pair batches are grouped one-query-many-refs, matching
+the greedy clusterer's access pattern (src/clusterer.rs:262-296).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from galah_tpu import defaults
+from galah_tpu.sketch.fracminhash import NativeSketch
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class FragmentAniConfig:
+    k: int = 15
+    member_bits: int = defaults.NATIVE_MEMBER_BITS
+    min_fragment_hashes: int = 8
+    min_fragment_identity: float = defaults.NATIVE_FRAGMENT_MIN_IDENTITY
+    max_refs_per_dispatch: int = 16
+
+
+def _round_up(x: int, m: int) -> int:
+    return max(m, ((x + m - 1) // m) * m)
+
+
+def _ani_af_from_counts(m, M, popcount, bits, k, min_hashes, min_ident):
+    """m: (..., F) hit counts; M: (..., F) fragment hash counts;
+    popcount: (...,) ref bitmap popcount. Returns (ani_pct, af)."""
+    p = (popcount / bits)[..., None]
+    Mf = M.astype(jnp.float32)
+    c = (m.astype(jnp.float32) - Mf * p) / jnp.maximum(1.0 - p, 1e-6)
+    c = jnp.clip(c, 0.0, Mf)
+    usable = M >= min_hashes
+    cont = c / jnp.maximum(Mf, 1.0)
+    ident = jnp.power(jnp.maximum(cont, 1e-30), 1.0 / k)
+    aligned = usable & (ident >= min_ident)
+    n_aligned = jnp.sum(aligned, axis=-1)
+    n_usable = jnp.sum(usable, axis=-1)
+    ani = jnp.sum(jnp.where(aligned, ident, 0.0), axis=-1) / jnp.maximum(
+        n_aligned, 1
+    )
+    af = n_aligned / jnp.maximum(n_usable, 1)
+    return ani * 100.0, af
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_frags", "bits", "k", "min_hashes", "min_ident"),
+)
+def _forward_kernel(
+    bitmaps,      # (R, W) uint32
+    popcounts,    # (R,) f32
+    buckets,      # (N,) int32 (padded; invalid -> 0)
+    seg_ids,      # (N,) int32 (padded -> num_frags, an overflow segment)
+    valid,        # (N,) bool
+    M,            # (F,) int32
+    num_frags: int,
+    bits: int,
+    k: int,
+    min_hashes: int,
+    min_ident: float,
+):
+    """One query's fragments against R reference bitmaps."""
+    word_idx = buckets >> 5
+    bit_idx = (buckets & 31).astype(jnp.uint32)
+    words = jnp.take(bitmaps, word_idx, axis=1)          # (R, N)
+    bits_hit = ((words >> bit_idx[None, :]) & jnp.uint32(1)).astype(jnp.int32)
+    bits_hit = jnp.where(valid[None, :], bits_hit, 0)
+    m = jax.vmap(
+        lambda row: jax.ops.segment_sum(row, seg_ids, num_segments=num_frags + 1)
+    )(bits_hit)[:, :num_frags]
+    return _ani_af_from_counts(
+        m, M[None, :], popcounts, float(bits), k, min_hashes, min_ident
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_frags", "bits", "k", "min_hashes", "min_ident"),
+)
+def _reverse_kernel(
+    bitmap,       # (W,) uint32 — the single query-side bitmap
+    popcount,     # f32 scalar
+    buckets,      # (R, N) int32
+    seg_ids,      # (R, N) int32
+    valid,        # (R, N) bool
+    M,            # (R, F) int32
+    num_frags: int,
+    bits: int,
+    k: int,
+    min_hashes: int,
+    min_ident: float,
+):
+    """R genomes' fragments against one bitmap."""
+    word_idx = buckets >> 5
+    bit_idx = (buckets & 31).astype(jnp.uint32)
+    words = jnp.take(bitmap, word_idx.reshape(-1)).reshape(word_idx.shape)
+    bits_hit = ((words >> bit_idx) & jnp.uint32(1)).astype(jnp.int32)
+    bits_hit = jnp.where(valid, bits_hit, 0)
+    m = jax.vmap(
+        lambda row, seg: jax.ops.segment_sum(row, seg, num_segments=num_frags + 1)
+    )(bits_hit, seg_ids)[:, :num_frags]
+    popcounts = jnp.full((buckets.shape[0],), popcount, dtype=jnp.float32)
+    return _ani_af_from_counts(
+        m, M, popcounts, float(bits), k, min_hashes, min_ident
+    )
+
+
+class FragmentAniEngine:
+    """Stateful device-side pair-ANI evaluator over NativeSketch data.
+
+    Caches per-genome device arrays (bitmaps, fragment streams) across
+    calls, since the greedy clusterer revisits the same genomes many
+    times (src/clusterer.rs:182-259 re-pairs reps repeatedly)."""
+
+    def __init__(self, cfg: FragmentAniConfig) -> None:
+        self.cfg = cfg
+        self._bitmap_cache: Dict[int, Tuple[jax.Array, float]] = {}
+        self._query_cache: Dict[int, Tuple] = {}
+
+    def clear(self) -> None:
+        self._bitmap_cache.clear()
+        self._query_cache.clear()
+
+    def _bitmap(self, key: int, sk: NativeSketch) -> Tuple[jax.Array, float]:
+        if key not in self._bitmap_cache:
+            self._bitmap_cache[key] = (
+                jnp.asarray(sk.member_bitmap_words()),
+                float(sk.member_popcount),
+            )
+        return self._bitmap_cache[key]
+
+    def _query_arrays(self, key: int, sk: NativeSketch):
+        if key not in self._query_cache:
+            n = len(sk.frag_buckets)
+            f = sk.n_fragments
+            npad = _round_up(n, 1 << 14)
+            fpad = _round_up(f, 1 << 9)
+            buckets = np.zeros(npad, dtype=np.int32)
+            buckets[:n] = sk.frag_buckets
+            seg = np.full(npad, fpad, dtype=np.int32)
+            seg[:n] = np.repeat(
+                np.arange(f, dtype=np.int32), np.diff(sk.frag_offsets)
+            )
+            valid = np.zeros(npad, dtype=bool)
+            valid[:n] = True
+            M = np.zeros(fpad, dtype=np.int32)
+            M[:f] = np.diff(sk.frag_offsets)
+            self._query_cache[key] = (
+                jnp.asarray(buckets),
+                jnp.asarray(seg),
+                jnp.asarray(valid),
+                jnp.asarray(M),
+                fpad,
+            )
+        return self._query_cache[key]
+
+    def one_to_many(
+        self,
+        query: NativeSketch,
+        query_key: int,
+        refs: Sequence[NativeSketch],
+        ref_keys: Sequence[int],
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """ANI/AF of `query`'s fragments against each ref's bitmap.
+        Returns (ani_pct (R,), af (R,))."""
+        cfg = self.cfg
+        buckets, seg, valid, M, fpad = self._query_arrays(query_key, query)
+        anis, afs = [], []
+        for lo in range(0, len(refs), cfg.max_refs_per_dispatch):
+            chunk = refs[lo : lo + cfg.max_refs_per_dispatch]
+            keys = ref_keys[lo : lo + cfg.max_refs_per_dispatch]
+            pairs_bm = [self._bitmap(k_, s) for k_, s in zip(keys, chunk)]
+            rpad = _round_up(len(chunk), 8)
+            W = cfg.member_bits // 32
+            bm = jnp.zeros((rpad, W), dtype=jnp.uint32)
+            bm = bm.at[: len(chunk)].set(jnp.stack([b for b, _ in pairs_bm]))
+            pc = jnp.zeros((rpad,), dtype=jnp.float32)
+            pc = pc.at[: len(chunk)].set(jnp.asarray([p for _, p in pairs_bm]))
+            ani, af = _forward_kernel(
+                bm,
+                pc,
+                buckets,
+                seg,
+                valid,
+                M,
+                num_frags=fpad,
+                bits=cfg.member_bits,
+                k=cfg.k,
+                min_hashes=cfg.min_fragment_hashes,
+                min_ident=cfg.min_fragment_identity,
+            )
+            anis.append(np.asarray(ani[: len(chunk)]))
+            afs.append(np.asarray(af[: len(chunk)]))
+        return np.concatenate(anis), np.concatenate(afs)
+
+    def many_to_one(
+        self,
+        queries: Sequence[NativeSketch],
+        query_keys: Sequence[int],
+        ref: NativeSketch,
+        ref_key: int,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Each query's fragments against `ref`'s bitmap.
+        Returns (ani_pct (R,), af (R,))."""
+        cfg = self.cfg
+        bitmap, popcount = self._bitmap(ref_key, ref)
+        anis, afs = [], []
+        for lo in range(0, len(queries), cfg.max_refs_per_dispatch):
+            chunk = queries[lo : lo + cfg.max_refs_per_dispatch]
+            rpad = _round_up(len(chunk), 8)
+            nmax = _round_up(
+                max(len(s.frag_buckets) for s in chunk) or 1, 1 << 14
+            )
+            fmax = _round_up(max(s.n_fragments for s in chunk) or 1, 1 << 9)
+            buckets = np.zeros((rpad, nmax), dtype=np.int32)
+            seg = np.full((rpad, nmax), fmax, dtype=np.int32)
+            valid = np.zeros((rpad, nmax), dtype=bool)
+            M = np.zeros((rpad, fmax), dtype=np.int32)
+            for r, s in enumerate(chunk):
+                n = len(s.frag_buckets)
+                f = s.n_fragments
+                buckets[r, :n] = s.frag_buckets
+                seg[r, :n] = np.repeat(
+                    np.arange(f, dtype=np.int32), np.diff(s.frag_offsets)
+                )
+                valid[r, :n] = True
+                M[r, :f] = np.diff(s.frag_offsets)
+            ani, af = _reverse_kernel(
+                bitmap,
+                jnp.float32(popcount),
+                jnp.asarray(buckets),
+                jnp.asarray(seg),
+                jnp.asarray(valid),
+                jnp.asarray(M),
+                num_frags=fmax,
+                bits=cfg.member_bits,
+                k=cfg.k,
+                min_hashes=cfg.min_fragment_hashes,
+                min_ident=cfg.min_fragment_identity,
+            )
+            anis.append(np.asarray(ani[: len(chunk)]))
+            afs.append(np.asarray(af[: len(chunk)]))
+        return np.concatenate(anis), np.concatenate(afs)
+
+    def pair_ani(
+        self,
+        query: NativeSketch,
+        query_key: int,
+        refs: Sequence[NativeSketch],
+        ref_keys: Sequence[int],
+    ) -> List[Tuple[float, float, float]]:
+        """Bidirectional ANI for (query, ref) pairs sharing the query.
+
+        Returns per ref: (ani_pct = max of directions, af_fwd, af_rev)
+        — galah's fastANI combination semantics (src/fastani.rs:44-68).
+        """
+        if not refs:
+            return []
+        ani_f, af_f = self.one_to_many(query, query_key, refs, ref_keys)
+        ani_r, af_r = self.many_to_one(refs, ref_keys, query, query_key)
+        out = []
+        for i in range(len(refs)):
+            out.append(
+                (float(max(ani_f[i], ani_r[i])), float(af_f[i]), float(af_r[i]))
+            )
+        return out

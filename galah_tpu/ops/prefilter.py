@@ -1,0 +1,184 @@
+"""All-vs-all sketch-intersection screen.
+
+The reference's O(n^2) sketch-distance pass happens inside `skani
+triangle` or finch's dense loop (src/finch.rs:75-95). Here it is an
+MXU-shaped computation: genome sketches become 0/1 bucket-indicator
+rows, and pairwise intersection counts are a blocked matmul
+S_i @ S_j^T with f32 accumulation (exact for counts < 2^24). Bucket
+collisions are corrected analytically before converting the max
+containment c/min(|A|,|B|) to an ANI estimate cont**(1/k).
+
+Single-device blocked sweep here; the multi-host sharded sweep built on
+the same block kernel lives in galah_tpu.parallel.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class ScreenResult:
+    """Above-cutoff candidate pairs with containment-ANI estimates."""
+
+    pairs: np.ndarray      # (P, 2) int64 — indices (i < j for triangle mode)
+    ani_est: np.ndarray    # (P,) float32 — percentage scale
+
+
+@partial(jax.jit, static_argnames=("bits",))
+def _block_counts(si: jax.Array, sj: jax.Array, bits: int) -> jax.Array:
+    """Intersection counts between two indicator blocks.
+
+    si: (bi, B) , sj: (bj, B) 0/1 bf16 -> (bi, bj) f32 counts (exact).
+    """
+    return jax.lax.dot_general(
+        si,
+        sj,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@jax.jit
+def _containment(counts: jax.Array, a: jax.Array, b: jax.Array, bits_f: float):
+    """Collision-corrected max containment.
+
+    counts: (bi, bj); a: (bi,) sizes; b: (bj,) sizes.
+    Two-step correction: E[c_obs] ~= c + (a-c)(b-c)/B.
+    """
+    a = a[:, None]
+    b = b[None, :]
+    c1 = jnp.maximum(counts - a * b / bits_f, 0.0)
+    c = jnp.maximum(counts - (a - c1) * (b - c1) / bits_f, 0.0)
+    denom = jnp.maximum(jnp.minimum(a, b), 1.0)
+    return jnp.minimum(c / denom, 1.0)
+
+
+def _screen_dtype():
+    # bf16 feeds the MXU on TPU; CPU emulates bf16 slowly, so use f32
+    # there. Both accumulate in f32 (exact for 0/1 counts).
+    return (
+        jnp.bfloat16
+        if jax.default_backend() not in ("cpu",)
+        else jnp.float32
+    )
+
+
+def _to_device_block(indicators: np.ndarray) -> jax.Array:
+    return jnp.asarray(indicators, dtype=_screen_dtype())
+
+
+def screen_triangle(
+    indicators: Sequence[np.ndarray],
+    sizes: np.ndarray,
+    k: int,
+    min_containment: float,
+    block: int = 1024,
+) -> ScreenResult:
+    """Lower-triangle all-vs-all screen over one genome set.
+
+    indicators: per-genome (B,) uint8 0/1 rows (built on demand per
+    block to bound host memory); sizes: true distinct-bucket counts.
+    """
+    n = len(indicators)
+    bits = len(indicators[0]) if n else 0
+    pairs: List[np.ndarray] = []
+    anis: List[np.ndarray] = []
+    if n == 0:
+        return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
+    inv_k = 1.0 / k
+
+    sizes_f = sizes.astype(np.float32)
+    nblocks = math.ceil(n / block)
+    dev_blocks = {}
+
+    def get_block(bi: int) -> jax.Array:
+        if bi not in dev_blocks:
+            lo, hi = bi * block, min((bi + 1) * block, n)
+            mat = np.stack([indicators[t] for t in range(lo, hi)])
+            dev_blocks[bi] = _to_device_block(mat)
+        return dev_blocks[bi]
+
+    for bi in range(nblocks):
+        si = get_block(bi)
+        ai = jnp.asarray(sizes_f[bi * block : bi * block + si.shape[0]])
+        for bj in range(bi, nblocks):
+            sj = get_block(bj)
+            aj = jnp.asarray(sizes_f[bj * block : bj * block + sj.shape[0]])
+            counts = _block_counts(si, sj, bits)
+            cont = np.array(_containment(counts, ai, aj, float(bits)))
+            if bi == bj:
+                cont[np.tril_indices(cont.shape[0])] = 0.0
+            hit = np.argwhere(cont >= min_containment)
+            if hit.size:
+                gi = hit[:, 0] + bi * block
+                gj = hit[:, 1] + bj * block
+                pairs.append(np.stack([gi, gj], axis=1))
+                anis.append(
+                    (cont[hit[:, 0], hit[:, 1]] ** inv_k * 100.0).astype(np.float32)
+                )
+        # Row block no longer needed once its row sweep is done
+        if bi in dev_blocks and bi not in range(bi + 1, nblocks):
+            pass
+    dev_blocks.clear()
+
+    if pairs:
+        return ScreenResult(np.concatenate(pairs), np.concatenate(anis))
+    return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
+
+
+def screen_rectangle(
+    query_indicators: Sequence[np.ndarray],
+    query_sizes: np.ndarray,
+    ref_indicators: Sequence[np.ndarray],
+    ref_sizes: np.ndarray,
+    k: int,
+    min_containment: float,
+    block: int = 1024,
+) -> ScreenResult:
+    """Cross-group screen (reference-genome mode: the reference compares
+    non-reference genomes only against the reference sketch DB,
+    src/skani.rs:502-687). Returned pairs are (query_idx, ref_idx)."""
+    nq, nr = len(query_indicators), len(ref_indicators)
+    if nq == 0 or nr == 0:
+        return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
+    bits = len(query_indicators[0])
+    inv_k = 1.0 / k
+    pairs: List[np.ndarray] = []
+    anis: List[np.ndarray] = []
+
+    for qlo in range(0, nq, block):
+        qhi = min(qlo + block, nq)
+        sq = _to_device_block(np.stack([query_indicators[t] for t in range(qlo, qhi)]))
+        aq = jnp.asarray(query_sizes[qlo:qhi].astype(np.float32))
+        for rlo in range(0, nr, block):
+            rhi = min(rlo + block, nr)
+            sr = _to_device_block(
+                np.stack([ref_indicators[t] for t in range(rlo, rhi)])
+            )
+            ar = jnp.asarray(ref_sizes[rlo:rhi].astype(np.float32))
+            counts = _block_counts(sq, sr, bits)
+            cont = np.asarray(_containment(counts, aq, ar, float(bits)))
+            hit = np.argwhere(cont >= min_containment)
+            if hit.size:
+                pairs.append(
+                    np.stack([hit[:, 0] + qlo, hit[:, 1] + rlo], axis=1)
+                )
+                anis.append(
+                    (cont[hit[:, 0], hit[:, 1]] ** inv_k * 100.0).astype(np.float32)
+                )
+
+    if pairs:
+        return ScreenResult(np.concatenate(pairs), np.concatenate(anis))
+    return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))

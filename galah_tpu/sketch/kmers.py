@@ -64,6 +64,39 @@ def canonical_kmers(seq: bytes, k: int) -> np.ndarray:
     return fwd[valid]
 
 
+def canonical_kmers_with_positions(seq: bytes, k: int):
+    """Like canonical_kmers but also returns the start positions of the
+    valid k-mers. Used by the native engine to assign k-mers to
+    fragments for the fragment-containment ANI stage."""
+    if k > 31:
+        raise ValueError("k must be <= 31 to fit 2 bits/base in uint64")
+    code = encode_bases(seq)
+    n = len(code) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+
+    bad = (code == 255).astype(np.int32)
+    bad_csum = np.concatenate([[0], np.cumsum(bad)])
+    valid = (bad_csum[k:] - bad_csum[:-k]) == 0
+    if not valid.any():
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+
+    code64 = (code & np.uint8(3)).astype(np.uint64)
+    rc_code64 = np.uint64(3) - code64
+    two = np.uint64(2)
+    fwd = np.zeros(n, dtype=np.uint64)
+    rev = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        fwd <<= two
+        fwd |= code64[j : j + n]
+    for j in range(k - 1, -1, -1):
+        rev <<= two
+        rev |= rc_code64[j : j + n]
+    np.minimum(fwd, rev, out=fwd)
+    positions = np.nonzero(valid)[0].astype(np.int64)
+    return fwd[valid], positions
+
+
 def distinct_canonical_kmers(seqs, k: int) -> np.ndarray:
     """Distinct canonical k-mers across all sequences, sorted ascending."""
     parts = [canonical_kmers(s, k) for s in seqs]
