@@ -1,0 +1,490 @@
+"""The `cluster` subcommand.
+
+Mirrors the reference's run_cluster_subcommand flow
+(src/cluster_argument_parsing.rs:545-716): parse genome inputs →
+validate contig flags → extract contig names (duplicate check) →
+combine reference genomes → quality filter/order → construct engines →
+open outputs early → cluster → write outputs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import shutil
+import sys
+from typing import List, Optional
+
+from galah_tpu import defaults
+from galah_tpu.cli.common import (
+    add_genome_specification_arguments,
+    add_verbosity_flags,
+    parse_list_of_genome_fasta_files,
+    parse_percentage,
+    set_log_level,
+)
+from galah_tpu.io.fasta import read_fasta
+
+logger = logging.getLogger(__name__)
+
+
+def add_cluster_arguments(sub: argparse.ArgumentParser) -> None:
+    add_verbosity_flags(sub)
+    add_genome_specification_arguments(sub)
+    sub.add_argument("-t", "--threads", type=int, default=1, metavar="N",
+                     help="Number of CPU threads to use [default: 1]")
+
+    filtering = sub.add_argument_group("filtering parameters")
+    filtering.add_argument("--checkm2-quality-report", metavar="PATH",
+                           help="CheckM2 quality_report.tsv for defining genome quality")
+    filtering.add_argument("--checkm-tab-table", metavar="PATH",
+                           help="CheckM1 tab table (output of checkm .. --tab_table -f PATH ..)")
+    filtering.add_argument("--genome-info", metavar="PATH",
+                           help="dRep-style genome info table for defining quality")
+    filtering.add_argument("--min-completeness", type=float, metavar="FLOAT",
+                           help="Ignore genomes with less completeness than this percentage")
+    filtering.add_argument("--max-contamination", type=float, metavar="FLOAT",
+                           help="Ignore genomes with more contamination than this percentage")
+    filtering.add_argument("--run-checkm2", action="store_true",
+                           help="Run CheckM2 to generate quality scoring used for clustering")
+    filtering.add_argument("--checkm2-db-path", metavar="DB_PATH",
+                           help="Path to CheckM2 database [default: CHECKM2DB env var]")
+
+    clustering = sub.add_argument_group("clustering parameters")
+    clustering.add_argument("--ani", type=float, default=defaults.DEFAULT_ANI, metavar="FLOAT",
+                            help=f"Overall ANI level to dereplicate at [default: {defaults.DEFAULT_ANI:g}]")
+    clustering.add_argument("--min-aligned-fraction", type=float,
+                            default=defaults.DEFAULT_ALIGNED_FRACTION, metavar="FLOAT",
+                            help=f"Min aligned fraction of two genomes for clustering [default: {defaults.DEFAULT_ALIGNED_FRACTION:g}]")
+    clustering.add_argument("--small-genomes", action="store_true",
+                            help="Use small-genomes settings. Recommended for sequences < 20kb")
+    clustering.add_argument("--fragment-length", type=int,
+                            default=defaults.DEFAULT_FRAGMENT_LENGTH, metavar="FLOAT",
+                            help=f"Length of fragment used in ANI calculation [default: {defaults.DEFAULT_FRAGMENT_LENGTH}]")
+    clustering.add_argument("--quality-formula", default=defaults.DEFAULT_QUALITY_FORMULA,
+                            choices=["Parks2020_reduced", "completeness-4contamination",
+                                     "completeness-5contamination", "dRep"], metavar="FORMULA",
+                            help=f"Scoring function for genome quality [default: {defaults.DEFAULT_QUALITY_FORMULA}]")
+    clustering.add_argument("--precluster-ani", type=float,
+                            default=defaults.DEFAULT_PRETHRESHOLD_ANI, metavar="FLOAT",
+                            help=f"Require at least this ANI for preclustering [default: {defaults.DEFAULT_PRETHRESHOLD_ANI:g}]")
+    clustering.add_argument("--precluster-method", default=defaults.DEFAULT_PRECLUSTER_METHOD,
+                            choices=list(defaults.PRECLUSTER_METHODS), metavar="NAME",
+                            help="Method of calculating rough ANI: 'native' (TPU), 'finch' (MinHash), 'skani' (external binary) "
+                                 f"[default: {defaults.DEFAULT_PRECLUSTER_METHOD}]")
+    clustering.add_argument("--cluster-method", default=defaults.DEFAULT_CLUSTER_METHOD,
+                            choices=list(defaults.CLUSTER_METHODS), metavar="NAME",
+                            help="Method of calculating ANI: 'native' (TPU), 'skani'/'fastani' (external binaries) "
+                                 f"[default: {defaults.DEFAULT_CLUSTER_METHOD}]")
+    clustering.add_argument("--cluster-contigs", action="store_true",
+                            help="Cluster contigs within FASTA files instead of genomes")
+    clustering.add_argument("--small-contigs", action="store_true",
+                            help="Use small-genomes settings when clustering contigs (< 20kb)")
+    clustering.add_argument("--large-contigs", action="store_true",
+                            help="Do not use small-genomes settings when clustering contigs (>= 20kb)")
+    clustering.add_argument("--low-memory", action="store_true",
+                            help="Reduce memory use by streaming sketches instead of holding them resident")
+    clustering.add_argument("--reference-genomes", nargs="+", metavar="PATH",
+                            help="Reference genomes to cluster against (pre-clustered at the chosen ANI)")
+    clustering.add_argument("--reference-genomes-list", metavar="PATH",
+                            help="File of reference genome paths, one per line")
+
+    output = sub.add_argument_group("output parameters")
+    output.add_argument("--output-cluster-definition", metavar="PATH",
+                        help="Output a file of representative<TAB>member lines")
+    output.add_argument("--output-representative-fasta-directory", metavar="PATH",
+                        help="Symlink representative genomes into this directory")
+    output.add_argument("--output-representative-fasta-directory-copy", metavar="PATH",
+                        help="Copy representative genomes into this directory")
+    output.add_argument("--output-representative-list", metavar="PATH",
+                        help="Print newline-separated list of paths to representatives into this file")
+
+
+def run_cluster(args: argparse.Namespace) -> None:
+    set_log_level(args)
+    genome_fasta_files = parse_list_of_genome_fasta_files(args)
+    cluster_contigs = args.cluster_contigs
+
+    if cluster_contigs:
+        if args.small_contigs and args.large_contigs:
+            print("Error: Cannot specify both --small-contigs and --large-contigs.",
+                  file=sys.stderr)
+            raise SystemExit(1)
+        if not (args.small_contigs or args.large_contigs):
+            print("Error: When --cluster-contigs is used, either --small-contigs or "
+                  "--large-contigs must be specified.", file=sys.stderr)
+            print("Use --small-contigs for contigs < 20kb, --large-contigs for contigs >= 20kb.",
+                  file=sys.stderr)
+            raise SystemExit(1)
+
+    contig_names: Optional[List[str]] = None
+    if cluster_contigs:
+        if args.output_representative_fasta_directory or args.output_representative_fasta_directory_copy:
+            raise SystemExit(
+                "Cannot specify --cluster-contigs with --output-representative-fasta-directory "
+                "or --output-representative-fasta-directory-copy"
+            )
+        contig_names = []
+        seen = set()
+        for path in genome_fasta_files:
+            for rec in read_fasta(path):
+                cname = rec.contig_name
+                if cname in seen:
+                    raise SystemExit(
+                        f"Duplicate contig name found in file '{path}': {cname}"
+                    )
+                seen.add(cname)
+                contig_names.append(cname)
+
+    # Reference genomes (src/cluster_argument_parsing.rs:636-687)
+    reference_genomes: Optional[List[str]] = None
+    if args.reference_genomes and args.reference_genomes_list:
+        raise SystemExit(
+            "Error: --reference-genomes and --reference-genomes-list are mutually exclusive"
+        )
+    if args.reference_genomes:
+        reference_genomes = [p.split("\t")[0] for p in args.reference_genomes]
+    elif args.reference_genomes_list:
+        with open(args.reference_genomes_list) as f:
+            reference_genomes = [
+                line.rstrip("\n").split("\t")[0] for line in f if line.strip()
+            ]
+    if reference_genomes is not None:
+        logger.info("Clustering against %d reference genomes", len(reference_genomes))
+        if cluster_contigs:
+            print("Error: Reference genome clustering is not currently supported with "
+                  "--cluster-contigs", file=sys.stderr)
+            raise SystemExit(1)
+        combined_genomes = list(reference_genomes) + genome_fasta_files
+    else:
+        combined_genomes = genome_fasta_files
+
+    galah = generate_galah_clusterer(
+        combined_genomes,
+        contig_names,
+        cluster_contigs,
+        args,
+        reference_genomes=reference_genomes,
+        injected_quality_report=getattr(args, "_injected_quality_report", None),
+    )
+
+    # Open outputs before heavy compute (src/cluster_argument_parsing.rs:700-701)
+    outputs = setup_galah_outputs(args)
+
+    logger.info("Clustering %d genomes ..", len(galah["genome_fasta_paths"]))
+    from galah_tpu.cluster.greedy import cluster as run_clustering
+
+    clusters = run_clustering(
+        galah["genome_fasta_paths"],
+        galah["preclusterer"],
+        galah["clusterer"],
+        cluster_contigs=cluster_contigs,
+        contig_names=contig_names,
+        reference_genomes=galah["reference_genomes"],
+    )
+    logger.info("Found %d genome clusters", len(clusters))
+
+    write_galah_outputs(outputs, clusters, galah["genome_fasta_paths"], contig_names)
+    logger.info("Finished printing genome clusters")
+
+
+def generate_galah_clusterer(
+    genome_fasta_paths: List[str],
+    contig_names: Optional[List[str]],
+    cluster_contigs: bool,
+    args: argparse.Namespace,
+    reference_genomes: Optional[List[str]] = None,
+    injected_quality_report: Optional[str] = None,
+) -> dict:
+    """Quality-order genomes and construct the engine pair
+    (src/cluster_argument_parsing.rs:1222-1489)."""
+    skip_clusterer = args.precluster_method == args.cluster_method
+
+    v2 = filter_genomes_through_quality(
+        genome_fasta_paths, args, injected_quality_report, cluster_contigs
+    )
+
+    small_genomes = determine_small_genomes_setting(args, cluster_contigs)
+
+    if reference_genomes is not None:
+        reference_genomes = [r for r in reference_genomes if r in set(v2)]
+
+    ani = parse_percentage(args.ani, "ani")
+    precluster_ani = parse_percentage(args.precluster_ani, "precluster-ani")
+    min_af = parse_percentage(args.min_aligned_fraction, "min-aligned-fraction")
+
+    # When precluster and cluster methods coincide, the precluster pass
+    # runs directly at the final ANI (src/cluster_argument_parsing.rs:1308-1352).
+    pre_threshold_pct = (ani if skip_clusterer else precluster_ani) * 100.0
+
+    native_ctx = None
+
+    def get_native_ctx():
+        nonlocal native_ctx
+        if native_ctx is None:
+            from galah_tpu.engines.native import NativeContext
+
+            native_ctx = NativeContext(
+                small_genomes=small_genomes,
+                fragment_length=args.fragment_length,
+                threads=args.threads,
+                low_memory=args.low_memory,
+            )
+        return native_ctx
+
+    if args.precluster_method == "native":
+        from galah_tpu.engines.native import NativePreclusterer
+
+        preclusterer = NativePreclusterer(
+            threshold=pre_threshold_pct,
+            min_aligned_threshold=min_af,
+            ctx=get_native_ctx(),
+        )
+    elif args.precluster_method == "finch":
+        from galah_tpu.engines.finch_like import FinchPreclusterer
+
+        preclusterer = FinchPreclusterer(
+            min_ani=precluster_ani,
+            low_memory=args.low_memory,
+            threads=args.threads,
+        )
+    elif args.precluster_method == "skani":
+        from galah_tpu.engines.subprocess_backends import SkaniPreclusterer
+
+        preclusterer = SkaniPreclusterer(
+            threshold=pre_threshold_pct,
+            min_aligned_threshold=min_af,
+            small_genomes=small_genomes,
+            threads=args.threads,
+            low_memory=args.low_memory,
+        )
+    else:
+        raise SystemExit(f"Unknown precluster method {args.precluster_method}")
+
+    if args.cluster_method == "native":
+        from galah_tpu.engines.native import NativeClusterer
+
+        clusterer = NativeClusterer(
+            threshold=ani * 100.0,
+            min_aligned_threshold=min_af,
+            ctx=get_native_ctx(),
+        )
+    elif args.cluster_method == "skani":
+        from galah_tpu.engines.subprocess_backends import SkaniClusterer
+
+        clusterer = SkaniClusterer(
+            threshold=ani * 100.0,
+            min_aligned_threshold=min_af,
+            small_genomes=small_genomes,
+        )
+    elif args.cluster_method == "fastani":
+        from galah_tpu.engines.subprocess_backends import FastaniClusterer
+
+        clusterer = FastaniClusterer(
+            threshold=ani * 100.0,
+            min_aligned_threshold=min_af,
+            fraglen=args.fragment_length,
+        )
+    else:
+        raise SystemExit(f"Unknown cluster method {args.cluster_method}")
+
+    return {
+        "genome_fasta_paths": v2,
+        "preclusterer": preclusterer,
+        "clusterer": clusterer,
+        "reference_genomes": reference_genomes,
+    }
+
+
+def determine_small_genomes_setting(args: argparse.Namespace, cluster_contigs: bool) -> bool:
+    """src/cluster_argument_parsing.rs:1760-1782."""
+    if cluster_contigs:
+        if args.small_contigs and not args.large_contigs:
+            return True
+        if args.large_contigs and not args.small_contigs:
+            return False
+        raise SystemExit(
+            "When --cluster-contigs is used, either --small-contigs or "
+            "--large-contigs must be specified"
+        )
+    return args.small_genomes
+
+
+def filter_genomes_through_quality(
+    genome_fasta_files: List[str],
+    args: argparse.Namespace,
+    injected_quality_report: Optional[str],
+    cluster_contigs: bool,
+) -> List[str]:
+    """src/cluster_argument_parsing.rs:863-1157."""
+    from galah_tpu.quality.checkm import (
+        read_checkm1_tab_table,
+        read_checkm2_quality_report,
+        read_genome_info_file,
+    )
+    from galah_tpu.quality.filter import filter_and_order_genomes
+
+    if cluster_contigs:
+        return list(genome_fasta_files)
+
+    has_quality = (
+        args.checkm_tab_table
+        or args.genome_info
+        or args.checkm2_quality_report
+        or injected_quality_report
+        or args.run_checkm2
+    )
+    if not has_quality:
+        logger.warning(
+            "Since CheckM input has not been provided and CheckM2 has been "
+            "disabled, genomes are not being ordered by quality. Instead the "
+            "order of their input is being used"
+        )
+        return list(genome_fasta_files)
+
+    checkm1 = None
+    if args.checkm_tab_table:
+        logger.info("Reading CheckM tab table ..")
+        checkm = checkm1 = read_checkm1_tab_table(args.checkm_tab_table)
+    elif args.checkm2_quality_report:
+        logger.info("Reading CheckM2 Quality report ..")
+        checkm = read_checkm2_quality_report(args.checkm2_quality_report)
+    elif args.genome_info:
+        if args.quality_formula == "dRep":
+            raise SystemExit("The dRep quality formula cannot be used with --genome-info")
+        logger.info("Reading genome info file %s", args.genome_info)
+        checkm = read_genome_info_file(args.genome_info)
+    elif injected_quality_report:
+        logger.info("Reading injected CheckM2 Quality report ..")
+        checkm = read_checkm2_quality_report(injected_quality_report)
+    elif args.run_checkm2:
+        import tempfile
+
+        from galah_tpu.annotate.checkm2_runner import run_checkm2_predict
+
+        db_path = args.checkm2_db_path or os.environ.get("CHECKM2DB")
+        if not db_path:
+            raise SystemExit(
+                "CheckM2 database path must be provided via --checkm2-db-path "
+                "or CHECKM2DB env var"
+            )
+        with tempfile.TemporaryDirectory() as td:
+            report = run_checkm2_predict(genome_fasta_files, args.threads, td, db_path)
+            checkm = read_checkm2_quality_report(report)
+    else:
+        raise AssertionError("Programming error")
+
+    if args.quality_formula == "dRep" and checkm1 is None:
+        raise SystemExit(
+            "dRep quality formula only works with CheckM v1 quality scoring "
+            "since it includes strain heterogeneity"
+        )
+
+    max_contamination = parse_percentage(args.max_contamination, "max-contamination")
+    min_completeness = parse_percentage(args.min_completeness, "min-completeness")
+
+    return filter_and_order_genomes(
+        genome_fasta_files,
+        checkm,
+        args.quality_formula,
+        min_completeness=min_completeness,
+        max_contamination=max_contamination,
+        threads=args.threads,
+        checkm1_for_drep=checkm1,
+    )
+
+
+def setup_galah_outputs(args: argparse.Namespace) -> dict:
+    """Open output files / validate output dirs up front
+    (src/cluster_argument_parsing.rs:516-543, 778-813)."""
+    out = {
+        "clusters_file": None,
+        "rep_dir": None,
+        "rep_dir_copy": None,
+        "rep_list": None,
+    }
+    if args.output_cluster_definition:
+        out["clusters_file"] = open(args.output_cluster_definition, "w")
+    out["rep_dir"] = _setup_representative_output_directory(
+        args.output_representative_fasta_directory, "--output-representative-fasta-directory"
+    )
+    out["rep_dir_copy"] = _setup_representative_output_directory(
+        args.output_representative_fasta_directory_copy,
+        "--output-representative-fasta-directory-copy",
+    )
+    if args.output_representative_list:
+        out["rep_list"] = open(args.output_representative_list, "w")
+    return out
+
+
+def _setup_representative_output_directory(d: Optional[str], argname: str) -> Optional[str]:
+    if d is None:
+        return None
+    if os.path.exists(d):
+        if os.path.isdir(d):
+            if os.listdir(d):
+                logger.error("The %s specified (%s) exists and is not empty", argname, d)
+                raise SystemExit(1)
+            logger.info("Using pre-existing but empty %s", argname)
+        else:
+            logger.error("The %s path specified (%s) exists but is not a directory", argname, d)
+            raise SystemExit(1)
+    else:
+        logger.info("Creating %s ..", argname)
+        os.makedirs(d, exist_ok=True)
+    return d
+
+
+def write_galah_outputs(
+    outputs: dict,
+    clusters: List[List[int]],
+    passed_genomes: List[str],
+    contig_names: Optional[List[str]],
+) -> None:
+    """src/cluster_argument_parsing.rs:718-776."""
+    references = contig_names if contig_names is not None else passed_genomes
+    if outputs["clusters_file"] is not None:
+        with outputs["clusters_file"] as f:
+            for cluster in clusters:
+                rep = references[cluster[0]]
+                for genome_index in cluster:
+                    f.write(f"{rep}\t{references[genome_index]}\n")
+
+    _write_cluster_reps_to_directory(
+        clusters, references, outputs["rep_dir"],
+        lambda src, dst: os.symlink(src, dst),
+    )
+    _write_cluster_reps_to_directory(
+        clusters, references, outputs["rep_dir_copy"],
+        lambda src, dst: shutil.copy(src, dst),
+    )
+
+    if outputs["rep_list"] is not None:
+        with outputs["rep_list"] as f:
+            for cluster in clusters:
+                f.write(f"{references[cluster[0]]}\n")
+
+
+def _write_cluster_reps_to_directory(clusters, passed_genomes, directory, create_fn):
+    """Symlink/copy reps with `.1.fna`-style clash renaming
+    (src/cluster_argument_parsing.rs:815-849)."""
+    if directory is None:
+        return
+    warned = False
+    for cluster in clusters:
+        rep = passed_genomes[cluster[0]]
+        link = os.path.realpath(rep)
+        basename = os.path.basename(rep)
+        target = os.path.join(directory, basename)
+        counter = 0
+        while os.path.lexists(target):
+            if not warned:
+                logger.warning(
+                    "One or more sequence files have the same file name. "
+                    "Renaming clashes by adding .1.fna, .2.fna etc."
+                )
+                warned = True
+            counter += 1
+            target = os.path.join(directory, basename) + f".{counter}.fna"
+        create_fn(link, target)
