@@ -1,0 +1,84 @@
+"""Benchmark: genome-pairs/s of the all-vs-all sketch screen on one
+chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline note: the reference (galah) publishes no numbers
+(BASELINE.md); its compute engine skani sweeps ~1e6 genome-pairs/s on a
+32-core host for triangle mode (order-of-magnitude from the skani
+paper's 50k-genomes-in-minutes claim). vs_baseline is pairs_per_s /
+1e6 against that documented estimate.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    # Workload: 4096 genome sketches, 2^17-bit indicators (~10% load at
+    # the default scale for ~3Mb genomes).
+    N = 4096
+    B = 1 << 17
+    K = 15
+
+    rng = np.random.default_rng(0)
+    x_np = (rng.random((N, B)) < 0.1).astype(np.float32)
+    sizes_np = x_np.sum(axis=1).astype(np.float32)
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    x = jnp.asarray(x_np, dtype=dtype)
+    sizes = jnp.asarray(sizes_np)
+
+    @jax.jit
+    def screen(xs, sz):
+        counts = jax.lax.dot_general(
+            xs,
+            xs,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        a = sz[:, None]
+        b = sz[None, :]
+        bits_f = float(B)
+        c1 = jnp.maximum(counts - a * b / bits_f, 0.0)
+        c = jnp.maximum(counts - (a - c1) * (b - c1) / bits_f, 0.0)
+        cont = jnp.minimum(c / jnp.maximum(jnp.minimum(a, b), 1.0), 1.0)
+        ani = jnp.power(jnp.maximum(cont, 1e-30), 1.0 / K) * 100.0
+        # sparse-extraction proxy: count of above-threshold pairs
+        return jnp.sum(ani >= 85.0)
+
+    # compile + warmup; fetch the scalar to host so timing can't be
+    # fooled by async dispatch (block_until_ready is not trustworthy on
+    # the tunneled axon platform).
+    float(screen(x, sizes))
+
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        float(screen(x, sizes))
+    dt = (time.perf_counter() - t0) / iters
+
+    pairs = N * (N - 1) / 2
+    pairs_per_s = pairs / dt
+
+    baseline_pairs_per_s = 1e6  # 32-core skani triangle, documented estimate
+    print(
+        json.dumps(
+            {
+                "metric": "screen_genome_pairs_per_s",
+                "value": round(pairs_per_s, 1),
+                "unit": "pairs/s",
+                "vs_baseline": round(pairs_per_s / baseline_pairs_per_s, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

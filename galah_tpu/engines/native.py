@@ -115,15 +115,12 @@ class NativeContext:
         """One sketch per contig, across files, in file order (the unit
         order the reference's contig mode uses,
         src/cluster_argument_parsing.rs:595-629)."""
+        from galah_tpu.sketch.fracminhash import sketch_contigs_native
+
         out: List[NativeSketch] = []
         for path in paths:
             if path not in self._contig_store:
-                sketches = []
-                for rec in read_fasta(path):
-                    sketches.append(
-                        sketch_sequences_native(rec.contig_name, [rec.seq], self.params)
-                    )
-                self._contig_store[path] = sketches
+                self._contig_store[path] = sketch_contigs_native(path, self.params)
             out.extend(self._contig_store[path])
         return out
 
@@ -268,14 +265,32 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
     def _screen_and_verify(
         self, sketches: Sequence[NativeSketch]
     ) -> SortedPairDistanceCache:
+        import jax
+
         k = self.ctx.params.k
-        logger.info("Screening %d sketches all-vs-all ..", len(sketches))
-        res = screen_triangle(
-            [s.prefilter_indicator() for s in sketches],
-            np.asarray([s.n_prefilter for s in sketches]),
-            k,
-            _screen_min_containment(self.threshold, self.min_aligned_threshold, k),
+        n = len(sketches)
+        logger.info("Screening %d sketches all-vs-all ..", n)
+        min_cont = _screen_min_containment(
+            self.threshold, self.min_aligned_threshold, k
         )
+        if jax.device_count() > 1 and n <= 32768:
+            # Mesh-sharded sweep: rows data-parallel across devices,
+            # XLA inserts the all-gather of the contracted side.
+            from galah_tpu.parallel.distance import sharded_screen_triangle
+
+            res = sharded_screen_triangle(
+                np.stack([s.prefilter_indicator() for s in sketches]),
+                np.asarray([s.n_prefilter for s in sketches]),
+                k,
+                min_cont,
+            )
+        else:
+            res = screen_triangle(
+                [s.prefilter_indicator() for s in sketches],
+                np.asarray([s.n_prefilter for s in sketches]),
+                k,
+                min_cont,
+            )
         logger.info("Screen produced %d candidate pairs", len(res.pairs))
         if len(res.pairs) == 0:
             return SortedPairDistanceCache()

@@ -24,6 +24,15 @@ class GenomeAssemblyStats:
 
 
 def calculate_genome_stats(fasta_path: str) -> GenomeAssemblyStats:
+    from galah_tpu import native_ext
+
+    if native_ext.available():
+        f = native_ext.NativeFasta(fasta_path)
+        num_contigs, num_ambiguous, n50 = f.genome_stats()
+        if num_contigs == 0 or (n50 == 0 and num_contigs > 0):
+            raise ValueError(f"Failed to calculate N50 from {fasta_path}")
+        return GenomeAssemblyStats(num_contigs, num_ambiguous, n50)
+
     num_contigs = 0
     num_ambiguous = 0
     contig_lengths = []

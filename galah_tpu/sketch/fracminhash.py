@@ -52,6 +52,13 @@ def mix64(x: np.ndarray) -> np.ndarray:
     return h
 
 
+def _scale_threshold(scale: int) -> np.uint64:
+    """Keep hashes h < 2**64/scale; scale 1 keeps everything."""
+    if scale <= 1:
+        return _U64(2**64 - 1)
+    return _U64(2**64 // scale)
+
+
 @dataclass(frozen=True)
 class NativeSketchParams:
     k: int = defaults.NATIVE_KMER_LENGTH
@@ -68,11 +75,11 @@ class NativeSketchParams:
 
     @property
     def genome_threshold(self) -> np.uint64:
-        return _U64(2**64 // self.genome_scale)
+        return _scale_threshold(self.genome_scale)
 
     @property
     def fragment_threshold(self) -> np.uint64:
-        return _U64(2**64 // self.fragment_scale)
+        return _scale_threshold(self.fragment_scale)
 
 
 def small_genome_params(fragment_length: Optional[int] = None) -> NativeSketchParams:
@@ -230,14 +237,42 @@ def sketch_sequences_native(
     )
 
 
+def _from_raw(name: str, raw: dict, params: NativeSketchParams) -> NativeSketch:
+    return NativeSketch(
+        name=name,
+        total_len=raw["total_len"],
+        prefilter_buckets=raw["prefilter_buckets"],
+        frag_buckets=raw["frag_buckets"],
+        frag_offsets=raw["frag_offsets"],
+        member_buckets=raw["member_buckets"],
+        params=params,
+    )
+
+
 def sketch_file_native(path: str, params: NativeSketchParams) -> NativeSketch:
+    from galah_tpu import native_ext
+
+    if native_ext.available():
+        f = native_ext.NativeFasta(path)
+        raw = f.native_sketch(0, params)
+        return _from_raw(path, raw[0], params)
     seqs = [rec.seq for rec in read_fasta(path)]
     return sketch_sequences_native(path, seqs, params)
 
 
 def sketch_contigs_native(path: str, params: NativeSketchParams) -> List[NativeSketch]:
     """One sketch per contig (for --cluster-contigs; the reference runs
-    `skani triangle -i`, src/skani.rs:379-498)."""
+    `skani triangle -i`, src/skani.rs:379-498). Contig names follow the
+    reference's tab-split rule."""
+    from galah_tpu import native_ext
+
+    if native_ext.available():
+        f = native_ext.NativeFasta(path)
+        raws = f.native_sketch(1, params)
+        return [
+            _from_raw(f.name(i).split("\t")[0], raw, params)
+            for i, raw in enumerate(raws)
+        ]
     out = []
     for rec in read_fasta(path):
         out.append(sketch_sequences_native(rec.contig_name, [rec.seq], params))

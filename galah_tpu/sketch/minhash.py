@@ -62,6 +62,12 @@ def sketch_file(
     k: int = defaults.MASH_KMER_LENGTH,
     seed: int = defaults.MASH_HASH_SEED,
 ) -> MashSketch:
+    from galah_tpu import native_ext
+
+    if native_ext.available():
+        f = native_ext.NativeFasta(path)
+        hashes = f.mash_hashes(k, sketch_size, seed)
+        return MashSketch(hashes=hashes, kmer_length=k, sketch_size=sketch_size)
     return sketch_sequences(read_fasta_sequences(path), sketch_size, k, seed)
 
 

@@ -1,0 +1,487 @@
+// fastaio: native host-side sequence pipeline for galah_tpu.
+//
+// Replaces the roles the reference delegates to needletail (FASTA/gzip
+// parsing, reference: src/genome_stats.rs:17, src/skani.rs:87) and the
+// hashing front half of finch/skani: canonical k-mer extraction,
+// splitmix64 FracMinHash sketching (fragment + genome level) and
+// MurmurHash3_x64_128 bottom-k Mash sketching — feeding numpy arrays
+// through a ctypes interface (no pybind11 in this environment).
+//
+// gzip-transparent via zlib's gzopen (which reads plain files too).
+//
+// Build: make -C native   (produces libfastaio.so)
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+// ----------------------------------------------------------------------
+// Base encoding
+// ----------------------------------------------------------------------
+
+constexpr uint8_t INVALID = 255;
+
+struct CodeLut {
+  uint8_t lut[256];
+  CodeLut() {
+    std::memset(lut, INVALID, sizeof(lut));
+    lut[(int)'A'] = 0; lut[(int)'a'] = 0;
+    lut[(int)'C'] = 1; lut[(int)'c'] = 1;
+    lut[(int)'G'] = 2; lut[(int)'g'] = 2;
+    lut[(int)'T'] = 3; lut[(int)'t'] = 3;
+  }
+};
+const CodeLut kCode;
+
+// ----------------------------------------------------------------------
+// splitmix64 finalizer (parity with galah_tpu.sketch.fracminhash.mix64)
+// ----------------------------------------------------------------------
+
+inline uint64_t mix64(uint64_t x) {
+  x ^= x >> 30;
+  x *= 0xBF58476D1CE4E5B9ULL;
+  x ^= x >> 27;
+  x *= 0x94D049BB133111EBULL;
+  x ^= x >> 31;
+  return x;
+}
+
+// ----------------------------------------------------------------------
+// MurmurHash3 x64_128, low 64 bits (parity with sketch.murmur3)
+// ----------------------------------------------------------------------
+
+inline uint64_t rotl64(uint64_t x, int8_t r) {
+  return (x << r) | (x >> (64 - r));
+}
+
+inline uint64_t fmix64(uint64_t k) {
+  k ^= k >> 33;
+  k *= 0xFF51AFD7ED558CCDULL;
+  k ^= k >> 33;
+  k *= 0xC4CEB9FE1A85EC53ULL;
+  k ^= k >> 33;
+  return k;
+}
+
+uint64_t murmur3_x64_128_low(const uint8_t* data, size_t len, uint32_t seed) {
+  const size_t nblocks = len / 16;
+  uint64_t h1 = seed, h2 = seed;
+  const uint64_t c1 = 0x87C37B91114253D5ULL;
+  const uint64_t c2 = 0x4CF5AD432745937FULL;
+
+  for (size_t i = 0; i < nblocks; i++) {
+    uint64_t k1, k2;
+    std::memcpy(&k1, data + i * 16, 8);
+    std::memcpy(&k2, data + i * 16 + 8, 8);
+
+    k1 *= c1; k1 = rotl64(k1, 31); k1 *= c2; h1 ^= k1;
+    h1 = rotl64(h1, 27); h1 += h2; h1 = h1 * 5 + 0x52DCE729;
+    k2 *= c2; k2 = rotl64(k2, 33); k2 *= c1; h2 ^= k2;
+    h2 = rotl64(h2, 31); h2 += h1; h2 = h2 * 5 + 0x38495AB5;
+  }
+
+  const uint8_t* tail = data + nblocks * 16;
+  uint64_t k1 = 0, k2 = 0;
+  switch (len & 15) {
+    case 15: k2 ^= ((uint64_t)tail[14]) << 48; [[fallthrough]];
+    case 14: k2 ^= ((uint64_t)tail[13]) << 40; [[fallthrough]];
+    case 13: k2 ^= ((uint64_t)tail[12]) << 32; [[fallthrough]];
+    case 12: k2 ^= ((uint64_t)tail[11]) << 24; [[fallthrough]];
+    case 11: k2 ^= ((uint64_t)tail[10]) << 16; [[fallthrough]];
+    case 10: k2 ^= ((uint64_t)tail[9]) << 8; [[fallthrough]];
+    case 9:
+      k2 ^= ((uint64_t)tail[8]);
+      k2 *= c2; k2 = rotl64(k2, 33); k2 *= c1; h2 ^= k2;
+      [[fallthrough]];
+    case 8: k1 ^= ((uint64_t)tail[7]) << 56; [[fallthrough]];
+    case 7: k1 ^= ((uint64_t)tail[6]) << 48; [[fallthrough]];
+    case 6: k1 ^= ((uint64_t)tail[5]) << 40; [[fallthrough]];
+    case 5: k1 ^= ((uint64_t)tail[4]) << 32; [[fallthrough]];
+    case 4: k1 ^= ((uint64_t)tail[3]) << 24; [[fallthrough]];
+    case 3: k1 ^= ((uint64_t)tail[2]) << 16; [[fallthrough]];
+    case 2: k1 ^= ((uint64_t)tail[1]) << 8; [[fallthrough]];
+    case 1:
+      k1 ^= ((uint64_t)tail[0]);
+      k1 *= c1; k1 = rotl64(k1, 31); k1 *= c2; h1 ^= k1;
+      break;
+    case 0: break;
+  }
+
+  h1 ^= (uint64_t)len;
+  h2 ^= (uint64_t)len;
+  h1 += h2;
+  h2 += h1;
+  h1 = fmix64(h1);
+  h2 = fmix64(h2);
+  h1 += h2;
+  return h1;
+}
+
+// ----------------------------------------------------------------------
+// FASTA reading (gzip-transparent)
+// ----------------------------------------------------------------------
+
+struct FastaRecordC {
+  std::string name;  // full header minus '>'
+  std::string seq;
+};
+
+bool read_fasta_file(const char* path, std::vector<FastaRecordC>* out,
+                     std::string* err) {
+  gzFile f = gzopen(path, "rb");
+  if (!f) {
+    *err = std::string("failed to open ") + path;
+    return false;
+  }
+  gzbuffer(f, 1 << 20);
+  std::string line;
+  line.reserve(1 << 16);
+  char buf[1 << 16];
+  FastaRecordC* cur = nullptr;
+  std::string pending;
+  // Manual line assembly from gzread chunks (gzgets is slow per line).
+  int n;
+  auto handle_line = [&](const std::string& ln) {
+    if (ln.empty()) return;
+    if (ln[0] == '>') {
+      out->emplace_back();
+      cur = &out->back();
+      cur->name = ln.substr(1);
+      // strip trailing \r
+      if (!cur->name.empty() && cur->name.back() == '\r') cur->name.pop_back();
+    } else if (cur != nullptr) {
+      size_t end = ln.size();
+      if (end && ln[end - 1] == '\r') end--;
+      cur->seq.append(ln.data(), end);
+    }
+  };
+  while ((n = gzread(f, buf, sizeof(buf))) > 0) {
+    int start = 0;
+    for (int i = 0; i < n; i++) {
+      if (buf[i] == '\n') {
+        if (pending.empty()) {
+          handle_line(std::string(buf + start, i - start));
+        } else {
+          pending.append(buf + start, i - start);
+          handle_line(pending);
+          pending.clear();
+        }
+        start = i + 1;
+      }
+    }
+    if (start < n) pending.append(buf + start, n - start);
+  }
+  if (!pending.empty()) handle_line(pending);
+  gzclose(f);
+  return true;
+}
+
+// ----------------------------------------------------------------------
+// Native two-level FracMinHash sketch of a sequence set
+// (parity with galah_tpu.sketch.fracminhash.sketch_sequences_native)
+// ----------------------------------------------------------------------
+
+struct NativeSketchC {
+  int64_t total_len = 0;
+  std::vector<int32_t> prefilter_buckets;  // sorted distinct
+  std::vector<int32_t> member_buckets;     // sorted distinct
+  std::vector<int32_t> frag_buckets;       // flattened per-fragment (deduped)
+  std::vector<int64_t> frag_offsets;       // size F+1
+};
+
+void fragment_bounds(int64_t length, int64_t L, int64_t min_len,
+                     std::vector<int64_t>* bounds) {
+  bounds->clear();
+  if (length < L) {
+    if (length >= min_len) {
+      bounds->push_back(0);
+      bounds->push_back(length);
+    }
+    return;
+  }
+  int64_t nfull = length / L;
+  int64_t rem = length - nfull * L;
+  for (int64_t i = 0; i <= nfull; i++) bounds->push_back(i * L);
+  if (rem >= L / 2) bounds->push_back(length);
+}
+
+void sketch_sequences_native_cpp(
+    const std::vector<const FastaRecordC*>& seqs, int k, uint64_t gthresh,
+    uint64_t fthresh, int64_t frag_len, int64_t min_frag_len,
+    uint32_t member_mask, uint32_t pref_mask, NativeSketchC* out) {
+  const uint64_t kmask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  const int shift_hi = 2 * (k - 1);
+
+  std::vector<uint64_t> pref, member, fragkeys;
+  std::vector<int64_t> bounds;
+  int64_t frag_base = 0;
+
+  for (const FastaRecordC* rec : seqs) {
+    const std::string& s = rec->seq;
+    const int64_t len = (int64_t)s.size();
+    out->total_len += len;
+    fragment_bounds(len, frag_len, min_frag_len, &bounds);
+    const int64_t nfrag = bounds.empty() ? 0 : (int64_t)bounds.size() - 1;
+
+    if (len >= k) {
+      uint64_t fwd = 0, rev = 0;
+      int run = 0;
+      int64_t bi = 0;  // current fragment search hint
+      for (int64_t i = 0; i < len; i++) {
+        uint8_t c = kCode.lut[(uint8_t)s[i]];
+        if (c == INVALID) {
+          run = 0;
+          continue;
+        }
+        fwd = ((fwd << 2) | c) & kmask;
+        rev = (rev >> 2) | (((uint64_t)(3 - c)) << shift_hi);
+        if (++run < k) continue;
+        const int64_t pos = i - k + 1;  // kmer start
+        const uint64_t canon = fwd < rev ? fwd : rev;
+        const uint64_t h = mix64(canon);
+        if (h < fthresh) {
+          member.push_back(h & member_mask);
+          if (nfrag > 0) {
+            while (bi + 1 < (int64_t)bounds.size() - 1 && pos >= bounds[bi + 1])
+              bi++;
+            if (pos >= bounds[bi] && pos < bounds[bi + 1]) {
+              fragkeys.push_back(((uint64_t)(frag_base + bi) << 32) |
+                                 (h & member_mask));
+            }
+          }
+          if (h < gthresh) pref.push_back(h & pref_mask);
+        }
+      }
+    }
+    frag_base += nfrag;
+  }
+
+  auto sort_unique_to_i32 = [](std::vector<uint64_t>& v,
+                               std::vector<int32_t>* dst) {
+    std::sort(v.begin(), v.end());
+    v.erase(std::unique(v.begin(), v.end()), v.end());
+    dst->assign(v.begin(), v.end());
+  };
+  sort_unique_to_i32(pref, &out->prefilter_buckets);
+  sort_unique_to_i32(member, &out->member_buckets);
+
+  std::sort(fragkeys.begin(), fragkeys.end());
+  fragkeys.erase(std::unique(fragkeys.begin(), fragkeys.end()),
+                 fragkeys.end());
+  out->frag_offsets.assign(frag_base + 1, 0);
+  out->frag_buckets.reserve(fragkeys.size());
+  for (uint64_t key : fragkeys) {
+    const int64_t fid = (int64_t)(key >> 32);
+    out->frag_buckets.push_back((int32_t)(key & 0xFFFFFFFFULL));
+    out->frag_offsets[fid + 1]++;
+  }
+  for (int64_t i = 1; i <= frag_base; i++)
+    out->frag_offsets[i] += out->frag_offsets[i - 1];
+}
+
+// ----------------------------------------------------------------------
+// Mash bottom-k sketch (finch parity)
+// ----------------------------------------------------------------------
+
+void mash_hashes_cpp(const std::vector<const FastaRecordC*>& seqs, int k,
+                     int64_t sketch_size, uint32_t seed,
+                     std::vector<uint64_t>* out_hashes) {
+  const uint64_t kmask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  const int shift_hi = 2 * (k - 1);
+  std::vector<uint64_t> kmers;
+  for (const FastaRecordC* rec : seqs) {
+    const std::string& s = rec->seq;
+    const int64_t len = (int64_t)s.size();
+    if (len < k) continue;
+    uint64_t fwd = 0, rev = 0;
+    int run = 0;
+    for (int64_t i = 0; i < len; i++) {
+      uint8_t c = kCode.lut[(uint8_t)s[i]];
+      if (c == INVALID) {
+        run = 0;
+        continue;
+      }
+      fwd = ((fwd << 2) | c) & kmask;
+      rev = (rev >> 2) | (((uint64_t)(3 - c)) << shift_hi);
+      if (++run < k) continue;
+      kmers.push_back(fwd < rev ? fwd : rev);
+    }
+  }
+  std::sort(kmers.begin(), kmers.end());
+  kmers.erase(std::unique(kmers.begin(), kmers.end()), kmers.end());
+
+  // hash each distinct canonical kmer's byte-string form
+  std::vector<uint64_t> hashes;
+  hashes.reserve(kmers.size());
+  uint8_t keybuf[32];
+  static const char kBases[] = "ACGT";
+  for (uint64_t km : kmers) {
+    for (int j = 0; j < k; j++) {
+      keybuf[j] = (uint8_t)kBases[(km >> (2 * (k - 1 - j))) & 3];
+    }
+    hashes.push_back(murmur3_x64_128_low(keybuf, (size_t)k, seed));
+  }
+  std::sort(hashes.begin(), hashes.end());
+  hashes.erase(std::unique(hashes.begin(), hashes.end()), hashes.end());
+  if ((int64_t)hashes.size() > sketch_size) hashes.resize(sketch_size);
+  *out_hashes = std::move(hashes);
+}
+
+// ----------------------------------------------------------------------
+// Genome stats (parity with src/genome_stats.rs:11-51)
+// ----------------------------------------------------------------------
+
+void genome_stats_cpp(const std::vector<FastaRecordC>& recs,
+                      int64_t out_stats[3]) {
+  int64_t num_contigs = 0, num_ambiguous = 0, total = 0;
+  std::vector<int64_t> lengths;
+  for (const auto& r : recs) {
+    num_contigs++;
+    lengths.push_back((int64_t)r.seq.size());
+    total += (int64_t)r.seq.size();
+    for (char ch : r.seq)
+      if (ch == 'N' || ch == 'n') num_ambiguous++;
+  }
+  std::sort(lengths.begin(), lengths.end());
+  const int64_t cutoff = total / 2;
+  int64_t acc = 0, n50 = 0;
+  for (int64_t L : lengths) {
+    acc += L;
+    if (acc >= cutoff) {
+      n50 = L;
+      break;
+    }
+  }
+  out_stats[0] = num_contigs;
+  out_stats[1] = num_ambiguous;
+  out_stats[2] = n50;
+}
+
+// ----------------------------------------------------------------------
+// Handle-based C API
+// ----------------------------------------------------------------------
+
+struct GtHandle {
+  std::string error;
+  std::vector<FastaRecordC> records;
+  // one sketch per unit (1 for genome mode, n_contigs for contig mode)
+  std::vector<NativeSketchC> sketches;
+  std::vector<uint64_t> mash_hashes;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* gt_open(const char* path) {
+  auto* h = new GtHandle();
+  if (!read_fasta_file(path, &h->records, &h->error)) {
+    // keep handle so the error can be queried
+    h->records.clear();
+  }
+  return h;
+}
+
+const char* gt_error(void* handle) {
+  auto* h = (GtHandle*)handle;
+  return h->error.empty() ? nullptr : h->error.c_str();
+}
+
+void gt_close(void* handle) { delete (GtHandle*)handle; }
+
+int64_t gt_num_records(void* handle) {
+  return (int64_t)((GtHandle*)handle)->records.size();
+}
+
+const char* gt_record_name(void* handle, int64_t i) {
+  return ((GtHandle*)handle)->records[(size_t)i].name.c_str();
+}
+
+int64_t gt_record_seq_len(void* handle, int64_t i) {
+  return (int64_t)((GtHandle*)handle)->records[(size_t)i].seq.size();
+}
+
+void gt_record_seq_copy(void* handle, int64_t i, char* dst) {
+  const auto& s = ((GtHandle*)handle)->records[(size_t)i].seq;
+  std::memcpy(dst, s.data(), s.size());
+}
+
+void gt_genome_stats(void* handle, int64_t out_stats[3]) {
+  genome_stats_cpp(((GtHandle*)handle)->records, out_stats);
+}
+
+// mode 0: whole genome (one sketch); mode 1: per contig
+int64_t gt_native_sketch(void* handle, int mode, int k, uint64_t gthresh,
+                         uint64_t fthresh, int64_t frag_len,
+                         int64_t min_frag_len, uint32_t member_mask,
+                         uint32_t pref_mask) {
+  auto* h = (GtHandle*)handle;
+  h->sketches.clear();
+  if (mode == 0) {
+    std::vector<const FastaRecordC*> all;
+    for (const auto& r : h->records) all.push_back(&r);
+    h->sketches.emplace_back();
+    sketch_sequences_native_cpp(all, k, gthresh, fthresh, frag_len,
+                                min_frag_len, member_mask, pref_mask,
+                                &h->sketches.back());
+  } else {
+    for (const auto& r : h->records) {
+      std::vector<const FastaRecordC*> one{&r};
+      h->sketches.emplace_back();
+      sketch_sequences_native_cpp(one, k, gthresh, fthresh, frag_len,
+                                  min_frag_len, member_mask, pref_mask,
+                                  &h->sketches.back());
+    }
+  }
+  return (int64_t)h->sketches.size();
+}
+
+// sizes: [total_len, n_pref, n_member, n_fragbuckets, n_frag_offsets]
+void gt_sketch_sizes(void* handle, int64_t i, int64_t out_sizes[5]) {
+  const auto& s = ((GtHandle*)handle)->sketches[(size_t)i];
+  out_sizes[0] = s.total_len;
+  out_sizes[1] = (int64_t)s.prefilter_buckets.size();
+  out_sizes[2] = (int64_t)s.member_buckets.size();
+  out_sizes[3] = (int64_t)s.frag_buckets.size();
+  out_sizes[4] = (int64_t)s.frag_offsets.size();
+}
+
+void gt_sketch_copy(void* handle, int64_t i, int32_t* pref, int32_t* member,
+                    int32_t* fragbuckets, int64_t* frag_offsets) {
+  const auto& s = ((GtHandle*)handle)->sketches[(size_t)i];
+  std::memcpy(pref, s.prefilter_buckets.data(),
+              s.prefilter_buckets.size() * sizeof(int32_t));
+  std::memcpy(member, s.member_buckets.data(),
+              s.member_buckets.size() * sizeof(int32_t));
+  std::memcpy(fragbuckets, s.frag_buckets.data(),
+              s.frag_buckets.size() * sizeof(int32_t));
+  std::memcpy(frag_offsets, s.frag_offsets.data(),
+              s.frag_offsets.size() * sizeof(int64_t));
+}
+
+int64_t gt_mash_sketch(void* handle, int k, int64_t sketch_size,
+                       uint32_t seed) {
+  auto* h = (GtHandle*)handle;
+  std::vector<const FastaRecordC*> all;
+  for (const auto& r : h->records) all.push_back(&r);
+  mash_hashes_cpp(all, k, sketch_size, seed, &h->mash_hashes);
+  return (int64_t)h->mash_hashes.size();
+}
+
+void gt_mash_copy(void* handle, uint64_t* dst) {
+  const auto& v = ((GtHandle*)handle)->mash_hashes;
+  std::memcpy(dst, v.data(), v.size() * sizeof(uint64_t));
+}
+
+uint64_t gt_murmur3_x64_128_low(const uint8_t* data, int64_t len,
+                                uint32_t seed) {
+  return murmur3_x64_128_low(data, (size_t)len, seed);
+}
+
+}  // extern "C"

@@ -1,0 +1,96 @@
+"""Parity tests: the C++ fastaio extension must be bit-identical to the
+numpy reference paths."""
+
+import numpy as np
+import pytest
+from conftest import data
+
+from galah_tpu import native_ext
+
+pytestmark = pytest.mark.skipif(
+    not native_ext.available(), reason="native fastaio library not built"
+)
+
+
+def test_murmur3_parity():
+    from galah_tpu.sketch.murmur3 import murmur3_x64_128
+
+    lib = native_ext.get_lib()
+    rng = np.random.default_rng(0)
+    for length in (5, 8, 16, 21, 32, 45):
+        key = rng.integers(0, 256, size=length, dtype=np.uint8)
+        expected = int(murmur3_x64_128(key[None, :])[0])
+        got = lib.gt_murmur3_x64_128_low(key.tobytes(), length, 0)
+        assert got == expected
+
+
+def test_fasta_parse_parity():
+    from galah_tpu.io.fasta import read_fasta
+
+    path = data("abisko4/73.20110800_S2M.16.fna.gz")
+    py = list(read_fasta(path))
+    f = native_ext.NativeFasta(path)
+    assert f.num_records() == len(py)
+    for i in (0, len(py) - 1):
+        assert f.name(i) == py[i].name
+        assert f.seq(i) == py[i].seq
+
+
+def test_genome_stats_parity():
+    f = native_ext.NativeFasta(data("abisko4/73.20110600_S2D.10.fna"))
+    assert f.genome_stats() == (161, 6506, 8289)
+
+
+def test_mash_hash_parity():
+    from galah_tpu.io.fasta import read_fasta_sequences
+    from galah_tpu.sketch.minhash import sketch_sequences
+
+    path = data("set1/500kb.fna")
+    numpy_sketch = sketch_sequences(read_fasta_sequences(path))
+    f = native_ext.NativeFasta(path)
+    native_hashes = f.mash_hashes(21, 1000)
+    assert np.array_equal(native_hashes, numpy_sketch.hashes)
+
+
+def test_native_sketch_parity():
+    from galah_tpu.io.fasta import read_fasta
+    from galah_tpu.sketch.fracminhash import (
+        NativeSketchParams,
+        sketch_sequences_native,
+        small_genome_params,
+    )
+
+    for path, params in [
+        (data("set1/500kb.fna"), NativeSketchParams()),
+        (data("abisko4/73.20110600_S2D.10.fna"), NativeSketchParams()),
+        (data("contigs/contigs.fna"), small_genome_params()),
+    ]:
+        seqs = [r.seq for r in read_fasta(path)]
+        ref = sketch_sequences_native(path, seqs, params)
+        f = native_ext.NativeFasta(path)
+        raw = f.native_sketch(0, params)[0]
+        assert raw["total_len"] == ref.total_len
+        assert np.array_equal(raw["prefilter_buckets"], ref.prefilter_buckets)
+        assert np.array_equal(raw["member_buckets"], ref.member_buckets)
+        assert np.array_equal(raw["frag_buckets"], ref.frag_buckets)
+        assert np.array_equal(raw["frag_offsets"], ref.frag_offsets)
+
+
+def test_native_sketch_contig_mode_parity():
+    from galah_tpu.io.fasta import read_fasta
+    from galah_tpu.sketch.fracminhash import (
+        sketch_sequences_native,
+        small_genome_params,
+    )
+
+    path = data("contigs/contigs_specific.fna")
+    params = small_genome_params()
+    f = native_ext.NativeFasta(path)
+    raws = f.native_sketch(1, params)
+    recs = list(read_fasta(path))
+    assert len(raws) == len(recs)
+    for rec, raw in zip(recs, raws):
+        ref = sketch_sequences_native(rec.contig_name, [rec.seq], params)
+        assert np.array_equal(raw["member_buckets"], ref.member_buckets)
+        assert np.array_equal(raw["frag_buckets"], ref.frag_buckets)
+        assert np.array_equal(raw["frag_offsets"], ref.frag_offsets)

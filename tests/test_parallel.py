@@ -1,0 +1,94 @@
+"""Multi-device sharding tests on the 8-way virtual CPU mesh.
+
+The distributed invariant (SURVEY.md §4): identical sparse pair lists
+and identical clusters for any mesh size — the host-side greedy stage
+is device-count independent by construction."""
+
+import numpy as np
+import pytest
+from conftest import data
+
+import jax
+
+from galah_tpu.ops.prefilter import screen_triangle
+from galah_tpu.parallel.distance import sharded_screen_triangle
+from galah_tpu.parallel.mesh import make_mesh
+
+
+def synthetic_indicators(n=24, bits=4096, seed=0):
+    rng = np.random.default_rng(seed)
+    x = (rng.random((n, bits)) < 0.08).astype(np.uint8)
+    # plant related pairs: genome 1 ~ genome 0, genome 5 subset of 4
+    x[1] = x[0]
+    flips = rng.random(bits) < 0.01
+    x[1] = np.where(flips, 1 - x[1], x[1])
+    x[5] = x[4] * (rng.random(bits) < 0.5)
+    return x, x.sum(axis=1)
+
+
+def test_sharded_matches_blocked():
+    x, sizes = synthetic_indicators()
+    blocked = screen_triangle(list(x), sizes, k=15, min_containment=0.2)
+    for ndev in (1, 2, 8):
+        mesh = make_mesh(jax.devices()[:ndev])
+        sharded = sharded_screen_triangle(x, sizes, 15, 0.2, mesh=mesh)
+        assert np.array_equal(
+            np.sort(blocked.pairs, axis=0), np.sort(sharded.pairs, axis=0)
+        )
+        np.testing.assert_allclose(
+            np.sort(blocked.ani_est), np.sort(sharded.ani_est), rtol=2e-3
+        )
+
+
+def test_sharded_2d_mesh_psum():
+    x, sizes = synthetic_indicators()
+    mesh1 = make_mesh(jax.devices()[:8])
+    mesh2 = make_mesh(jax.devices()[:8], bucket_axis=2)
+    r1 = sharded_screen_triangle(x, sizes, 15, 0.2, mesh=mesh1)
+    r2 = sharded_screen_triangle(x, sizes, 15, 0.2, mesh=mesh2)
+    assert np.array_equal(r1.pairs, r2.pairs)
+    np.testing.assert_allclose(r1.ani_est, r2.ani_est, rtol=1e-4)
+
+
+@pytest.mark.parametrize("ndev", [1, 2, 8])
+def test_cluster_invariance_across_mesh_sizes(ndev, monkeypatch, tmp_path):
+    """Same clusters.tsv on any device count (BASELINE.md north star)."""
+    from galah_tpu.engines.native import NativeContext, NativePreclusterer
+    from galah_tpu.parallel import distance as dist_mod
+
+    D = data("")
+    genomes = [
+        data("abisko4/73.20120800_S1X.13.fna"),
+        data("abisko4/73.20120600_S2D.19.fna"),
+        data("abisko4/73.20120700_S3X.12.fna"),
+        data("abisko4/73.20110800_S2D.13.fna"),
+    ]
+    orig = dist_mod.sharded_screen_triangle
+
+    def limited(indicators, sizes, k, min_cont, mesh=None):
+        return orig(
+            indicators, sizes, k, min_cont,
+            mesh=make_mesh(jax.devices()[:ndev]),
+        )
+
+    monkeypatch.setattr(dist_mod, "sharded_screen_triangle", limited)
+    ctx = NativeContext(threads=2)
+    pre = NativePreclusterer(threshold=99.0, min_aligned_threshold=0.15, ctx=ctx)
+    cache = pre.distances(genomes)
+    got = sorted((k, round(v, 2)) for k, v in cache.items())
+    assert [k for k, _ in got] == [(0, 1), (0, 3), (1, 3)]
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (256, 256)
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+    g.dryrun_multichip(2)
