@@ -3,26 +3,40 @@ chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline note: the reference (galah) publishes no numbers
-(BASELINE.md); its compute engine skani sweeps ~1e6 genome-pairs/s on a
-32-core host for triangle mode (order-of-magnitude from the skani
-paper's 50k-genomes-in-minutes claim). vs_baseline is pairs_per_s /
-1e6 against that documented estimate.
+Baseline note: the reference (galah) publishes no numbers (BASELINE.md);
+its compute engine skani sweeps ~1e6 genome-pairs/s on a 32-core host
+for triangle mode (order-of-magnitude from the skani paper's
+50k-genomes-in-minutes claim). vs_baseline is pairs_per_s / 1e6 against
+that documented estimate.
+
+Timing notes for this environment: the tunneled axon TPU has ~25ms
+per-dispatch overhead and block_until_ready does not reliably block, so
+the workload is sized to make device time dominate and results are
+fetched to host for timing.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/galah_tpu_jax_cache")
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    # Workload: 4096 genome sketches, 2^17-bit indicators (~10% load at
-    # the default scale for ~3Mb genomes).
-    N = 4096
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+    except Exception:
+        pass
+
+    # Workload: 8192 genome sketches, 2^17-bit indicators (~10% load at
+    # the default scale for ~3Mb genomes) -> 33.5M pairs per sweep.
+    N = 8192
     B = 1 << 17
     K = 15
 
@@ -53,12 +67,11 @@ def main() -> None:
         # sparse-extraction proxy: count of above-threshold pairs
         return jnp.sum(ani >= 85.0)
 
-    # compile + warmup; fetch the scalar to host so timing can't be
-    # fooled by async dispatch (block_until_ready is not trustworthy on
-    # the tunneled axon platform).
+    # compile + warmup; fetch the scalar so async dispatch can't fool
+    # the timer.
     float(screen(x, sizes))
 
-    iters = 3
+    iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         float(screen(x, sizes))

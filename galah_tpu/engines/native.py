@@ -47,6 +47,41 @@ from galah_tpu.sketch.fracminhash import (
 logger = logging.getLogger(__name__)
 
 
+class _DictStore:
+    """In-memory sketch store (default mode)."""
+
+    def __init__(self) -> None:
+        self._d: Dict[str, NativeSketch] = {}
+
+    def put(self, key: str, sketch: NativeSketch) -> None:
+        self._d[key] = sketch
+
+    def get(self, key: str):
+        return self._d.get(key)
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._d
+
+
+class _LazySketchList:
+    """List-like view over a sketch store: items load on access, so the
+    screen/verify stages never hold every sketch in RAM at once."""
+
+    def __init__(self, store, keys: List[str]) -> None:
+        self._store = store
+        self._keys = keys
+
+    def __len__(self) -> int:
+        return len(self._keys)
+
+    def __getitem__(self, i: int) -> NativeSketch:
+        return self._store.get(self._keys[i])
+
+    def __iter__(self):
+        for k in self._keys:
+            yield self._store.get(k)
+
+
 class NativeContext:
     """Shared state for the native engine: sketch params, sketch store,
     and the device-side fragment-ANI engine."""
@@ -67,7 +102,22 @@ class NativeContext:
             self.params = NativeSketchParams(fragment_length=fragment_length)
         self.threads = max(1, threads)
         self.low_memory = low_memory
-        self._store: Dict[str, NativeSketch] = {}
+        if low_memory:
+            # Disk-backed sketch store with an LRU working set — the
+            # low-memory analog of skani sketch-then-search
+            # (src/skani.rs:229-377).
+            import tempfile
+
+            from galah_tpu.sketch.store import DiskSketchStore
+
+            self._spill_dir = tempfile.TemporaryDirectory(
+                prefix="galah-tpu-sketches-"
+            )
+            self._store = DiskSketchStore(
+                self._spill_dir.name, self.params, max_resident=64
+            )
+        else:
+            self._store = _DictStore()
         self._contig_store: Dict[str, List[NativeSketch]] = {}
         self.frag_engine = FragmentAniEngine(
             FragmentAniConfig(
@@ -76,22 +126,16 @@ class NativeContext:
                 min_fragment_hashes=self.params.min_fragment_hashes,
             )
         )
-        self._key_counter = 0
-        self._keys: Dict[int, int] = {}  # id(sketch) -> stable small int
-
-    def key_for(self, sketch: NativeSketch) -> int:
-        k = self._keys.get(id(sketch))
-        if k is None:
-            k = self._key_counter
-            self._key_counter += 1
-            self._keys[id(sketch)] = k
-        return k
+    def key_for(self, sketch: NativeSketch) -> str:
+        # Keyed by unit name (path or contig name) so device-side caches
+        # survive sketch reloads in low-memory mode.
+        return sketch.name
 
     def sketch(self, path: str) -> NativeSketch:
         sk = self._store.get(path)
         if sk is None:
             sk = sketch_file_native(path, self.params)
-            self._store[path] = sk
+            self._store.put(path, sk)
         return sk
 
     def sketch_many(self, paths: Sequence[str]) -> List[NativeSketch]:
@@ -104,12 +148,14 @@ class NativeContext:
                         missing,
                         ex.map(lambda p: sketch_file_native(p, self.params), missing),
                     ):
-                        self._store[p] = sk
+                        self._store.put(p, sk)
             else:
                 for p in missing:
-                    self._store[p] = sketch_file_native(p, self.params)
+                    self._store.put(p, sketch_file_native(p, self.params))
             logger.info("Finished sketching genomes")
-        return [self._store[p] for p in paths]
+        if self.low_memory:
+            return _LazySketchList(self._store, list(paths))
+        return [self._store.get(p) for p in paths]
 
     def sketch_contigs(self, paths: Sequence[str]) -> List[NativeSketch]:
         """One sketch per contig, across files, in file order (the unit
@@ -123,6 +169,20 @@ class NativeContext:
                 self._contig_store[path] = sketch_contigs_native(path, self.params)
             out.extend(self._contig_store[path])
         return out
+
+
+class _LazyIndicatorRows:
+    """Indicator rows materialized on access (they're 8x larger than the
+    underlying bucket lists, so never hold them all)."""
+
+    def __init__(self, sketches) -> None:
+        self._sketches = sketches
+
+    def __len__(self) -> int:
+        return len(self._sketches)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        return self._sketches[i].prefilter_indicator()
 
 
 def _screen_min_containment(
@@ -273,7 +333,7 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
         min_cont = _screen_min_containment(
             self.threshold, self.min_aligned_threshold, k
         )
-        if jax.device_count() > 1 and n <= 32768:
+        if jax.device_count() > 1 and n <= 32768 and not self.ctx.low_memory:
             # Mesh-sharded sweep: rows data-parallel across devices,
             # XLA inserts the all-gather of the contracted side.
             from galah_tpu.parallel.distance import sharded_screen_triangle
@@ -286,10 +346,11 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
             )
         else:
             res = screen_triangle(
-                [s.prefilter_indicator() for s in sketches],
+                _LazyIndicatorRows(sketches),
                 np.asarray([s.n_prefilter for s in sketches]),
                 k,
                 min_cont,
+                cache_blocks=not self.ctx.low_memory,
             )
         logger.info("Screen produced %d candidate pairs", len(res.pairs))
         if len(res.pairs) == 0:

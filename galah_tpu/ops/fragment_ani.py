@@ -45,6 +45,10 @@ class FragmentAniConfig:
     min_fragment_hashes: int = 8
     min_fragment_identity: float = defaults.NATIVE_FRAGMENT_MIN_IDENTITY
     max_refs_per_dispatch: int = 16
+    # LRU bounds on device-side per-genome caches (bitmaps are
+    # member_bits/8 bytes each; query streams scale with genome size).
+    max_cached_bitmaps: int = 512
+    max_cached_queries: int = 128
 
 
 def _round_up(x: int, m: int) -> int:
@@ -142,24 +146,36 @@ class FragmentAniEngine:
     times (src/clusterer.rs:182-259 re-pairs reps repeatedly)."""
 
     def __init__(self, cfg: FragmentAniConfig) -> None:
+        from collections import OrderedDict
+
         self.cfg = cfg
-        self._bitmap_cache: Dict[int, Tuple[jax.Array, float]] = {}
-        self._query_cache: Dict[int, Tuple] = {}
+        self._bitmap_cache: "OrderedDict[object, Tuple[jax.Array, float]]" = (
+            OrderedDict()
+        )
+        self._query_cache: "OrderedDict[object, Tuple]" = OrderedDict()
 
     def clear(self) -> None:
         self._bitmap_cache.clear()
         self._query_cache.clear()
 
-    def _bitmap(self, key: int, sk: NativeSketch) -> Tuple[jax.Array, float]:
-        if key not in self._bitmap_cache:
+    def _bitmap(self, key, sk: NativeSketch) -> Tuple[jax.Array, float]:
+        if key in self._bitmap_cache:
+            self._bitmap_cache.move_to_end(key)
+        else:
             self._bitmap_cache[key] = (
                 jnp.asarray(sk.member_bitmap_words()),
                 float(sk.member_popcount),
             )
+            while len(self._bitmap_cache) > self.cfg.max_cached_bitmaps:
+                self._bitmap_cache.popitem(last=False)
         return self._bitmap_cache[key]
 
-    def _query_arrays(self, key: int, sk: NativeSketch):
-        if key not in self._query_cache:
+    def _query_arrays(self, key, sk: NativeSketch):
+        if key in self._query_cache:
+            self._query_cache.move_to_end(key)
+        else:
+            while len(self._query_cache) >= self.cfg.max_cached_queries:
+                self._query_cache.popitem(last=False)
             n = len(sk.frag_buckets)
             f = sk.n_fragments
             npad = _round_up(n, 1 << 14)

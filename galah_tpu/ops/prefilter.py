@@ -85,11 +85,15 @@ def screen_triangle(
     k: int,
     min_containment: float,
     block: int = 1024,
+    cache_blocks: bool = True,
 ) -> ScreenResult:
     """Lower-triangle all-vs-all screen over one genome set.
 
-    indicators: per-genome (B,) uint8 0/1 rows (built on demand per
-    block to bound host memory); sizes: true distinct-bucket counts.
+    indicators: list-like of per-genome (B,) uint8 0/1 rows; may be a
+    lazy view (low-memory mode) — rows are materialized per block.
+    cache_blocks keeps every device block resident (n*B total on
+    device); low-memory mode sets it False so only the current row
+    block is cached and column blocks stream.
     """
     n = len(indicators)
     bits = len(indicators[0]) if n else 0
@@ -103,18 +107,26 @@ def screen_triangle(
     nblocks = math.ceil(n / block)
     dev_blocks = {}
 
+    def make_block(bi: int) -> jax.Array:
+        lo, hi = bi * block, min((bi + 1) * block, n)
+        mat = np.stack([indicators[t] for t in range(lo, hi)])
+        return _to_device_block(mat)
+
     def get_block(bi: int) -> jax.Array:
         if bi not in dev_blocks:
-            lo, hi = bi * block, min((bi + 1) * block, n)
-            mat = np.stack([indicators[t] for t in range(lo, hi)])
-            dev_blocks[bi] = _to_device_block(mat)
+            dev_blocks[bi] = make_block(bi)
         return dev_blocks[bi]
 
     for bi in range(nblocks):
-        si = get_block(bi)
+        si = get_block(bi) if cache_blocks else make_block(bi)
         ai = jnp.asarray(sizes_f[bi * block : bi * block + si.shape[0]])
         for bj in range(bi, nblocks):
-            sj = get_block(bj)
+            if bj == bi:
+                sj = si
+            elif cache_blocks:
+                sj = get_block(bj)
+            else:
+                sj = make_block(bj)
             aj = jnp.asarray(sizes_f[bj * block : bj * block + sj.shape[0]])
             counts = _block_counts(si, sj, bits)
             cont = np.array(_containment(counts, ai, aj, float(bits)))
@@ -128,9 +140,6 @@ def screen_triangle(
                 anis.append(
                     (cont[hit[:, 0], hit[:, 1]] ** inv_k * 100.0).astype(np.float32)
                 )
-        # Row block no longer needed once its row sweep is done
-        if bi in dev_blocks and bi not in range(bi + 1, nblocks):
-            pass
     dev_blocks.clear()
 
     if pairs:

@@ -1,0 +1,141 @@
+"""Persistable sketch store.
+
+The reference's only between-phase artifacts are skani's on-disk sketch
+DB in low-memory mode (src/skani.rs:265-290) and the precomputed-input
+bypasses (SURVEY §5). Here sketches and sparse distance caches are
+first-class persistable artifacts: natural checkpoints between the
+sketch -> screen -> verify -> cluster phases, and the backing for
+low-memory runs (sketches spill to disk, an LRU keeps the working set
+in RAM).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from collections import OrderedDict
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from galah_tpu.cluster.cache import SortedPairDistanceCache
+from galah_tpu.sketch.fracminhash import NativeSketch, NativeSketchParams
+
+logger = logging.getLogger(__name__)
+
+_PARAM_FIELDS = (
+    "k",
+    "genome_scale",
+    "fragment_scale",
+    "fragment_length",
+    "prefilter_bits",
+    "member_bits",
+    "min_fragment_hashes",
+    "min_fragment_length",
+)
+
+
+def save_sketch(sketch: NativeSketch, path: str) -> None:
+    meta = {f: getattr(sketch.params, f) for f in _PARAM_FIELDS}
+    np.savez_compressed(
+        path,
+        name=np.array(sketch.name),
+        total_len=np.int64(sketch.total_len),
+        prefilter_buckets=sketch.prefilter_buckets,
+        frag_buckets=sketch.frag_buckets,
+        frag_offsets=sketch.frag_offsets,
+        member_buckets=sketch.member_buckets,
+        params_json=np.array(json.dumps(meta)),
+    )
+
+
+def load_sketch(path: str) -> NativeSketch:
+    with np.load(path, allow_pickle=False) as z:
+        params = NativeSketchParams(**json.loads(str(z["params_json"])))
+        return NativeSketch(
+            name=str(z["name"]),
+            total_len=int(z["total_len"]),
+            prefilter_buckets=z["prefilter_buckets"],
+            frag_buckets=z["frag_buckets"],
+            frag_offsets=z["frag_offsets"],
+            member_buckets=z["member_buckets"],
+            params=params,
+        )
+
+
+class DiskSketchStore:
+    """Disk-backed sketch store with an LRU in-memory working set —
+    the low-memory analog of skani's sketch-then-search database
+    (src/skani.rs:229-377)."""
+
+    def __init__(self, directory: str, params: NativeSketchParams,
+                 max_resident: int = 256) -> None:
+        self.directory = directory
+        self.params = params
+        self.max_resident = max_resident
+        os.makedirs(directory, exist_ok=True)
+        self._resident: "OrderedDict[str, NativeSketch]" = OrderedDict()
+        self._on_disk: Dict[str, str] = {}
+        self._counter = 0
+
+    def _disk_path(self, key: str) -> str:
+        p = self._on_disk.get(key)
+        if p is None:
+            p = os.path.join(self.directory, f"sketch_{self._counter}.npz")
+            self._counter += 1
+            self._on_disk[key] = p
+        return p
+
+    def put(self, key: str, sketch: NativeSketch) -> None:
+        save_sketch(sketch, self._disk_path(key))
+        self._resident[key] = sketch
+        self._resident.move_to_end(key)
+        self._evict()
+
+    def get(self, key: str) -> Optional[NativeSketch]:
+        sk = self._resident.get(key)
+        if sk is not None:
+            self._resident.move_to_end(key)
+            return sk
+        p = self._on_disk.get(key)
+        if p is None:
+            return None
+        sk = load_sketch(p)
+        self._resident[key] = sk
+        self._evict()
+        return sk
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._on_disk
+
+    def _evict(self) -> None:
+        while len(self._resident) > self.max_resident:
+            self._resident.popitem(last=False)
+
+
+def save_distance_cache(
+    cache: SortedPairDistanceCache, path: str, names=None
+) -> None:
+    """Persist the sparse above-threshold pair list (the phase-2
+    artifact; pairs whose value is None are kept distinct)."""
+    items = list(cache.items())
+    ii = np.array([k[0] for k, _ in items], dtype=np.int64)
+    jj = np.array([k[1] for k, _ in items], dtype=np.int64)
+    vals = np.array(
+        [v if v is not None else np.nan for _, v in items], dtype=np.float64
+    )
+    has_val = np.array([v is not None for _, v in items], dtype=bool)
+    kwargs = dict(i=ii, j=jj, values=vals, has_value=has_val)
+    if names is not None:
+        kwargs["names"] = np.array(list(names))
+    np.savez_compressed(path, **kwargs)
+
+
+def load_distance_cache(path: str) -> Tuple[SortedPairDistanceCache, Optional[list]]:
+    cache = SortedPairDistanceCache()
+    with np.load(path, allow_pickle=False) as z:
+        for i, j, v, hv in zip(z["i"], z["j"], z["values"], z["has_value"]):
+            cache.insert((int(i), int(j)), float(v) if hv else None)
+        names = [str(n) for n in z["names"]] if "names" in z else None
+    return cache, names
