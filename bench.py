@@ -36,18 +36,24 @@ def main() -> None:
 
     # Workload: 8192 genome sketches, 2^17-bit indicators (~10% load at
     # the default scale for ~3Mb genomes) -> 33.5M pairs per sweep.
+    # Synthetic sketches are generated ON DEVICE: the tunneled test rig
+    # has very low host<->device bandwidth, and the screen's production
+    # input (sketches) is tiny compared to the indicator matrix anyway.
     N = 8192
     B = 1 << 17
     K = 15
 
-    rng = np.random.default_rng(0)
-    x_np = (rng.random((N, B)) < 0.1).astype(np.float32)
-    sizes_np = x_np.sum(axis=1).astype(np.float32)
-
     on_tpu = jax.default_backend() not in ("cpu",)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    x = jnp.asarray(x_np, dtype=dtype)
-    sizes = jnp.asarray(sizes_np)
+
+    @jax.jit
+    def make_inputs(key):
+        x = jax.random.bernoulli(key, 0.1, (N, B)).astype(dtype)
+        sizes = jnp.sum(x.astype(jnp.float32), axis=1)
+        return x, sizes
+
+    x, sizes = make_inputs(jax.random.PRNGKey(0))
+    x.block_until_ready()
 
     @jax.jit
     def screen(xs, sz):

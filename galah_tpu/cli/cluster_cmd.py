@@ -99,10 +99,15 @@ def add_cluster_arguments(sub: argparse.ArgumentParser) -> None:
                         help="Copy representative genomes into this directory")
     output.add_argument("--output-representative-list", metavar="PATH",
                         help="Print newline-separated list of paths to representatives into this file")
+    output.add_argument("--metrics-json", metavar="PATH",
+                        help="Write phase timings and throughput counters as JSON")
 
 
 def run_cluster(args: argparse.Namespace) -> None:
     set_log_level(args)
+    from galah_tpu.utils import metrics
+
+    run_metrics = metrics.reset()
     genome_fasta_files = parse_list_of_genome_fasta_files(args)
     cluster_contigs = args.cluster_contigs
 
@@ -186,6 +191,9 @@ def run_cluster(args: argparse.Namespace) -> None:
     logger.info("Found %d genome clusters", len(clusters))
 
     write_galah_outputs(outputs, clusters, galah["genome_fasta_paths"], contig_names)
+    if getattr(args, "metrics_json", None):
+        run_metrics.count("clusters", len(clusters))
+        run_metrics.dump_json(args.metrics_json)
     logger.info("Finished printing genome clusters")
 
 

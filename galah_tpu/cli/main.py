@@ -43,31 +43,51 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    import os
+
+    platform = os.environ.get("GALAH_TPU_PLATFORM")
+    if platform:
+        # jax.config wins over JAX_PLATFORMS in environments whose
+        # sitecustomize pins a platform, so honor our own env var early.
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
     parser = build_parser()
     args = parser.parse_args(argv)
     if args.subcommand is None:
         parser.print_help()
         return 2
 
-    if args.subcommand == "cluster":
-        from galah_tpu.cli.cluster_cmd import run_cluster
+    try:
+        if args.subcommand == "cluster":
+            from galah_tpu.cli.cluster_cmd import run_cluster
 
-        run_cluster(args)
-    elif args.subcommand == "cluster-validate":
-        from galah_tpu.cli.validate_cmd import run_validate
+            run_cluster(args)
+        elif args.subcommand == "cluster-validate":
+            from galah_tpu.cli.validate_cmd import run_validate
 
-        run_validate(args)
-    elif args.subcommand == "analyse":
-        from galah_tpu.cli.analyse_cmd import run_analyse
+            run_validate(args)
+        elif args.subcommand == "analyse":
+            from galah_tpu.cli.analyse_cmd import run_analyse
 
-        run_analyse(args)
-    elif args.subcommand == "process":
-        from galah_tpu.cli.process_cmd import run_process
+            run_analyse(args)
+        elif args.subcommand == "process":
+            from galah_tpu.cli.process_cmd import run_process
 
-        run_process(args)
-    else:
-        parser.print_help()
-        return 2
+            run_process(args)
+        else:
+            parser.print_help()
+            return 2
+    except (OSError, KeyError, ValueError, RuntimeError) as e:
+        # Clean one-line errors for user-facing failures (missing files,
+        # missing quality entries, backend errors); full traceback with
+        # GALAH_TPU_DEBUG=1.
+        if os.environ.get("GALAH_TPU_DEBUG"):
+            raise
+        msg = e.args[0] if e.args else str(e)
+        print(f"Error: {msg}", file=sys.stderr)
+        return 1
     return 0
 
 

@@ -43,6 +43,7 @@ from galah_tpu.sketch.fracminhash import (
     sketch_sequences_native,
     small_genome_params,
 )
+from galah_tpu.utils import metrics
 
 logger = logging.getLogger(__name__)
 
@@ -126,6 +127,7 @@ class NativeContext:
                 min_fragment_hashes=self.params.min_fragment_hashes,
             )
         )
+
     def key_for(self, sketch: NativeSketch) -> str:
         # Keyed by unit name (path or contig name) so device-side caches
         # survive sketch reloads in low-memory mode.
@@ -142,16 +144,21 @@ class NativeContext:
         missing = [p for p in dict.fromkeys(paths) if p not in self._store]
         if missing:
             logger.info("Sketching %d genomes ..", len(missing))
-            if self.threads > 1 and len(missing) > 1:
-                with ThreadPoolExecutor(max_workers=self.threads) as ex:
-                    for p, sk in zip(
-                        missing,
-                        ex.map(lambda p: sketch_file_native(p, self.params), missing),
-                    ):
-                        self._store.put(p, sk)
-            else:
-                for p in missing:
-                    self._store.put(p, sketch_file_native(p, self.params))
+            with metrics.current().phase("sketch"):
+                if self.threads > 1 and len(missing) > 1:
+                    with ThreadPoolExecutor(max_workers=self.threads) as ex:
+                        for p, sk in zip(
+                            missing,
+                            ex.map(
+                                lambda p: sketch_file_native(p, self.params),
+                                missing,
+                            ),
+                        ):
+                            self._store.put(p, sk)
+                else:
+                    for p in missing:
+                        self._store.put(p, sketch_file_native(p, self.params))
+            metrics.current().count("genomes_sketched", len(missing))
             logger.info("Finished sketching genomes")
         if self.low_memory:
             return _LazySketchList(self._store, list(paths))
@@ -225,6 +232,9 @@ class _VerifyMixin:
         groups = _group_pairs_by_query(pairs)
         total = len(pairs)
         done = 0
+        import time as _time
+
+        _t0 = _time.perf_counter()
         for q, refs in groups.items():
             res = ctx.frag_engine.pair_ani(
                 sketches[q],
@@ -236,6 +246,11 @@ class _VerifyMixin:
                 if max(af_f, af_r) >= min_af and ani >= threshold_pct:
                     cache.insert((q, r), float(np.float32(ani)))
             done += len(refs)
+        _dt = _time.perf_counter() - _t0
+        m = metrics.current()
+        m.phases["verify"] = m.phases.get("verify", 0.0) + _dt
+        if total:
+            m.rate("verify_pairs_per_s", total, _dt)
         logger.info(
             "Verified %d candidate pairs; %d passed ANI>=%.4g with AF>=%.3g",
             total,
@@ -333,6 +348,9 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
         min_cont = _screen_min_containment(
             self.threshold, self.min_aligned_threshold, k
         )
+        import time as _time
+
+        _t0 = _time.perf_counter()
         if jax.device_count() > 1 and n <= 32768 and not self.ctx.low_memory:
             # Mesh-sharded sweep: rows data-parallel across devices,
             # XLA inserts the all-gather of the contracted side.
@@ -352,6 +370,10 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
                 min_cont,
                 cache_blocks=not self.ctx.low_memory,
             )
+        _dt = _time.perf_counter() - _t0
+        m = metrics.current()
+        m.phases["screen"] = m.phases.get("screen", 0.0) + _dt
+        m.rate("screen_pairs_per_s", n * (n - 1) / 2, _dt)
         logger.info("Screen produced %d candidate pairs", len(res.pairs))
         if len(res.pairs) == 0:
             return SortedPairDistanceCache()

@@ -216,15 +216,17 @@ def test_skip_clusterer_uses_final_ani_for_precluster(tmp_path):
     )
 
 
-def test_low_ani_rejected():
-    # tests/test_cmdline.rs:418-441: ANI < 85 is refused.
-    with pytest.raises((SystemExit, ValueError), match="85"):
-        run_cli([
-            "cluster",
-            "--genome-fasta-files", data("set1/500kb.fna"), data("set1/1mbp.fna"),
-            "--precluster-ani", "80", "--ani", "80",
-            "--output-cluster-definition", "/dev/null",
-        ])
+def test_low_ani_rejected(capsys):
+    # tests/test_cmdline.rs:418-441: ANI < 85 is refused (clean error,
+    # nonzero exit).
+    rc = run_cli([
+        "cluster",
+        "--genome-fasta-files", data("set1/500kb.fna"), data("set1/1mbp.fna"),
+        "--precluster-ani", "80", "--ani", "80",
+        "--output-cluster-definition", "/dev/null",
+    ])
+    assert rc == 1
+    assert "85" in capsys.readouterr().err
 
 
 def test_github7_aligned_fraction_from_fragment_counts(tmp_path):
