@@ -1,0 +1,67 @@
+"""Synthetic genome generation with known ground-truth ANI.
+
+Used by correctness-at-scale tests and benchmarks: random base genomes
+plus per-family mutated copies at controlled substitution rates, so the
+expected clustering is known exactly."""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def random_genome(rng: np.random.Generator, length: int) -> np.ndarray:
+    return _BASES[rng.integers(0, 4, size=length)]
+
+
+def mutate(
+    rng: np.random.Generator, genome: np.ndarray, ani: float
+) -> np.ndarray:
+    """Point-substitute bases at rate (1 - ani)."""
+    out = genome.copy()
+    n_mut = rng.binomial(len(genome), 1.0 - ani)
+    pos = rng.choice(len(genome), size=n_mut, replace=False)
+    # substitute with a *different* base
+    shift = rng.integers(1, 4, size=n_mut).astype(np.uint8)
+    code = np.searchsorted(_BASES, out[pos])
+    out[pos] = _BASES[(code + shift) % 4]
+    return out
+
+
+def write_fasta(path: str, seq: np.ndarray, name: str, width: int = 80) -> None:
+    with open(path, "w") as f:
+        f.write(f">{name}\n")
+        b = seq.tobytes()
+        for i in range(0, len(b), width):
+            f.write(b[i : i + width].decode("ascii"))
+            f.write("\n")
+
+
+def make_families(
+    directory: str,
+    n_families: int,
+    members_per_family: int,
+    genome_length: int = 200_000,
+    within_ani: float = 0.98,
+    seed: int = 0,
+) -> Tuple[List[str], List[int]]:
+    """Generate families of related genomes. Returns (paths,
+    family_id_per_path). Unrelated families are random sequences (ANI
+    effectively ~25% k-mer-wise: no sharing)."""
+    os.makedirs(directory, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    paths: List[str] = []
+    family_ids: List[int] = []
+    for fam in range(n_families):
+        base = random_genome(rng, genome_length)
+        for m in range(members_per_family):
+            seq = base if m == 0 else mutate(rng, base, within_ani)
+            p = os.path.join(directory, f"fam{fam}_m{m}.fna")
+            write_fasta(p, seq, f"fam{fam}_m{m}")
+            paths.append(p)
+            family_ids.append(fam)
+    return paths, family_ids
