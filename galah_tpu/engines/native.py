@@ -192,6 +192,15 @@ class _LazyIndicatorRows:
         return self._sketches[i].prefilter_indicator()
 
 
+def _screen_backend() -> str:
+    """'matmul' (default; MXU indicator matmul) or 'popcount' (Pallas
+    packed-bitmap kernel; prefer for very large corpora or bandwidth-
+    constrained hosts). Env: GALAH_TPU_SCREEN."""
+    import os
+
+    return os.environ.get("GALAH_TPU_SCREEN", "matmul")
+
+
 def _screen_min_containment(
     ani_threshold_pct: float, min_af: float, k: int
 ) -> float:
@@ -361,6 +370,22 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
                 np.asarray([s.n_prefilter for s in sketches]),
                 k,
                 min_cont,
+            )
+        elif _screen_backend() == "popcount":
+            # Pallas packed-bitmap kernel: 32x smaller device residency
+            # and host->device transfer than bf16 indicators.
+            from galah_tpu.ops.popcount_screen import (
+                pack_indicator,
+                screen_triangle_popcount,
+            )
+
+            bits = self.ctx.params.prefilter_bits
+            res = screen_triangle_popcount(
+                [pack_indicator(s.prefilter_buckets, bits) for s in sketches],
+                np.asarray([s.n_prefilter for s in sketches]),
+                k,
+                min_cont,
+                bits,
             )
         else:
             res = screen_triangle(

@@ -53,22 +53,22 @@ def _popcount_kernel(xi_ref, xj_ref, out_ref, *, chunk: int):
     w = xi_ref.shape[1]
     nchunks = w // chunk
 
-    def chunk_body(c, acc):
-        lo = pl.multiple_of(c * chunk, chunk)
-        xj = xj_ref[:, pl.ds(lo, chunk)]  # (TILE_J, CHUNK)
-
-        def row_body(i, acc_inner):
+    def row_body(i, carry):
+        def chunk_body(c, acc):
+            lo = pl.multiple_of(c * chunk, chunk)
             row = xi_ref[pl.ds(i, 1), pl.ds(lo, chunk)]  # (1, CHUNK)
+            xj = xj_ref[:, pl.ds(lo, chunk)]  # (TILE_J, CHUNK)
             both = row & xj
             pc = jax.lax.population_count(both).astype(jnp.int32)
-            s = jnp.sum(pc, axis=1)  # (TILE_J,)
-            return acc_inner.at[i].add(s)
+            return acc + jnp.sum(pc, axis=1)[None, :]  # (1, TILE_J)
 
-        return jax.lax.fori_loop(0, TILE_I, row_body, acc)
+        acc = jax.lax.fori_loop(
+            0, nchunks, chunk_body, jnp.zeros((1, TILE_J), jnp.int32)
+        )
+        out_ref[pl.ds(i, 1), :] = acc
+        return carry
 
-    out_ref[:, :] = jax.lax.fori_loop(
-        0, nchunks, chunk_body, jnp.zeros((TILE_I, TILE_J), jnp.int32)
-    )
+    jax.lax.fori_loop(0, TILE_I, row_body, 0)
 
 
 @partial(jax.jit, static_argnames=("interpret",))

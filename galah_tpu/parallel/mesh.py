@@ -17,6 +17,27 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize jax.distributed for multi-host pod slices. On Cloud
+    TPU pods arguments are auto-detected from the environment; pass
+    them explicitly elsewhere. Call once per process before any other
+    JAX operation; `make_mesh()` then sees every host's devices."""
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(
     devices: Optional[Sequence] = None,
     bucket_axis: int = 1,
