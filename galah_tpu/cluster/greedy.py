@@ -23,7 +23,7 @@ Differences by design (TPU-first):
 from __future__ import annotations
 
 import logging
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 from typing import TYPE_CHECKING
 

@@ -33,14 +33,12 @@ import numpy as np
 from galah_tpu import defaults
 from galah_tpu.cluster.cache import SortedPairDistanceCache
 from galah_tpu.engines.base import ClusterDistanceFinder, PreclusterDistanceFinder
-from galah_tpu.io.fasta import read_fasta
 from galah_tpu.ops.fragment_ani import FragmentAniConfig, FragmentAniEngine
 from galah_tpu.ops.prefilter import screen_rectangle, screen_triangle
 from galah_tpu.sketch.fracminhash import (
     NativeSketch,
     NativeSketchParams,
     sketch_file_native,
-    sketch_sequences_native,
     small_genome_params,
 )
 from galah_tpu.utils import metrics

@@ -15,7 +15,6 @@ extension.
 from __future__ import annotations
 
 import gzip
-import io as _io
 from dataclasses import dataclass
 from typing import Iterator, List
 

@@ -18,7 +18,7 @@ import logging
 import math
 from dataclasses import dataclass
 from functools import partial
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import numpy as np
 

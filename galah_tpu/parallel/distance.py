@@ -16,9 +16,8 @@ invariant the tests pin (same clusters.tsv for any mesh size).
 from __future__ import annotations
 
 import logging
-import math
 from functools import partial
-from typing import List, Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

@@ -7,7 +7,7 @@ expected clustering is known exactly."""
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
