@@ -233,11 +233,19 @@ def generate_galah_clusterer(
         if native_ctx is None:
             from galah_tpu.engines.native import NativeContext
 
+            # Approximate the largest genome from file sizes (gz files
+            # under-estimate, which only keeps bitmaps at their default
+            # larger width) so bitmap widths fit the dataset.
+            try:
+                max_len = max(os.path.getsize(p) for p in v2) if v2 else None
+            except OSError:
+                max_len = None
             native_ctx = NativeContext(
                 small_genomes=small_genomes,
                 fragment_length=args.fragment_length,
                 threads=args.threads,
                 low_memory=args.low_memory,
+                max_genome_length=max_len,
             )
         return native_ctx
 

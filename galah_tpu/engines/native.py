@@ -81,6 +81,28 @@ class _LazySketchList:
             yield self._store.get(k)
 
 
+def _shrink_bits(
+    params: NativeSketchParams, max_genome_length: int
+) -> NativeSketchParams:
+    """Shrink bitmap widths when the dataset's genomes are small: target
+    ~16x the expected sketch size (~6% load factor), never growing past
+    the defaults. Cuts device residency and host<->device transfer
+    without affecting decisions (collisions are corrected for)."""
+    import dataclasses
+
+    def pick(target_hashes: int, default_bits: int, floor_bits: int) -> int:
+        bits = 1 << max(int(target_hashes * 16 - 1).bit_length(), floor_bits)
+        return min(bits, default_bits)
+
+    member = pick(
+        max_genome_length // params.fragment_scale + 1, params.member_bits, 17
+    )
+    pref = pick(
+        max_genome_length // params.genome_scale + 1, params.prefilter_bits, 13
+    )
+    return dataclasses.replace(params, member_bits=member, prefilter_bits=pref)
+
+
 class NativeContext:
     """Shared state for the native engine: sketch params, sketch store,
     and the device-side fragment-ANI engine."""
@@ -92,6 +114,7 @@ class NativeContext:
         threads: int = 4,
         low_memory: bool = False,
         params: Optional[NativeSketchParams] = None,
+        max_genome_length: Optional[int] = None,
     ) -> None:
         if params is not None:
             self.params = params
@@ -99,6 +122,8 @@ class NativeContext:
             self.params = small_genome_params()
         else:
             self.params = NativeSketchParams(fragment_length=fragment_length)
+            if max_genome_length:
+                self.params = _shrink_bits(self.params, max_genome_length)
         self.threads = max(1, threads)
         self.low_memory = low_memory
         if low_memory:
@@ -236,23 +261,28 @@ class _VerifyMixin:
     ) -> SortedPairDistanceCache:
         ctx = self.ctx
         cache = SortedPairDistanceCache()
-        groups = _group_pairs_by_query(pairs)
         total = len(pairs)
-        done = 0
         import time as _time
 
         _t0 = _time.perf_counter()
-        for q, refs in groups.items():
-            res = ctx.frag_engine.pair_ani(
-                sketches[q],
-                ctx.key_for(sketches[q]),
-                [sketches[r] for r in refs],
-                [ctx.key_for(sketches[r]) for r in refs],
-            )
-            for r, (ani, af_f, af_r) in zip(refs, res):
-                if max(af_f, af_r) >= min_af and ani >= threshold_pct:
-                    cache.insert((q, r), float(np.float32(ani)))
-            done += len(refs)
+        # One global bidirectional batch: both directions grouped by
+        # source genome so every fragment stream/bitmap hits the device
+        # exactly once.
+        sketches_by_key = {}
+        key_pairs = []
+        idx_by_key_pair = {}
+        for i, j in pairs:
+            i, j = int(i), int(j)
+            ki, kj = ctx.key_for(sketches[i]), ctx.key_for(sketches[j])
+            sketches_by_key[ki] = sketches[i]
+            sketches_by_key[kj] = sketches[j]
+            key_pairs.append((ki, kj))
+            idx_by_key_pair[(ki, kj)] = (i, j)
+        res = ctx.frag_engine.bidirectional(key_pairs, sketches_by_key)
+        for kp, (ani, af_f, af_r) in res.items():
+            i, j = idx_by_key_pair[kp]
+            if max(af_f, af_r) >= min_af and ani >= threshold_pct:
+                cache.insert((i, j), float(np.float32(ani)))
         _dt = _time.perf_counter() - _t0
         m = metrics.current()
         m.phases["verify"] = m.phases.get("verify", 0.0) + _dt
@@ -441,25 +471,20 @@ class NativeClusterer(ClusterDistanceFinder):
         if not pairs:
             return []
         ctx = self.ctx
-        results: Dict[int, Optional[float]] = {}
-        # group consecutive runs sharing pair[1]
-        from collections import defaultdict
-
-        groups: Dict[str, List[Tuple[int, str]]] = defaultdict(list)
-        for idx, (ref, query) in enumerate(pairs):
-            groups[query].append((idx, ref))
-        for query, members in groups.items():
-            qs = ctx.sketch(query)
-            refs = [ctx.sketch(ref) for _, ref in members]
-            res = ctx.frag_engine.pair_ani(
-                qs,
-                ctx.key_for(qs),
-                refs,
-                [ctx.key_for(r) for r in refs],
-            )
-            for (idx, _), (ani, af_f, af_r) in zip(members, res):
-                if max(af_f, af_r) >= self.min_aligned_threshold:
-                    results[idx] = float(np.float32(ani))
-                else:
-                    results[idx] = self.af_fail_result
-        return [results[i] for i in range(len(pairs))]
+        sketches_by_key = {}
+        key_pairs = []
+        for ref, query in pairs:
+            rs, qs = ctx.sketch(ref), ctx.sketch(query)
+            kr, kq = ctx.key_for(rs), ctx.key_for(qs)
+            sketches_by_key[kr] = rs
+            sketches_by_key[kq] = qs
+            key_pairs.append((kq, kr))
+        res = ctx.frag_engine.bidirectional(key_pairs, sketches_by_key)
+        out: List[Optional[float]] = []
+        for kp in key_pairs:
+            ani, af_f, af_r = res[kp]
+            if max(af_f, af_r) >= self.min_aligned_threshold:
+                out.append(float(np.float32(ani)))
+            else:
+                out.append(self.af_fail_result)
+        return out

@@ -290,9 +290,9 @@ class FragmentAniEngine:
     def pair_ani(
         self,
         query: NativeSketch,
-        query_key: int,
+        query_key,
         refs: Sequence[NativeSketch],
-        ref_keys: Sequence[int],
+        ref_keys: Sequence,
     ) -> List[Tuple[float, float, float]]:
         """Bidirectional ANI for (query, ref) pairs sharing the query.
 
@@ -301,11 +301,44 @@ class FragmentAniEngine:
         """
         if not refs:
             return []
-        ani_f, af_f = self.one_to_many(query, query_key, refs, ref_keys)
-        ani_r, af_r = self.many_to_one(refs, ref_keys, query, query_key)
-        out = []
-        for i in range(len(refs)):
-            out.append(
-                (float(max(ani_f[i], ani_r[i])), float(af_f[i]), float(af_r[i]))
+        sketches_by_key = {query_key: query}
+        for k_, s in zip(ref_keys, refs):
+            sketches_by_key[k_] = s
+        res = self.bidirectional(
+            [(query_key, rk) for rk in ref_keys], sketches_by_key
+        )
+        return [res[(query_key, rk)] for rk in ref_keys]
+
+    def bidirectional(self, pairs, sketches_by_key):
+        """Bidirectional ANI over arbitrary key pairs.
+
+        Both directions run through the forward kernel, globally grouped
+        by source genome, so each genome's fragment stream and bitmap
+        upload to the device exactly once (LRU-cached) — the reverse
+        kernel's per-dispatch padded restacking was the dominant
+        host->device traffic.
+
+        Returns {(a, b): (ani_pct, af_a_dir, af_b_dir)}."""
+        from collections import defaultdict
+
+        directed = defaultdict(set)
+        for a, b in pairs:
+            directed[a].add(b)
+            directed[b].add(a)
+        fwd = {}
+        for src in sorted(directed):
+            targets = sorted(directed[src])
+            ani, af = self.one_to_many(
+                sketches_by_key[src],
+                src,
+                [sketches_by_key[t] for t in targets],
+                targets,
             )
+            for t, x, y in zip(targets, ani, af):
+                fwd[(src, t)] = (float(x), float(y))
+        out = {}
+        for a, b in pairs:
+            ani_f, af_f = fwd[(a, b)]
+            ani_r, af_r = fwd[(b, a)]
+            out[(a, b)] = (max(ani_f, ani_r), af_f, af_r)
         return out
