@@ -369,3 +369,56 @@ def test_genome_fasta_directory(tmp_path):
         f"{data('set1/1mbp.fna')}\t{data('set1/1mbp.fna')}\n"
         f"{data('set1/1mbp.fna')}\t{data('set1/500kb.fna')}\n"
     )
+
+
+def test_drep_quality_formula(tmp_path):
+    # dRep formula uses CheckM1 strain heterogeneity + 0.5*log10(N50)
+    # (src/cluster_argument_parsing.rs:1100-1137)
+    out = tmp_path / "clusters.tsv"
+    run_cli([
+        "cluster", "--quality-formula", "dRep",
+        "--genome-fasta-files", *ABISKO_TWO,
+        "--checkm-tab-table", data("abisko4/abisko4.csv"),
+        "--output-cluster-definition", str(out),
+    ])
+    assert read(out) == (
+        f"{ABISKO_TWO[0]}\t{ABISKO_TWO[0]}\n"
+        f"{ABISKO_TWO[0]}\t{ABISKO_TWO[1]}\n"
+    )
+
+
+def test_drep_requires_checkm1():
+    with pytest.raises(SystemExit):
+        run_cli([
+            "cluster", "--quality-formula", "dRep",
+            "--genome-fasta-files", data("set1/1mbp.fna"),
+            "--checkm2-quality-report", data("abisko4/abisko4_quality_report.tsv"),
+            "--output-cluster-definition", "/dev/null",
+        ])
+
+
+def test_drep_rejects_genome_info():
+    # src/cluster_argument_parsing.rs:903-910
+    with pytest.raises(SystemExit):
+        run_cli([
+            "cluster", "--quality-formula", "dRep",
+            "--genome-fasta-files", data("set1/1mbp.fna"), data("set1/500kb.fna"),
+            "--genome-info", data("set1/genomeInfo.csv"),
+            "--output-cluster-definition", "/dev/null",
+        ])
+
+
+def test_genome_info_quality_input(tmp_path):
+    # genomeInfo CSV drives ordering: 1mbp (100%) outranks 500kb (50%)
+    out = tmp_path / "clusters.tsv"
+    run_cli([
+        "cluster",
+        "--genome-fasta-files", data("set1/500kb.fna"), data("set1/1mbp.fna"),
+        "--genome-info", data("set1/genomeInfo.csv"),
+        "--quality-formula", "completeness-5contamination",
+        "--output-cluster-definition", str(out),
+    ])
+    assert read(out) == (
+        f"{data('set1/1mbp.fna')}\t{data('set1/1mbp.fna')}\n"
+        f"{data('set1/1mbp.fna')}\t{data('set1/500kb.fna')}\n"
+    )
