@@ -68,7 +68,6 @@ def main() -> int:
             "-t", str(args.threads),
             "--output-cluster-definition", clusters_tsv,
             "--metrics-json", metrics_json,
-            "-q",
         ])
         wall = time.perf_counter() - t0
         if rc != 0:

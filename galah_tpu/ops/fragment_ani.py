@@ -83,16 +83,30 @@ def _forward_kernel(
     bitmaps,      # (R, W) uint32
     popcounts,    # (R,) f32
     buckets,      # (N,) int32 (padded; invalid -> 0)
-    seg_ids,      # (N,) int32 (padded -> num_frags, an overflow segment)
-    valid,        # (N,) bool
-    M,            # (F,) int32
+    offsets,      # (F+1,) int32 fragment offsets, padded by repeating n
+    n,            # () int32 — true hash count
     num_frags: int,
     bits: int,
     k: int,
     min_hashes: int,
     min_ident: float,
 ):
-    """One query's fragments against R reference bitmaps."""
+    """One query's fragments against R reference bitmaps.
+
+    Segment ids, validity mask and per-fragment counts are derived on
+    device from the compact offsets array — the fragment stream upload
+    is just (buckets, offsets), halving host->device traffic."""
+    npad = buckets.shape[0]
+    idx = jnp.arange(npad, dtype=jnp.int32)
+    valid = idx < n
+    seg_ids = jnp.clip(
+        jnp.searchsorted(offsets, idx, side="right").astype(jnp.int32) - 1,
+        0,
+        num_frags,
+    )
+    seg_ids = jnp.where(valid, seg_ids, num_frags)
+    M = jnp.diff(offsets)
+
     word_idx = buckets >> 5
     bit_idx = (buckets & 31).astype(jnp.uint32)
     words = jnp.take(bitmaps, word_idx, axis=1)          # (R, N)
@@ -103,38 +117,6 @@ def _forward_kernel(
     )(bits_hit)[:, :num_frags]
     return _ani_af_from_counts(
         m, M[None, :], popcounts, float(bits), k, min_hashes, min_ident
-    )
-
-
-@partial(
-    jax.jit,
-    static_argnames=("num_frags", "bits", "k", "min_hashes", "min_ident"),
-)
-def _reverse_kernel(
-    bitmap,       # (W,) uint32 — the single query-side bitmap
-    popcount,     # f32 scalar
-    buckets,      # (R, N) int32
-    seg_ids,      # (R, N) int32
-    valid,        # (R, N) bool
-    M,            # (R, F) int32
-    num_frags: int,
-    bits: int,
-    k: int,
-    min_hashes: int,
-    min_ident: float,
-):
-    """R genomes' fragments against one bitmap."""
-    word_idx = buckets >> 5
-    bit_idx = (buckets & 31).astype(jnp.uint32)
-    words = jnp.take(bitmap, word_idx.reshape(-1)).reshape(word_idx.shape)
-    bits_hit = ((words >> bit_idx) & jnp.uint32(1)).astype(jnp.int32)
-    bits_hit = jnp.where(valid, bits_hit, 0)
-    m = jax.vmap(
-        lambda row, seg: jax.ops.segment_sum(row, seg, num_segments=num_frags + 1)
-    )(bits_hit, seg_ids)[:, :num_frags]
-    popcounts = jnp.full((buckets.shape[0],), popcount, dtype=jnp.float32)
-    return _ani_af_from_counts(
-        m, M, popcounts, float(bits), k, min_hashes, min_ident
     )
 
 
@@ -182,35 +164,30 @@ class FragmentAniEngine:
             fpad = _round_up(f, 1 << 9)
             buckets = np.zeros(npad, dtype=np.int32)
             buckets[:n] = sk.frag_buckets
-            seg = np.full(npad, fpad, dtype=np.int32)
-            seg[:n] = np.repeat(
-                np.arange(f, dtype=np.int32), np.diff(sk.frag_offsets)
-            )
-            valid = np.zeros(npad, dtype=bool)
-            valid[:n] = True
-            M = np.zeros(fpad, dtype=np.int32)
-            M[:f] = np.diff(sk.frag_offsets)
+            offsets = np.full(fpad + 1, n, dtype=np.int32)
+            offsets[: f + 1] = sk.frag_offsets
             self._query_cache[key] = (
                 jnp.asarray(buckets),
-                jnp.asarray(seg),
-                jnp.asarray(valid),
-                jnp.asarray(M),
+                jnp.asarray(offsets),
+                jnp.int32(n),
                 fpad,
             )
         return self._query_cache[key]
 
-    def one_to_many(
+    def one_to_many_async(
         self,
         query: NativeSketch,
-        query_key: int,
+        query_key,
         refs: Sequence[NativeSketch],
-        ref_keys: Sequence[int],
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        """ANI/AF of `query`'s fragments against each ref's bitmap.
-        Returns (ani_pct (R,), af (R,))."""
+        ref_keys: Sequence,
+    ) -> List[Tuple]:
+        """Issue ANI/AF dispatches of `query`'s fragments against each
+        ref's bitmap without blocking. Returns a list of
+        (ani_dev, af_dev, chunk_len) — convert after issuing everything
+        so device round trips pipeline instead of serializing."""
         cfg = self.cfg
-        buckets, seg, valid, M, fpad = self._query_arrays(query_key, query)
-        anis, afs = [], []
+        buckets, offsets, n, fpad = self._query_arrays(query_key, query)
+        out = []
         for lo in range(0, len(refs), cfg.max_refs_per_dispatch):
             chunk = refs[lo : lo + cfg.max_refs_per_dispatch]
             keys = ref_keys[lo : lo + cfg.max_refs_per_dispatch]
@@ -225,66 +202,29 @@ class FragmentAniEngine:
                 bm,
                 pc,
                 buckets,
-                seg,
-                valid,
-                M,
+                offsets,
+                n,
                 num_frags=fpad,
                 bits=cfg.member_bits,
                 k=cfg.k,
                 min_hashes=cfg.min_fragment_hashes,
                 min_ident=cfg.min_fragment_identity,
             )
-            anis.append(np.asarray(ani[: len(chunk)]))
-            afs.append(np.asarray(af[: len(chunk)]))
-        return np.concatenate(anis), np.concatenate(afs)
+            out.append((ani, af, len(chunk)))
+        return out
 
-    def many_to_one(
+    def one_to_many(
         self,
-        queries: Sequence[NativeSketch],
-        query_keys: Sequence[int],
-        ref: NativeSketch,
-        ref_key: int,
+        query: NativeSketch,
+        query_key,
+        refs: Sequence[NativeSketch],
+        ref_keys: Sequence,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Each query's fragments against `ref`'s bitmap.
+        """ANI/AF of `query`'s fragments against each ref's bitmap.
         Returns (ani_pct (R,), af (R,))."""
-        cfg = self.cfg
-        bitmap, popcount = self._bitmap(ref_key, ref)
-        anis, afs = [], []
-        for lo in range(0, len(queries), cfg.max_refs_per_dispatch):
-            chunk = queries[lo : lo + cfg.max_refs_per_dispatch]
-            rpad = _round_up(len(chunk), 8)
-            nmax = _round_up(
-                max(len(s.frag_buckets) for s in chunk) or 1, 1 << 14
-            )
-            fmax = _round_up(max(s.n_fragments for s in chunk) or 1, 1 << 9)
-            buckets = np.zeros((rpad, nmax), dtype=np.int32)
-            seg = np.full((rpad, nmax), fmax, dtype=np.int32)
-            valid = np.zeros((rpad, nmax), dtype=bool)
-            M = np.zeros((rpad, fmax), dtype=np.int32)
-            for r, s in enumerate(chunk):
-                n = len(s.frag_buckets)
-                f = s.n_fragments
-                buckets[r, :n] = s.frag_buckets
-                seg[r, :n] = np.repeat(
-                    np.arange(f, dtype=np.int32), np.diff(s.frag_offsets)
-                )
-                valid[r, :n] = True
-                M[r, :f] = np.diff(s.frag_offsets)
-            ani, af = _reverse_kernel(
-                bitmap,
-                jnp.float32(popcount),
-                jnp.asarray(buckets),
-                jnp.asarray(seg),
-                jnp.asarray(valid),
-                jnp.asarray(M),
-                num_frags=fmax,
-                bits=cfg.member_bits,
-                k=cfg.k,
-                min_hashes=cfg.min_fragment_hashes,
-                min_ident=cfg.min_fragment_identity,
-            )
-            anis.append(np.asarray(ani[: len(chunk)]))
-            afs.append(np.asarray(af[: len(chunk)]))
+        chunks = self.one_to_many_async(query, query_key, refs, ref_keys)
+        anis = [np.asarray(a[:ln]) for a, _, ln in chunks]
+        afs = [np.asarray(f[:ln]) for _, f, ln in chunks]
         return np.concatenate(anis), np.concatenate(afs)
 
     def pair_ani(
@@ -325,16 +265,23 @@ class FragmentAniEngine:
         for a, b in pairs:
             directed[a].add(b)
             directed[b].add(a)
-        fwd = {}
+        # Issue every dispatch first (async), then collect: round trips
+        # pipeline instead of paying dispatch latency per group.
+        issued = []
         for src in sorted(directed):
             targets = sorted(directed[src])
-            ani, af = self.one_to_many(
+            chunks = self.one_to_many_async(
                 sketches_by_key[src],
                 src,
                 [sketches_by_key[t] for t in targets],
                 targets,
             )
-            for t, x, y in zip(targets, ani, af):
+            issued.append((src, targets, chunks))
+        fwd = {}
+        for src, targets, chunks in issued:
+            anis = np.concatenate([np.asarray(a[:ln]) for a, _, ln in chunks])
+            afs = np.concatenate([np.asarray(f[:ln]) for _, f, ln in chunks])
+            for t, x, y in zip(targets, anis, afs):
                 fwd[(src, t)] = (float(x), float(y))
         out = {}
         for a, b in pairs:
