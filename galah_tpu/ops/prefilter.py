@@ -50,6 +50,23 @@ def _block_counts(si: jax.Array, sj: jax.Array, bits: int) -> jax.Array:
     )
 
 
+@partial(jax.jit, static_argnames=("bits_f",))
+def _block_containment_u8(
+    si_u8: jax.Array, sj_u8: jax.Array, a: jax.Array, b: jax.Array, bits_f: float
+) -> jax.Array:
+    """Fused screen block: uint8 indicators in (4x less host->device
+    traffic than bf16; cast to the matmul dtype on device), collision-
+    corrected containment out as bf16 (2x less device->host)."""
+    dt = _screen_dtype()
+    counts = jax.lax.dot_general(
+        si_u8.astype(dt),
+        sj_u8.astype(dt),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return _containment(counts, a, b, bits_f).astype(jnp.bfloat16)
+
+
 @jax.jit
 def _containment(counts: jax.Array, a: jax.Array, b: jax.Array, bits_f: float):
     """Collision-corrected max containment.
@@ -110,7 +127,7 @@ def screen_triangle(
     def make_block(bi: int) -> jax.Array:
         lo, hi = bi * block, min((bi + 1) * block, n)
         mat = np.stack([indicators[t] for t in range(lo, hi)])
-        return _to_device_block(mat)
+        return jnp.asarray(mat)  # uint8; cast to matmul dtype on device
 
     def get_block(bi: int) -> jax.Array:
         if bi not in dev_blocks:
@@ -128,8 +145,9 @@ def screen_triangle(
             else:
                 sj = make_block(bj)
             aj = jnp.asarray(sizes_f[bj * block : bj * block + sj.shape[0]])
-            counts = _block_counts(si, sj, bits)
-            cont = np.array(_containment(counts, ai, aj, float(bits)))
+            cont = np.array(
+                _block_containment_u8(si, sj, ai, aj, float(bits))
+            ).astype(np.float32)
             if bi == bj:
                 cont[np.tril_indices(cont.shape[0])] = 0.0
             hit = np.argwhere(cont >= min_containment)
@@ -169,16 +187,17 @@ def screen_rectangle(
 
     for qlo in range(0, nq, block):
         qhi = min(qlo + block, nq)
-        sq = _to_device_block(np.stack([query_indicators[t] for t in range(qlo, qhi)]))
+        sq = jnp.asarray(np.stack([query_indicators[t] for t in range(qlo, qhi)]))
         aq = jnp.asarray(query_sizes[qlo:qhi].astype(np.float32))
         for rlo in range(0, nr, block):
             rhi = min(rlo + block, nr)
-            sr = _to_device_block(
+            sr = jnp.asarray(
                 np.stack([ref_indicators[t] for t in range(rlo, rhi)])
             )
             ar = jnp.asarray(ref_sizes[rlo:rhi].astype(np.float32))
-            counts = _block_counts(sq, sr, bits)
-            cont = np.asarray(_containment(counts, aq, ar, float(bits)))
+            cont = np.array(
+                _block_containment_u8(sq, sr, aq, ar, float(bits))
+            ).astype(np.float32)
             hit = np.argwhere(cont >= min_containment)
             if hit.size:
                 pairs.append(
