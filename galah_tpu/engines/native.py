@@ -215,13 +215,36 @@ class _LazyIndicatorRows:
         return self._sketches[i].prefilter_indicator()
 
 
+class _LazyPackedRows:
+    """Packed uint32 bitmap rows materialized on access."""
+
+    def __init__(self, sketches, bits: int) -> None:
+        from galah_tpu.ops.popcount_screen import pack_indicator
+
+        self._sketches = sketches
+        self._bits = bits
+        self._pack = pack_indicator
+
+    def __len__(self) -> int:
+        return len(self._sketches)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        return self._pack(self._sketches[i].prefilter_buckets, self._bits)
+
+
 def _screen_backend() -> str:
-    """'matmul' (default; MXU indicator matmul) or 'popcount' (Pallas
-    packed-bitmap kernel; prefer for very large corpora or bandwidth-
-    constrained hosts). Env: GALAH_TPU_SCREEN."""
+    """'packed' (accelerator default: packed upload + on-device unpack
+    + MXU matmul), 'indicator' (uint8 indicator upload + matmul; CPU
+    default — no transfer cost, no unpack work) or 'popcount' (Pallas
+    packed-bitmap VPU kernel). Env: GALAH_TPU_SCREEN."""
     import os
 
-    return os.environ.get("GALAH_TPU_SCREEN", "matmul")
+    env = os.environ.get("GALAH_TPU_SCREEN")
+    if env:
+        return env
+    import jax
+
+    return "indicator" if jax.default_backend() == "cpu" else "packed"
 
 
 def _screen_min_containment(
@@ -400,8 +423,7 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
                 min_cont,
             )
         elif _screen_backend() == "popcount":
-            # Pallas packed-bitmap kernel: 32x smaller device residency
-            # and host->device transfer than bf16 indicators.
+            # Pallas packed-bitmap kernel (VPU AND+popcount).
             from galah_tpu.ops.popcount_screen import (
                 pack_indicator,
                 screen_triangle_popcount,
@@ -409,18 +431,32 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
 
             bits = self.ctx.params.prefilter_bits
             res = screen_triangle_popcount(
-                [pack_indicator(s.prefilter_buckets, bits) for s in sketches],
+                _LazyPackedRows(sketches, bits),
                 np.asarray([s.n_prefilter for s in sketches]),
                 k,
                 min_cont,
                 bits,
             )
-        else:
+        elif _screen_backend() == "indicator":
             res = screen_triangle(
                 _LazyIndicatorRows(sketches),
                 np.asarray([s.n_prefilter for s in sketches]),
                 k,
                 min_cont,
+                cache_blocks=not self.ctx.low_memory,
+            )
+        else:
+            # Default: packed uint32 upload, on-device unpack, MXU
+            # matmul (32x less host->device transfer than indicators).
+            from galah_tpu.ops.prefilter import screen_triangle_packed
+
+            bits = self.ctx.params.prefilter_bits
+            res = screen_triangle_packed(
+                _LazyPackedRows(sketches, bits),
+                np.asarray([s.n_prefilter for s in sketches]),
+                k,
+                min_cont,
+                bits,
                 cache_blocks=not self.ctx.low_memory,
             )
         _dt = _time.perf_counter() - _t0

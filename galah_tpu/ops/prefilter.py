@@ -67,6 +67,31 @@ def _block_containment_u8(
     return _containment(counts, a, b, bits_f).astype(jnp.bfloat16)
 
 
+def _unpack_bits(x_packed: jax.Array, dt) -> jax.Array:
+    """(n, W) uint32 packed bitmap -> (n, W*32) 0/1 in dtype dt,
+    word-major bit-minor (matches ops.popcount_screen.pack_indicator)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    bits = (x_packed[:, :, None] >> shifts) & jnp.uint32(1)
+    return bits.astype(dt).reshape(x_packed.shape[0], -1)
+
+
+@partial(jax.jit, static_argnames=("bits_f",))
+def _block_containment_packed(
+    si_pk: jax.Array, sj_pk: jax.Array, a: jax.Array, b: jax.Array, bits_f: float
+) -> jax.Array:
+    """Fused screen block over packed uint32 bitmaps: 32x less
+    host->device traffic than uint8 indicators; unpacked to the matmul
+    dtype on device so the MXU still does the intersection counts."""
+    dt = _screen_dtype()
+    counts = jax.lax.dot_general(
+        _unpack_bits(si_pk, dt),
+        _unpack_bits(sj_pk, dt),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return _containment(counts, a, b, bits_f).astype(jnp.bfloat16)
+
+
 @jax.jit
 def _containment(counts: jax.Array, a: jax.Array, b: jax.Array, bits_f: float):
     """Collision-corrected max containment.
@@ -147,6 +172,68 @@ def screen_triangle(
             aj = jnp.asarray(sizes_f[bj * block : bj * block + sj.shape[0]])
             cont = np.array(
                 _block_containment_u8(si, sj, ai, aj, float(bits))
+            ).astype(np.float32)
+            if bi == bj:
+                cont[np.tril_indices(cont.shape[0])] = 0.0
+            hit = np.argwhere(cont >= min_containment)
+            if hit.size:
+                gi = hit[:, 0] + bi * block
+                gj = hit[:, 1] + bj * block
+                pairs.append(np.stack([gi, gj], axis=1))
+                anis.append(
+                    (cont[hit[:, 0], hit[:, 1]] ** inv_k * 100.0).astype(np.float32)
+                )
+    dev_blocks.clear()
+
+    if pairs:
+        return ScreenResult(np.concatenate(pairs), np.concatenate(anis))
+    return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
+
+
+def screen_triangle_packed(
+    packed: Sequence[np.ndarray],
+    sizes: np.ndarray,
+    k: int,
+    min_containment: float,
+    bits: int,
+    block: int = 1024,
+    cache_blocks: bool = True,
+) -> ScreenResult:
+    """Lower-triangle screen over packed uint32 bitmaps with on-device
+    unpacking — the default path: same MXU matmul as screen_triangle at
+    1/32nd the host->device transfer."""
+    n = len(packed)
+    if n == 0:
+        return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
+    pairs: List[np.ndarray] = []
+    anis: List[np.ndarray] = []
+    inv_k = 1.0 / k
+    sizes_f = sizes.astype(np.float32)
+    nblocks = math.ceil(n / block)
+    dev_blocks = {}
+
+    def make_block(bi: int) -> jax.Array:
+        lo, hi = bi * block, min((bi + 1) * block, n)
+        return jnp.asarray(np.stack([packed[t] for t in range(lo, hi)]))
+
+    def get_block(bi: int) -> jax.Array:
+        if bi not in dev_blocks:
+            dev_blocks[bi] = make_block(bi)
+        return dev_blocks[bi]
+
+    for bi in range(nblocks):
+        si = get_block(bi) if cache_blocks else make_block(bi)
+        ai = jnp.asarray(sizes_f[bi * block : bi * block + si.shape[0]])
+        for bj in range(bi, nblocks):
+            if bj == bi:
+                sj = si
+            elif cache_blocks:
+                sj = get_block(bj)
+            else:
+                sj = make_block(bj)
+            aj = jnp.asarray(sizes_f[bj * block : bj * block + sj.shape[0]])
+            cont = np.array(
+                _block_containment_packed(si, sj, ai, aj, float(bits))
             ).astype(np.float32)
             if bi == bj:
                 cont[np.tril_indices(cont.shape[0])] = 0.0
