@@ -249,17 +249,62 @@ class FragmentAniEngine:
         )
         return [res[(query_key, rk)] for rk in ref_keys]
 
+    def _pair_table(self):
+        if not hasattr(self, "_pair_table_verifier"):
+            from galah_tpu.ops.pair_table import (
+                PairTableConfig,
+                PairTableVerifier,
+            )
+
+            cfg = self.cfg
+            self._pair_table_verifier = PairTableVerifier(
+                PairTableConfig(
+                    member_bits=cfg.member_bits,
+                    k=cfg.k,
+                    min_fragment_hashes=cfg.min_fragment_hashes,
+                    min_fragment_identity=cfg.min_fragment_identity,
+                ),
+                self._bitmap,
+            )
+        return self._pair_table_verifier
+
     def bidirectional(self, pairs, sketches_by_key):
         """Bidirectional ANI over arbitrary key pairs.
 
-        Both directions run through the forward kernel, globally grouped
-        by source genome, so each genome's fragment stream and bitmap
-        upload to the device exactly once (LRU-cached) — the reverse
-        kernel's per-dispatch padded restacking was the dominant
-        host->device traffic.
+        Two execution strategies, both single-upload per genome:
+        - pair-table kernel (default for small/medium streams): many
+          directed pairs per fixed-shape dispatch — dispatch count is
+          O(total hashes / budget), not O(genomes);
+        - grouped forward kernel (large streams): one dispatch per
+          source, streams never duplicated across its targets.
+        GALAH_TPU_VERIFY=pairtable|grouped forces one.
 
         Returns {(a, b): (ani_pct, af_a_dir, af_b_dir)}."""
+        import os
         from collections import defaultdict
+
+        directed_set = set()
+        for a, b in pairs:
+            directed_set.add((a, b))
+            directed_set.add((b, a))
+
+        mode = os.environ.get("GALAH_TPU_VERIFY")
+        if mode != "grouped":
+            max_stream = max(
+                (len(sketches_by_key[k_].frag_buckets) for k_ in sketches_by_key),
+                default=0,
+            )
+            table_cfg = self._pair_table().cfg
+            if mode == "pairtable" or max_stream <= table_cfg.max_flat_hashes // 8:
+                fwd = self._pair_table().run(
+                    sorted(directed_set), sketches_by_key
+                )
+                out = {}
+                for a, b in pairs:
+                    ani_f, af_f = fwd[(a, b)]
+                    ani_r, af_r = fwd[(b, a)]
+                    out[(a, b)] = (max(ani_f, ani_r), af_f, af_r)
+                return out
 
         directed = defaultdict(set)
         for a, b in pairs:

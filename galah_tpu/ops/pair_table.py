@@ -1,0 +1,333 @@
+"""Pair-table verify kernel: many genome pairs per fixed-shape dispatch.
+
+The grouped one-query-many-refs formulation (ops/fragment_ani.py) costs
+one dispatch per source genome — fine for thousands of large genomes,
+pathological for 100k small contigs (dispatch latency dominates). This
+kernel evaluates an arbitrary batch of directed (source, target) pairs
+in ONE dispatch:
+
+- unique source fragment streams are concatenated and uploaded once per
+  dispatch; when a source has many targets its stream is NOT duplicated
+  on the host — tiny per-pair descriptor triples reconstruct the
+  flat hash->pair mapping on device via searchsorted over pair regions;
+- unique target bitmaps are stacked on device from the engine's LRU
+  cache (no re-upload);
+- per-fragment hit counts come from one flat gather + segment sum; the
+  containment/identity/AF epilogue reduces per pair.
+
+Every dispatch has the same (capped) shapes, so the whole verify stage
+compiles exactly once per sketch-parameter configuration.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class PairTableConfig:
+    member_bits: int
+    k: int
+    min_fragment_hashes: int
+    min_fragment_identity: float
+    # Fixed dispatch capacities (single compiled shape):
+    max_flat_hashes: int = 1 << 21      # flat (pair-duplicated) hash slots
+    max_flat_frags: int = 1 << 16       # flat fragment slots
+    max_pairs: int = 1 << 12            # directed pairs per dispatch
+    max_unique_hashes: int = 1 << 21    # concatenated unique stream slots
+    max_unique_frags: int = 1 << 16
+    max_bitmaps: int = 256              # distinct target bitmaps
+
+
+@partial(
+    jax.jit,
+    static_argnames=("flatn", "flatf", "bits", "k", "min_hashes", "min_ident"),
+)
+def _pair_table_kernel(
+    ustream,              # (U,) int32 — concatenated unique source streams
+    ufrag_offsets,        # (UF+1,) int32 — global fragment offsets into ustream
+    bitmaps,              # (G, W) uint32 — stacked unique target bitmaps
+    popcounts,            # (G,) f32
+    pair_src_start,       # (P,) int32
+    pair_flat_start,      # (P+1,) int32 — ascending; padded with n_flat
+    pair_ufrag_start,     # (P,) int32
+    pair_fragflat_start,  # (P+1,) int32 — ascending; padded with n_flat_frags
+    pair_ref,             # (P,) int32
+    n_flat,               # () int32
+    n_flat_frags,         # () int32
+    flatn: int,
+    flatf: int,
+    bits: int,
+    k: int,
+    min_hashes: int,
+    min_ident: float,
+):
+    """Returns (ani_pct (P,), af (P,)) for the directed pairs."""
+    U = ustream.shape[0]
+    UF = ufrag_offsets.shape[0] - 1
+    P = pair_src_start.shape[0]
+    G, W = bitmaps.shape
+
+    # --- flat hash space ---
+    flat_idx = jnp.arange(flatn, dtype=jnp.int32)
+    valid_h = flat_idx < n_flat
+    pair_of = jnp.clip(
+        jnp.searchsorted(pair_flat_start, flat_idx, side="right").astype(jnp.int32)
+        - 1,
+        0,
+        P - 1,
+    )
+    rel = flat_idx - pair_flat_start[pair_of]
+    upos = jnp.clip(pair_src_start[pair_of] + rel, 0, U - 1)
+    bucket = ustream[upos]
+    ref = pair_ref[pair_of]
+    word_idx = ref * W + (bucket >> 5)
+    words = jnp.take(bitmaps.reshape(-1), word_idx)
+    hit = ((words >> (bucket & 31).astype(jnp.uint32)) & jnp.uint32(1)).astype(
+        jnp.int32
+    )
+    hit = jnp.where(valid_h, hit, 0)
+
+    # --- fragment mapping ---
+    ufrag = jnp.clip(
+        jnp.searchsorted(ufrag_offsets, upos, side="right").astype(jnp.int32) - 1,
+        0,
+        UF - 1,
+    )
+    flat_frag = pair_fragflat_start[pair_of] + (ufrag - pair_ufrag_start[pair_of])
+    flat_frag = jnp.where(
+        valid_h, jnp.clip(flat_frag, 0, flatf - 1), flatf
+    )
+    m = jax.ops.segment_sum(hit, flat_frag, num_segments=flatf + 1)[:flatf]
+    Mf = jax.ops.segment_sum(
+        valid_h.astype(jnp.int32), flat_frag, num_segments=flatf + 1
+    )[:flatf]
+
+    # --- per-fragment epilogue ---
+    frag_idx = jnp.arange(flatf, dtype=jnp.int32)
+    valid_f = frag_idx < n_flat_frags
+    fpair = jnp.clip(
+        jnp.searchsorted(pair_fragflat_start, frag_idx, side="right").astype(
+            jnp.int32
+        )
+        - 1,
+        0,
+        P - 1,
+    )
+    p = popcounts[pair_ref[fpair]] / float(bits)
+    Mfloat = Mf.astype(jnp.float32)
+    c = (m.astype(jnp.float32) - Mfloat * p) / jnp.maximum(1.0 - p, 1e-6)
+    c = jnp.clip(c, 0.0, Mfloat)
+    usable = valid_f & (Mf >= min_hashes)
+    cont = c / jnp.maximum(Mfloat, 1.0)
+    ident = jnp.power(jnp.maximum(cont, 1e-30), 1.0 / k)
+    aligned = usable & (ident >= min_ident)
+
+    seg = jnp.where(valid_f, fpair, P)
+    n_aligned = jax.ops.segment_sum(
+        aligned.astype(jnp.int32), seg, num_segments=P + 1
+    )[:P]
+    n_usable = jax.ops.segment_sum(
+        usable.astype(jnp.int32), seg, num_segments=P + 1
+    )[:P]
+    sum_ident = jax.ops.segment_sum(
+        jnp.where(aligned, ident, 0.0), seg, num_segments=P + 1
+    )[:P]
+    ani = sum_ident / jnp.maximum(n_aligned, 1) * 100.0
+    af = n_aligned / jnp.maximum(n_usable, 1)
+    return ani, af
+
+
+class PairTableVerifier:
+    """Host-side batcher for the pair-table kernel."""
+
+    def __init__(self, cfg: PairTableConfig, bitmap_fn) -> None:
+        """bitmap_fn(key, sketch) -> (device bitmap (W,), popcount)."""
+        self.cfg = cfg
+        self._bitmap_fn = bitmap_fn
+
+    def run(
+        self,
+        directed_pairs: Sequence[Tuple],
+        sketches_by_key: Dict,
+    ) -> Dict[Tuple, Tuple[float, float]]:
+        """Evaluate directed (src, tgt) pairs; returns
+        {(src, tgt): (ani_pct, af_src_direction)}."""
+        cfg = self.cfg
+        results: Dict[Tuple, Tuple[float, float]] = {}
+        issued: List[Tuple] = []
+
+        batch: List[Tuple] = []
+        usage = _Usage()
+
+        def src_cost(key):
+            sk = sketches_by_key[key]
+            return len(sk.frag_buckets), sk.n_fragments
+
+        # group directed pairs by source so unique streams amortize
+        from collections import defaultdict
+
+        by_src = defaultdict(list)
+        for s, t in directed_pairs:
+            by_src[s].append(t)
+
+        def flush():
+            nonlocal batch, usage
+            if batch:
+                issued.append(self._dispatch(batch, sketches_by_key))
+                batch = []
+                usage = _Usage()
+
+        for src in sorted(by_src):
+            nh, nf = src_cost(src)
+            if nh > cfg.max_flat_hashes or nf > cfg.max_flat_frags:
+                raise ValueError(
+                    f"source stream too large for pair table: {nh} hashes"
+                )
+            for tgt in sorted(by_src[src]):
+                add_unique = 0 if usage.has_src == src else 1
+                need_uh = nh if add_unique else 0
+                need_uf = nf if add_unique else 0
+                new_bitmap = 0 if tgt in usage.bitmaps else 1
+                if (
+                    usage.flat_h + nh > cfg.max_flat_hashes
+                    or usage.flat_f + nf > cfg.max_flat_frags
+                    or usage.uniq_h + need_uh > cfg.max_unique_hashes
+                    or usage.uniq_f + need_uf > cfg.max_unique_frags
+                    or usage.n_pairs + 1 > cfg.max_pairs
+                    or len(usage.bitmaps) + new_bitmap > cfg.max_bitmaps
+                ):
+                    flush()
+                    # after flush the source stream must be re-added
+                if usage.has_src != src:
+                    usage.uniq_h += nh
+                    usage.uniq_f += nf
+                    usage.has_src = src
+                usage.flat_h += nh
+                usage.flat_f += nf
+                usage.n_pairs += 1
+                usage.bitmaps.add(tgt)
+                batch.append((src, tgt))
+        flush()
+
+        for pairs, anis, afs in issued:
+            a = np.asarray(anis)
+            f = np.asarray(afs)
+            for i, pr in enumerate(pairs):
+                results[pr] = (float(a[i]), float(f[i]))
+        return results
+
+    def _dispatch(self, batch: List[Tuple], sketches_by_key: Dict):
+        cfg = self.cfg
+        W = cfg.member_bits // 32
+
+        # unique sources in batch order
+        src_order: List = []
+        src_info: Dict = {}
+        for s, _ in batch:
+            if s not in src_info:
+                src_order.append(s)
+                sk = sketches_by_key[s]
+                src_info[s] = sk
+        ustream_parts = []
+        uoff_parts = [np.zeros(1, dtype=np.int32)]
+        src_start: Dict = {}
+        src_ufrag_start: Dict = {}
+        uh = 0
+        uf = 0
+        for s in src_order:
+            sk = src_info[s]
+            src_start[s] = uh
+            src_ufrag_start[s] = uf
+            ustream_parts.append(sk.frag_buckets.astype(np.int32))
+            uoff_parts.append(
+                (sk.frag_offsets[1:] + uh).astype(np.int32)
+            )
+            uh += len(sk.frag_buckets)
+            uf += sk.n_fragments
+
+        ustream = np.zeros(cfg.max_unique_hashes, dtype=np.int32)
+        if uh:
+            ustream[:uh] = np.concatenate(ustream_parts)
+        ufrag_offsets = np.full(cfg.max_unique_frags + 1, uh, dtype=np.int32)
+        uoff = np.concatenate(uoff_parts)
+        ufrag_offsets[: len(uoff)] = uoff
+
+        # distinct bitmaps
+        tgt_order: List = []
+        tgt_row: Dict = {}
+        for _, t in batch:
+            if t not in tgt_row:
+                tgt_row[t] = len(tgt_order)
+                tgt_order.append(t)
+        bms = [
+            self._bitmap_fn(t, sketches_by_key[t]) for t in tgt_order
+        ]
+        G = cfg.max_bitmaps
+        bitmaps = jnp.zeros((G, W), dtype=jnp.uint32)
+        bitmaps = bitmaps.at[: len(bms)].set(jnp.stack([b for b, _ in bms]))
+        popcounts = np.zeros(G, dtype=np.float32)
+        popcounts[: len(bms)] = [p for _, p in bms]
+
+        # per-pair descriptors
+        P = cfg.max_pairs
+        pair_src_start = np.zeros(P, dtype=np.int32)
+        pair_ufrag_start = np.zeros(P, dtype=np.int32)
+        pair_ref = np.zeros(P, dtype=np.int32)
+        flat_start = np.zeros(P + 1, dtype=np.int32)
+        fragflat_start = np.zeros(P + 1, dtype=np.int32)
+        fh = 0
+        ff = 0
+        for i, (s, t) in enumerate(batch):
+            sk = src_info[s]
+            pair_src_start[i] = src_start[s]
+            pair_ufrag_start[i] = src_ufrag_start[s]
+            pair_ref[i] = tgt_row[t]
+            flat_start[i] = fh
+            fragflat_start[i] = ff
+            fh += len(sk.frag_buckets)
+            ff += sk.n_fragments
+        flat_start[len(batch):] = fh
+        fragflat_start[len(batch):] = ff
+
+        ani, af = _pair_table_kernel(
+            jnp.asarray(ustream),
+            jnp.asarray(ufrag_offsets),
+            bitmaps,
+            jnp.asarray(popcounts),
+            jnp.asarray(pair_src_start),
+            jnp.asarray(flat_start),
+            jnp.asarray(pair_ufrag_start),
+            jnp.asarray(fragflat_start),
+            jnp.asarray(pair_ref),
+            jnp.int32(fh),
+            jnp.int32(ff),
+            flatn=cfg.max_flat_hashes,
+            flatf=cfg.max_flat_frags,
+            bits=cfg.member_bits,
+            k=cfg.k,
+            min_hashes=cfg.min_fragment_hashes,
+            min_ident=cfg.min_fragment_identity,
+        )
+        return (list(batch), ani[: len(batch)], af[: len(batch)])
+
+
+class _Usage:
+    def __init__(self) -> None:
+        self.flat_h = 0
+        self.flat_f = 0
+        self.uniq_h = 0
+        self.uniq_f = 0
+        self.n_pairs = 0
+        self.bitmaps = set()
+        self.has_src = None

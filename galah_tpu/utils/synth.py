@@ -41,6 +41,36 @@ def write_fasta(path: str, seq: np.ndarray, name: str, width: int = 80) -> None:
             f.write("\n")
 
 
+def make_contig_corpus(
+    path: str,
+    n_families: int,
+    members_per_family: int,
+    contig_length: int = 5_000,
+    within_ani: float = 0.98,
+    seed: int = 0,
+) -> Tuple[List[str], List[int]]:
+    """One multi-contig FASTA of related contig families (the viral/
+    plasmid --cluster-contigs workload). Returns (contig_names,
+    family_id_per_contig)."""
+    rng = np.random.default_rng(seed)
+    names: List[str] = []
+    family_ids: List[int] = []
+    with open(path, "w") as f:
+        for fam in range(n_families):
+            base = random_genome(rng, contig_length)
+            for m in range(members_per_family):
+                seq = base if m == 0 else mutate(rng, base, within_ani)
+                name = f"fam{fam}_c{m}"
+                f.write(f">{name}\n")
+                b = seq.tobytes()
+                for i in range(0, len(b), 80):
+                    f.write(b[i : i + 80].decode("ascii"))
+                    f.write("\n")
+                names.append(name)
+                family_ids.append(fam)
+    return names, family_ids
+
+
 def make_families(
     directory: str,
     n_families: int,

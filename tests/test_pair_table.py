@@ -1,0 +1,138 @@
+"""Pair-table verify kernel parity vs the grouped forward path."""
+
+import os
+
+import numpy as np
+import pytest
+from conftest import data
+
+from galah_tpu.ops.fragment_ani import FragmentAniConfig, FragmentAniEngine
+from galah_tpu.sketch.fracminhash import (
+    NativeSketchParams,
+    sketch_file_native,
+    small_genome_params,
+)
+
+
+def _engine(params):
+    return FragmentAniEngine(
+        FragmentAniConfig(
+            k=params.k,
+            member_bits=params.member_bits,
+            min_fragment_hashes=params.min_fragment_hashes,
+        )
+    )
+
+
+@pytest.mark.parametrize("mode_pair", [("pairtable", "grouped")])
+def test_pair_table_matches_grouped(monkeypatch, mode_pair):
+    params = NativeSketchParams()
+    paths = [
+        data("abisko4/73.20120800_S1X.13.fna"),
+        data("abisko4/73.20120600_S2D.19.fna"),
+        data("abisko4/73.20120700_S3X.12.fna"),
+        data("abisko4/73.20110800_S2D.13.fna"),
+        data("set1/500kb.fna"),
+        data("set1/1mbp.fna"),
+    ]
+    sketches = {p: sketch_file_native(p, params) for p in paths}
+    pairs = [
+        (paths[0], paths[1]),
+        (paths[0], paths[2]),
+        (paths[1], paths[3]),
+        (paths[4], paths[5]),
+        (paths[0], paths[4]),
+    ]
+    results = {}
+    for mode in mode_pair:
+        monkeypatch.setenv("GALAH_TPU_VERIFY", mode)
+        eng = _engine(params)
+        results[mode] = eng.bidirectional(pairs, sketches)
+    for pr in pairs:
+        a = results[mode_pair[0]][pr]
+        b = results[mode_pair[1]][pr]
+        assert a[0] == pytest.approx(b[0], abs=0.02), (pr, a, b)   # ANI pct
+        assert a[1] == pytest.approx(b[1], abs=0.005), (pr, a, b)  # AF fwd
+        assert a[2] == pytest.approx(b[2], abs=0.005), (pr, a, b)  # AF rev
+
+
+def test_pair_table_contig_mode(monkeypatch):
+    """Small-contig corpus through the pair-table path clusters exactly
+    by family (the use case the kernel exists for)."""
+    import tempfile
+
+    from galah_tpu.cli.main import main
+    from galah_tpu.utils.synth import make_contig_corpus
+
+    monkeypatch.setenv("GALAH_TPU_VERIFY", "pairtable")
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "contigs.fna")
+        names, fams = make_contig_corpus(
+            path, n_families=20, members_per_family=4,
+            contig_length=4000, within_ani=0.98, seed=9,
+        )
+        out = os.path.join(td, "clusters.tsv")
+        rc = main([
+            "cluster", "--cluster-contigs", "--small-contigs",
+            "--genome-fasta-files", path,
+            "--output-cluster-definition", out, "-q",
+        ])
+        assert rc == 0
+        rep_of = {}
+        with open(out) as f:
+            for line in f:
+                rep, member = line.rstrip("\n").split("\t")
+                rep_of[member] = rep
+        by_family = {}
+        for n, fam in zip(names, fams):
+            by_family.setdefault(fam, set()).add(rep_of[n])
+        assert all(len(r) == 1 for r in by_family.values())
+        assert len({next(iter(r)) for r in by_family.values()}) == 20
+
+
+def test_pair_table_splits_batches(monkeypatch):
+    """Tiny caps force multiple dispatches; results must still be
+    complete and correct."""
+    from galah_tpu.ops.pair_table import PairTableConfig, PairTableVerifier
+
+    params = small_genome_params()
+    import tempfile
+
+    from galah_tpu.utils.synth import make_contig_corpus
+    from galah_tpu.sketch.fracminhash import sketch_contigs_native
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "c.fna")
+        names, fams = make_contig_corpus(
+            path, n_families=6, members_per_family=3,
+            contig_length=3000, within_ani=0.97, seed=2,
+        )
+        sketches = {
+            s.name: s for s in sketch_contigs_native(path, params)
+        }
+        eng = _engine(params)
+        verifier_small = PairTableVerifier(
+            PairTableConfig(
+                member_bits=params.member_bits,
+                k=params.k,
+                min_fragment_hashes=params.min_fragment_hashes,
+                min_fragment_identity=0.8,
+                max_flat_hashes=1 << 13,
+                max_flat_frags=1 << 7,
+                max_pairs=4,
+                max_unique_hashes=1 << 13,
+                max_unique_frags=1 << 7,
+                max_bitmaps=4,
+            ),
+            eng._bitmap,
+        )
+        # within-family directed pairs
+        directed = []
+        for fam in range(6):
+            a, b, c = [n for n, f in zip(names, fams) if f == fam]
+            directed += [(a, b), (b, a), (a, c), (c, a)]
+        res = verifier_small.run(directed, sketches)
+        assert len(res) == len(directed)
+        for (s, t), (ani, af) in res.items():
+            assert ani > 93.0, (s, t, ani)
+            assert af > 0.5, (s, t, af)

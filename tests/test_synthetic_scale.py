@@ -69,3 +69,34 @@ def test_threshold_separates_strains(tmp_path):
     rep_of = dict(line.split("\t")[::-1] for line in lines)
     assert rep_of[p_close] == p_base
     assert rep_of[p_far] == p_far
+
+
+def test_contig_family_recovery(tmp_path):
+    """--cluster-contigs --small-contigs on a synthetic viral/plasmid-
+    style corpus: contigs must cluster exactly by family."""
+    from galah_tpu.utils.synth import make_contig_corpus
+
+    path = str(tmp_path / "contigs.fna")
+    names, fams = make_contig_corpus(
+        path, n_families=40, members_per_family=5,
+        contig_length=5_000, within_ani=0.98, seed=5,
+    )
+    out = tmp_path / "clusters.tsv"
+    rc = main([
+        "cluster", "--cluster-contigs", "--small-contigs",
+        "--genome-fasta-files", path,
+        "--ani", "95",
+        "--output-cluster-definition", str(out), "-q",
+    ])
+    assert rc == 0
+    rep_of = {}
+    with open(out) as f:
+        for line in f:
+            rep, member = line.rstrip("\n").split("\t")
+            rep_of[member] = rep
+    assert len(rep_of) == len(names)
+    by_family = {}
+    for n, fam in zip(names, fams):
+        by_family.setdefault(fam, set()).add(rep_of[n])
+    assert all(len(r) == 1 for r in by_family.values())
+    assert len({next(iter(r)) for r in by_family.values()}) == 40
