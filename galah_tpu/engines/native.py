@@ -194,10 +194,18 @@ class NativeContext:
         from galah_tpu.sketch.fracminhash import sketch_contigs_native
 
         out: List[NativeSketch] = []
+        missing = [p for p in paths if p not in self._contig_store]
+        if missing:
+            with metrics.current().phase("sketch"):
+                for path in missing:
+                    self._contig_store[path] = sketch_contigs_native(
+                        path, self.params
+                    )
         for path in paths:
-            if path not in self._contig_store:
-                self._contig_store[path] = sketch_contigs_native(path, self.params)
             out.extend(self._contig_store[path])
+        n_contigs = sum(len(self._contig_store[p]) for p in missing)
+        if n_contigs:
+            metrics.current().count("contigs_sketched", n_contigs)
         return out
 
 

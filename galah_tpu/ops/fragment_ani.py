@@ -257,12 +257,17 @@ class FragmentAniEngine:
             )
 
             cfg = self.cfg
+            # Size the bitmap-stack capacity to a ~64MB device budget so
+            # small-bitmap (contig) runs fit many more pairs per dispatch.
+            bitmap_bytes = cfg.member_bits // 8
+            max_bitmaps = max(64, min(1024, (64 << 20) // bitmap_bytes))
             self._pair_table_verifier = PairTableVerifier(
                 PairTableConfig(
                     member_bits=cfg.member_bits,
                     k=cfg.k,
                     min_fragment_hashes=cfg.min_fragment_hashes,
                     min_fragment_identity=cfg.min_fragment_identity,
+                    max_bitmaps=max_bitmaps,
                 ),
                 self._bitmap,
             )
