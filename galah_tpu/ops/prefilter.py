@@ -76,6 +76,50 @@ def _unpack_bits(x_packed: jax.Array, dt) -> jax.Array:
 
 
 @partial(
+    jax.jit,
+    static_argnames=("block", "bits_f", "min_cont", "cap", "is_diag"),
+)
+def _resident_screen_extract(
+    x_all: jax.Array,   # (n_pad, W) uint32 — full packed matrix, resident
+    sizes: jax.Array,   # (n_pad,) f32
+    bi: jax.Array,      # () int32 block row index
+    bj: jax.Array,      # () int32 block col index
+    block: int,
+    bits_f: float,
+    min_cont: float,
+    cap: int,
+    is_diag: bool,
+):
+    """Screen one (block x block) tile out of the resident packed
+    matrix (uploaded once for the whole sweep) with on-device sparse
+    extraction."""
+    w = x_all.shape[1]
+    si = jax.lax.dynamic_slice(x_all, (bi * block, 0), (block, w))
+    sj = jax.lax.dynamic_slice(x_all, (bj * block, 0), (block, w))
+    a = jax.lax.dynamic_slice(sizes, (bi * block,), (block,))
+    b = jax.lax.dynamic_slice(sizes, (bj * block,), (block,))
+    dt = _screen_dtype()
+    counts = jax.lax.dot_general(
+        _unpack_bits(si, dt),
+        _unpack_bits(sj, dt),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    cont = _containment(counts, a, b, bits_f)
+    mask = cont >= min_cont
+    if is_diag:
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+        cols_j = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+        mask = mask & (cols_j > rows_i)
+    cnt = jnp.sum(mask)
+    ii, jj = jnp.nonzero(mask, size=cap, fill_value=0)
+    vals = cont[ii, jj]
+    return cnt, ii.astype(jnp.int32), jj.astype(jnp.int32), vals.astype(
+        jnp.bfloat16
+    )
+
+
+@partial(
     jax.jit, static_argnames=("bits_f", "min_cont", "cap", "is_diag")
 )
 def _block_screen_extract_packed(
@@ -250,42 +294,75 @@ def screen_triangle_packed(
     anis: List[np.ndarray] = []
     inv_k = 1.0 / k
     sizes_f = sizes.astype(np.float32)
-    nblocks = math.ceil(n / block)
-    dev_blocks = {}
-
-    def make_block(bi: int) -> jax.Array:
-        lo, hi = bi * block, min((bi + 1) * block, n)
-        return jnp.asarray(np.stack([packed[t] for t in range(lo, hi)]))
-
-    def get_block(bi: int) -> jax.Array:
-        if bi not in dev_blocks:
-            dev_blocks[bi] = make_block(bi)
-        return dev_blocks[bi]
-
+    w = len(packed[0])
     cap = 16384
-    # Round the cutoff to stabilize the jit static-arg cache.
     min_cont_static = float(np.float32(min_containment))
-    issued = []
-    for bi in range(nblocks):
-        si = get_block(bi) if cache_blocks else make_block(bi)
-        ai = jnp.asarray(sizes_f[bi * block : bi * block + si.shape[0]])
-        for bj in range(bi, nblocks):
-            if bj == bi:
-                sj = si
-            elif cache_blocks:
-                sj = get_block(bj)
-            else:
-                sj = make_block(bj)
-            aj = jnp.asarray(sizes_f[bj * block : bj * block + sj.shape[0]])
-            res = _block_screen_extract_packed(
-                si, sj, ai, aj, float(bits), min_cont_static, cap, bj == bi
-            )
-            issued.append((bi, bj, si, sj, ai, aj, res))
 
-    for bi, bj, si, sj, ai, aj, (cnt, ii, jj, vals) in issued:
+    # Resident mode: one upload of the whole packed matrix, device-side
+    # tile slicing (unless it would not fit a conservative HBM budget or
+    # low-memory streaming was requested).
+    resident_budget = 4 << 30
+    use_resident = cache_blocks and n * w * 4 <= resident_budget
+
+    n_pad = ((n + block - 1) // block) * block
+    nblocks = n_pad // block
+
+    issued = []
+    if use_resident:
+        x_all_np = np.zeros((n_pad, w), dtype=np.uint32)
+        for t in range(n):
+            x_all_np[t] = packed[t]
+        s_all = np.zeros(n_pad, dtype=np.float32)
+        s_all[:n] = sizes_f
+        x_all = jnp.asarray(x_all_np)
+        s_dev = jnp.asarray(s_all)
+        del x_all_np
+        for bi in range(nblocks):
+            for bj in range(bi, nblocks):
+                res = _resident_screen_extract(
+                    x_all, s_dev, jnp.int32(bi), jnp.int32(bj),
+                    block=block, bits_f=float(bits),
+                    min_cont=min_cont_static, cap=cap, is_diag=bj == bi,
+                )
+                issued.append((bi, bj, None, res))
+    else:
+        dev_blocks = {}
+
+        def make_block(bi: int) -> Tuple[jax.Array, jax.Array]:
+            lo, hi = bi * block, min((bi + 1) * block, n)
+            mat = np.stack([packed[t] for t in range(lo, hi)])
+            return jnp.asarray(mat), jnp.asarray(sizes_f[lo:hi])
+
+        def get_block(bi: int):
+            if bi not in dev_blocks:
+                dev_blocks[bi] = make_block(bi)
+            return dev_blocks[bi]
+
+        for bi in range(math.ceil(n / block)):
+            si, ai = get_block(bi) if cache_blocks else make_block(bi)
+            for bj in range(bi, math.ceil(n / block)):
+                if bj == bi:
+                    sj, aj = si, ai
+                else:
+                    sj, aj = get_block(bj) if cache_blocks else make_block(bj)
+                res = _block_screen_extract_packed(
+                    si, sj, ai, aj, float(bits), min_cont_static, cap,
+                    bj == bi,
+                )
+                issued.append((bi, bj, (si, sj, ai, aj), res))
+
+    for bi, bj, dense_ctx, (cnt, ii, jj, vals) in issued:
         cnt = int(cnt)
         if cnt > cap:
-            # Rare overflow: pull the whole block densely.
+            # Rare overflow: pull the whole tile densely.
+            if dense_ctx is not None:
+                si, sj, ai, aj = dense_ctx
+            else:
+                lo_i, lo_j = bi * block, bj * block
+                si = x_all[lo_i : lo_i + block]
+                sj = x_all[lo_j : lo_j + block]
+                ai = s_dev[lo_i : lo_i + block]
+                aj = s_dev[lo_j : lo_j + block]
             cont = np.array(
                 _block_containment_packed(si, sj, ai, aj, float(bits))
             ).astype(np.float32)
@@ -299,10 +376,11 @@ def screen_triangle_packed(
             gi = np.asarray(ii[:cnt]) + bi * block
             gj = np.asarray(jj[:cnt]) + bj * block
             vals_np = np.asarray(vals[:cnt]).astype(np.float32)
+        keep = (gi < n) & (gj < n)
+        gi, gj, vals_np = gi[keep], gj[keep], vals_np[keep]
         if len(gi):
             pairs.append(np.stack([gi, gj], axis=1).astype(np.int64))
             anis.append((vals_np ** inv_k * 100.0).astype(np.float32))
-    dev_blocks.clear()
 
     if pairs:
         return ScreenResult(np.concatenate(pairs), np.concatenate(anis))
