@@ -57,7 +57,10 @@ NATIVE_FRAGMENT_MIN_IDENTITY = 0.80
 # Genome-level membership bitmap width for the fragment-containment ANI
 # stage (bits). Load factor is corrected for analytically.
 NATIVE_MEMBER_BITS = 1 << 22
-NATIVE_SMALL_MEMBER_BITS = 1 << 17
+# 2^16 keeps small-contig load factors modest (a 20kb contig at
+# fragment scale 2 is ~15% — corrected for) and lets fragment streams
+# travel as uint16.
+NATIVE_SMALL_MEMBER_BITS = 1 << 16
 # Screen-stage safety margin: a candidate survives the screen if its
 # containment exceeds margin * min_af * (ani/100)**k.
 NATIVE_SCREEN_MARGIN = 0.5

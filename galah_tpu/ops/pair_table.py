@@ -89,7 +89,7 @@ def _pair_table_kernel(
     )
     rel = flat_idx - pair_flat_start[pair_of]
     upos = jnp.clip(pair_src_start[pair_of] + rel, 0, U - 1)
-    bucket = ustream[upos]
+    bucket = ustream[upos].astype(jnp.int32)
     ref = pair_ref[pair_of]
     word_idx = ref * W + (bucket >> 5)
     words = jnp.take(bitmaps.reshape(-1), word_idx)
@@ -256,9 +256,12 @@ class PairTableVerifier:
             uh += len(sk.frag_buckets)
             uf += sk.n_fragments
 
-        ustream = np.zeros(cfg.max_unique_hashes, dtype=np.int32)
+        # uint16 stream transport when bucket indices fit (small-contig
+        # configs): halves the dominant host->device upload.
+        stream_dtype = np.uint16 if cfg.member_bits <= (1 << 16) else np.int32
+        ustream = np.zeros(cfg.max_unique_hashes, dtype=stream_dtype)
         if uh:
-            ustream[:uh] = np.concatenate(ustream_parts)
+            ustream[:uh] = np.concatenate(ustream_parts).astype(stream_dtype)
         ufrag_offsets = np.full(cfg.max_unique_frags + 1, uh, dtype=np.int32)
         uoff = np.concatenate(uoff_parts)
         ufrag_offsets[: len(uoff)] = uoff
