@@ -262,24 +262,6 @@ def _screen_min_containment(
     return defaults.NATIVE_SCREEN_MARGIN * af * (ani_threshold_pct / 100.0) ** k
 
 
-def _group_pairs_by_query(pairs: np.ndarray) -> Dict[int, List[int]]:
-    """Group candidate (i, j) pairs by one endpoint so each group runs
-    as a single one-query-many-refs device dispatch. The endpoint with
-    the larger adjacency plays 'query' to maximize batch sizes."""
-    from collections import defaultdict
-
-    deg: Dict[int, int] = defaultdict(int)
-    for i, j in pairs:
-        deg[int(i)] += 1
-        deg[int(j)] += 1
-    groups: Dict[int, List[int]] = defaultdict(list)
-    for i, j in pairs:
-        i, j = int(i), int(j)
-        q, r = (i, j) if deg[i] >= deg[j] else (j, i)
-        groups[q].append(r)
-    return groups
-
-
 class _VerifyMixin:
     """Shared verify stage: candidate pairs -> verified sparse cache."""
 
