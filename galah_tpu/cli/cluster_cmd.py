@@ -101,6 +101,12 @@ def add_cluster_arguments(sub: argparse.ArgumentParser) -> None:
                         help="Print newline-separated list of paths to representatives into this file")
     output.add_argument("--metrics-json", metavar="PATH",
                         help="Write phase timings and throughput counters as JSON")
+    output.add_argument("--output-distance-cache", metavar="PATH",
+                        help="Save the verified sparse ANI pair list (npz) for later "
+                             "--input-distance-cache resume")
+    output.add_argument("--input-distance-cache", metavar="PATH",
+                        help="Resume from a saved distance cache instead of recomputing "
+                             "the sketch/screen/verify phases (genome list must match)")
 
 
 def run_cluster(args: argparse.Namespace) -> None:
@@ -108,6 +114,13 @@ def run_cluster(args: argparse.Namespace) -> None:
     from galah_tpu.utils import metrics
 
     run_metrics = metrics.reset()
+
+    profile_dir = os.environ.get("GALAH_TPU_PROFILE")
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
+
     genome_fasta_files = parse_list_of_genome_fasta_files(args)
     cluster_contigs = args.cluster_contigs
 
@@ -194,7 +207,92 @@ def run_cluster(args: argparse.Namespace) -> None:
     if getattr(args, "metrics_json", None):
         run_metrics.count("clusters", len(clusters))
         run_metrics.dump_json(args.metrics_json)
+    if profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
+        logger.info("Wrote JAX profiler trace to %s", profile_dir)
     logger.info("Finished printing genome clusters")
+
+
+class _RecordingPreclusterer:
+    """Wraps a preclusterer and saves its sparse result to disk — the
+    phase checkpoint for --output-distance-cache."""
+
+    def __init__(self, inner, out_path: str, contig_names=None) -> None:
+        self._inner = inner
+        self._out_path = out_path
+        self._contig_names = contig_names
+        self.supports_contigs = getattr(inner, "supports_contigs", True)
+
+    def _save(self, cache, names):
+        from galah_tpu.sketch.store import save_distance_cache
+
+        save_distance_cache(cache, self._out_path, names=names)
+        logger.info("Saved distance cache (%d pairs) to %s", len(cache), self._out_path)
+
+    def distances(self, paths):
+        cache = self._inner.distances(paths)
+        self._save(cache, paths)
+        return cache
+
+    def distances_contigs(self, paths, contig_names):
+        cache = self._inner.distances_contigs(paths, contig_names)
+        self._save(cache, contig_names)
+        return cache
+
+    def distances_with_references(self, paths, refs):
+        cache = self._inner.distances_with_references(paths, refs)
+        self._save(cache, paths)
+        return cache
+
+    def method_name(self):
+        return self._inner.method_name()
+
+
+class _PrecomputedPreclusterer:
+    """Serves a previously saved distance cache, remapped by unit name
+    to the current ordering — the --input-distance-cache resume path."""
+
+    supports_contigs = True
+
+    def __init__(self, cache, names, method_name: str) -> None:
+        self._by_name = {}
+        idx = {n: i for i, n in enumerate(names)}
+        self._old_index = idx
+        self._cache = cache
+        self._names = names
+        self._method = method_name
+
+    def _remap(self, units):
+        from galah_tpu.cluster.cache import SortedPairDistanceCache
+
+        missing = [u for u in units if u not in self._old_index]
+        if missing:
+            raise SystemExit(
+                f"--input-distance-cache does not cover {len(missing)} input "
+                f"unit(s), e.g. {missing[0]}"
+            )
+        new_of_old = {}
+        for new_i, u in enumerate(units):
+            new_of_old[self._old_index[u]] = new_i
+        out = SortedPairDistanceCache()
+        for (i, j), v in self._cache.items():
+            if i in new_of_old and j in new_of_old:
+                out.insert((new_of_old[i], new_of_old[j]), v)
+        return out
+
+    def distances(self, paths):
+        return self._remap(list(paths))
+
+    def distances_contigs(self, paths, contig_names):
+        return self._remap(list(contig_names))
+
+    def distances_with_references(self, paths, refs):
+        return self._remap(list(paths))
+
+    def method_name(self):
+        return self._method
 
 
 def generate_galah_clusterer(
@@ -304,6 +402,23 @@ def generate_galah_clusterer(
         )
     else:
         raise SystemExit(f"Unknown cluster method {args.cluster_method}")
+
+    if getattr(args, "input_distance_cache", None):
+        from galah_tpu.sketch.store import load_distance_cache
+
+        logger.info("Loading distance cache from %s", args.input_distance_cache)
+        cache, names = load_distance_cache(args.input_distance_cache)
+        if names is None:
+            raise SystemExit(
+                "The distance cache has no unit names and cannot be remapped"
+            )
+        preclusterer = _PrecomputedPreclusterer(
+            cache, names, args.precluster_method
+        )
+    elif getattr(args, "output_distance_cache", None):
+        preclusterer = _RecordingPreclusterer(
+            preclusterer, args.output_distance_cache
+        )
 
     return {
         "genome_fasta_paths": v2,

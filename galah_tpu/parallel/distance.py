@@ -97,7 +97,16 @@ def sharded_screen_triangle(
         )
         return _cont_from_counts(counts, sizes_all, sizes_all, bits_f)
 
-    cont = np.array(screen(x_sharded, s_rep, bits_f=float(bits)))
+    result = screen(x_sharded, s_rep, bits_f=float(bits))
+    if jax.process_count() > 1:
+        # Multi-host: shards live on different processes; gather across
+        # the DCN before host-side sparse extraction (the extraction
+        # itself could be done per-shard and allgathered sparsely — an
+        # optimization once pair densities warrant it).
+        from jax.experimental import multihost_utils
+
+        result = multihost_utils.process_allgather(result, tiled=True)
+    cont = np.array(result)
     cont = cont[:n, :n]
     iu = np.triu_indices(n, k=1)
     mask = cont[iu] >= min_containment

@@ -78,3 +78,50 @@ def test_low_memory_same_clusters(tmp_path):
     content = open(out1).read()
     assert content == open(out2).read()
     assert len(content.splitlines()) == 5  # {0,1,3},{2},{4}
+
+
+def test_distance_cache_save_and_resume(tmp_path):
+    """--output-distance-cache then --input-distance-cache must produce
+    identical clusters without recomputing the device phases."""
+    genomes = [
+        data("abisko4/73.20120800_S1X.13.fna"),
+        data("abisko4/73.20120600_S2D.19.fna"),
+        data("abisko4/73.20120700_S3X.12.fna"),
+        data("abisko4/73.20110800_S2D.13.fna"),
+    ]
+    cache_path = tmp_path / "dist.npz"
+    out1 = tmp_path / "c1.tsv"
+    main([
+        "cluster", "-f", *genomes, "--ani", "99",
+        "--output-distance-cache", str(cache_path),
+        "--output-cluster-definition", str(out1),
+    ])
+    assert cache_path.exists()
+
+    out2 = tmp_path / "c2.tsv"
+    main([
+        "cluster", "-f", *genomes, "--ani", "99",
+        "--input-distance-cache", str(cache_path),
+        "--output-cluster-definition", str(out2),
+    ])
+    assert open(out1).read() == open(out2).read()
+
+    # resume with a reordered subset: remapped by name
+    out3 = tmp_path / "c3.tsv"
+    main([
+        "cluster", "-f", genomes[2], genomes[0], "--ani", "99",
+        "--input-distance-cache", str(cache_path),
+        "--output-cluster-definition", str(out3),
+    ])
+    lines = open(out3).read().splitlines()
+    assert len(lines) == 2  # two singletons (0 and 2 are not 99% related)
+
+    # a genome absent from the cache errors cleanly
+    import pytest
+
+    with pytest.raises(SystemExit, match="does not cover"):
+        main([
+            "cluster", "-f", genomes[0], data("set1/1mbp.fna"),
+            "--input-distance-cache", str(cache_path),
+            "--output-cluster-definition", "/dev/null",
+        ])
