@@ -20,6 +20,9 @@ logger = logging.getLogger(__name__)
 
 def add_analyse_arguments(sub: argparse.ArgumentParser, for_process: bool = False) -> None:
     if not for_process:
+        from galah_tpu.cli.common import add_full_help_flags
+
+        add_full_help_flags(sub)
         add_verbosity_flags(sub)
         add_genome_specification_arguments(sub)
         sub.add_argument("-t", "--threads", type=int, default=1, metavar="N",

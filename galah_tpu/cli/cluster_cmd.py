@@ -30,6 +30,9 @@ logger = logging.getLogger(__name__)
 
 
 def add_cluster_arguments(sub: argparse.ArgumentParser) -> None:
+    from galah_tpu.cli.common import add_full_help_flags
+
+    add_full_help_flags(sub)
     add_verbosity_flags(sub)
     add_genome_specification_arguments(sub)
     sub.add_argument("-t", "--threads", type=int, default=1, metavar="N",
@@ -91,7 +94,7 @@ def add_cluster_arguments(sub: argparse.ArgumentParser) -> None:
                             help="File of reference genome paths, one per line")
 
     output = sub.add_argument_group("output parameters")
-    output.add_argument("--output-cluster-definition", metavar="PATH",
+    output.add_argument("-o", "--output-cluster-definition", metavar="PATH",
                         help="Output a file of representative<TAB>member lines")
     output.add_argument("--output-representative-fasta-directory", metavar="PATH",
                         help="Symlink representative genomes into this directory")

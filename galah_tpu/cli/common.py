@@ -17,6 +17,57 @@ import sys
 from typing import List, Optional
 
 
+class _FullHelpAction(argparse.Action):
+    """--full-help: the complete option listing (the reference renders a
+    man page via bird_tool_utils-man; here the argparse help is already
+    the full reference)."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        parser.print_help()
+        parser.exit(0)
+
+
+class _FullHelpRoffAction(argparse.Action):
+    """--full-help-roff: emit the help as a roff man page for pandoc
+    conversion, like the reference's --full-help-roff
+    (src/cluster_argument_parsing.rs:1532-1601, admin/build_docs.py)."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        print(format_roff(parser))
+        parser.exit(0)
+
+
+def format_roff(parser: argparse.ArgumentParser) -> str:
+    from galah_tpu import __version__
+
+    name = parser.prog.replace(" ", "-")
+    lines = [
+        f'.TH "{name}" "1" "" "galah-tpu {__version__}" "User Commands"',
+        ".SH NAME",
+        f"{name} \\- {parser.description or ''}",
+        ".SH OPTIONS",
+    ]
+    for action in parser._actions:
+        if not action.option_strings:
+            continue
+        opts = ", ".join(action.option_strings)
+        metavar = action.metavar or (
+            action.dest.upper() if action.nargs != 0 else ""
+        )
+        head = f"{opts} {metavar}".strip()
+        lines.append(".TP")
+        lines.append(f"\\fB{head}\\fR")
+        lines.append((action.help or "").replace("\\", "\\\\"))
+    return "\n".join(lines)
+
+
+def add_full_help_flags(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--full-help", nargs=0, action=_FullHelpAction,
+                        help="Display the complete option help")
+    parser.add_argument("--full-help-roff", nargs=0, action=_FullHelpRoffAction,
+                        help="Output the complete help as a roff man page")
+
+
 def add_verbosity_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument(
         "-v", "--verbose", action="store_true", help="Print extra debugging information"
