@@ -17,6 +17,7 @@ fetched to host for timing.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -52,8 +53,15 @@ def main() -> None:
         sizes = jnp.sum(x.astype(jnp.float32), axis=1)
         return x, sizes
 
+    print(f"bench: backend={jax.default_backend()}", file=sys.stderr, flush=True)
+    t_setup = time.perf_counter()
     x, sizes = make_inputs(jax.random.PRNGKey(0))
     x.block_until_ready()
+    print(
+        f"bench: inputs ready in {time.perf_counter() - t_setup:.1f}s",
+        file=sys.stderr,
+        flush=True,
+    )
 
     @jax.jit
     def screen(xs, sz):
@@ -75,7 +83,13 @@ def main() -> None:
 
     # compile + warmup; fetch the scalar so async dispatch can't fool
     # the timer.
+    t_compile = time.perf_counter()
     float(screen(x, sizes))
+    print(
+        f"bench: compile+warmup {time.perf_counter() - t_compile:.1f}s",
+        file=sys.stderr,
+        flush=True,
+    )
 
     iters = 5
     t0 = time.perf_counter()
