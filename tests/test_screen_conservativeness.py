@@ -1,0 +1,47 @@
+"""The screen must never drop a pair the verify stage would accept —
+its cutoff is derived from the worst admissible case (minimum aligned
+fraction at exactly the ANI threshold, with a safety margin;
+engines/native._screen_min_containment)."""
+
+import numpy as np
+
+from galah_tpu.engines.native import (
+    NativeContext,
+    NativePreclusterer,
+    _screen_min_containment,
+)
+from galah_tpu.utils.synth import mutate, random_genome, write_fasta
+
+
+def test_cutoff_formula_below_worst_case():
+    # worst containment for a passing pair ~ af * (ani/100)^k; the
+    # cutoff must sit below it with margin
+    k = 15
+    for ani in (90.0, 95.0, 99.0):
+        for af in (0.15, 0.3, 0.7):
+            worst = af * (ani / 100.0) ** k
+            cutoff = _screen_min_containment(ani, af, k)
+            assert cutoff < worst * 0.75
+
+
+def test_borderline_pair_survives_screen(tmp_path):
+    """AF barely above the minimum, ANI barely above threshold: the
+    pair must be in the verified cache."""
+    rng = np.random.default_rng(17)
+    L = 400_000
+    shared_len = int(L * 0.22)  # just above the 0.15 default min AF
+    shared = random_genome(rng, shared_len)
+    a = np.concatenate([shared, random_genome(rng, L - shared_len)])
+    b = np.concatenate(
+        [mutate(rng, shared, 0.965), random_genome(rng, L - shared_len)]
+    )
+    p1, p2 = str(tmp_path / "a.fna"), str(tmp_path / "b.fna")
+    write_fasta(p1, a, "a")
+    write_fasta(p2, b, "b")
+
+    ctx = NativeContext(threads=2)
+    pre = NativePreclusterer(threshold=95.0, min_aligned_threshold=0.15, ctx=ctx)
+    cache = pre.distances([p1, p2])
+    got = cache.get((0, 1))
+    assert got is not None, "borderline pair was screened out"
+    assert got[0] > 95.0
