@@ -361,16 +361,32 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
         query_idx = [i for i, p in enumerate(genome_fasta_paths) if p not in ref_set]
         if not ref_idx or not query_idx:
             return SortedPairDistanceCache()
-        res = screen_rectangle(
-            [sketches[i].prefilter_indicator() for i in query_idx],
-            np.asarray([sketches[i].n_prefilter for i in query_idx]),
-            [sketches[i].prefilter_indicator() for i in ref_idx],
-            np.asarray([sketches[i].n_prefilter for i in ref_idx]),
-            self.ctx.params.k,
-            _screen_min_containment(
-                self.threshold, self.min_aligned_threshold, self.ctx.params.k
-            ),
+        min_cont = _screen_min_containment(
+            self.threshold, self.min_aligned_threshold, self.ctx.params.k
         )
+        if _screen_backend() == "indicator":
+            res = screen_rectangle(
+                [sketches[i].prefilter_indicator() for i in query_idx],
+                np.asarray([sketches[i].n_prefilter for i in query_idx]),
+                [sketches[i].prefilter_indicator() for i in ref_idx],
+                np.asarray([sketches[i].n_prefilter for i in ref_idx]),
+                self.ctx.params.k,
+                min_cont,
+            )
+        else:
+            from galah_tpu.ops.popcount_screen import pack_indicator
+            from galah_tpu.ops.prefilter import screen_rectangle_packed
+
+            bits = self.ctx.params.prefilter_bits
+            res = screen_rectangle_packed(
+                [pack_indicator(sketches[i].prefilter_buckets, bits) for i in query_idx],
+                np.asarray([sketches[i].n_prefilter for i in query_idx]),
+                [pack_indicator(sketches[i].prefilter_buckets, bits) for i in ref_idx],
+                np.asarray([sketches[i].n_prefilter for i in ref_idx]),
+                self.ctx.params.k,
+                min_cont,
+                bits,
+            )
         if len(res.pairs) == 0:
             return SortedPairDistanceCache()
         remapped = np.stack(

@@ -387,6 +387,88 @@ def screen_triangle_packed(
     return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
 
 
+def screen_rectangle_packed(
+    query_packed: Sequence[np.ndarray],
+    query_sizes: np.ndarray,
+    ref_packed: Sequence[np.ndarray],
+    ref_sizes: np.ndarray,
+    k: int,
+    min_containment: float,
+    bits: int,
+    block: int = 1024,
+) -> ScreenResult:
+    """Cross-group screen over packed bitmaps (reference-genome mode)
+    using the resident matrix + on-device sparse extraction: queries and
+    refs concatenate into one resident matrix and tiles address
+    (query-block, ref-block) index ranges. Returned pairs are
+    (query_idx, ref_idx)."""
+    nq, nr = len(query_packed), len(ref_packed)
+    if nq == 0 or nr == 0:
+        return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
+    w = len(query_packed[0])
+    inv_k = 1.0 / k
+    cap = 16384
+    min_cont_static = float(np.float32(min_containment))
+
+    nq_pad = ((nq + block - 1) // block) * block
+    nr_pad = ((nr + block - 1) // block) * block
+    x_all_np = np.zeros((nq_pad + nr_pad, w), dtype=np.uint32)
+    for t in range(nq):
+        x_all_np[t] = query_packed[t]
+    for t in range(nr):
+        x_all_np[nq_pad + t] = ref_packed[t]
+    s_all = np.zeros(nq_pad + nr_pad, dtype=np.float32)
+    s_all[:nq] = query_sizes.astype(np.float32)
+    s_all[nq_pad : nq_pad + nr] = ref_sizes.astype(np.float32)
+    x_all = jnp.asarray(x_all_np)
+    s_dev = jnp.asarray(s_all)
+    del x_all_np
+
+    pairs: List[np.ndarray] = []
+    anis: List[np.ndarray] = []
+    issued = []
+    ref_block0 = nq_pad // block
+    for bi in range(nq_pad // block):
+        for bj in range(nr_pad // block):
+            res = _resident_screen_extract(
+                x_all, s_dev, jnp.int32(bi), jnp.int32(ref_block0 + bj),
+                block=block, bits_f=float(bits),
+                min_cont=min_cont_static, cap=cap, is_diag=False,
+            )
+            issued.append((bi, bj, res))
+
+    for bi, bj, (cnt, ii, jj, vals) in issued:
+        cnt = int(cnt)
+        if cnt > cap:
+            lo_i, lo_j = bi * block, nq_pad + bj * block
+            cont = np.array(
+                _block_containment_packed(
+                    x_all[lo_i : lo_i + block],
+                    x_all[lo_j : lo_j + block],
+                    s_dev[lo_i : lo_i + block],
+                    s_dev[lo_j : lo_j + block],
+                    float(bits),
+                )
+            ).astype(np.float32)
+            hit = np.argwhere(cont >= min_containment)
+            gi = hit[:, 0] + bi * block
+            gj = hit[:, 1] + bj * block
+            vals_np = cont[hit[:, 0], hit[:, 1]]
+        else:
+            gi = np.asarray(ii[:cnt]) + bi * block
+            gj = np.asarray(jj[:cnt]) + bj * block
+            vals_np = np.asarray(vals[:cnt]).astype(np.float32)
+        keep = (gi < nq) & (gj < nr)
+        gi, gj, vals_np = gi[keep], gj[keep], vals_np[keep]
+        if len(gi):
+            pairs.append(np.stack([gi, gj], axis=1).astype(np.int64))
+            anis.append((vals_np ** inv_k * 100.0).astype(np.float32))
+
+    if pairs:
+        return ScreenResult(np.concatenate(pairs), np.concatenate(anis))
+    return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
+
+
 def screen_rectangle(
     query_indicators: Sequence[np.ndarray],
     query_sizes: np.ndarray,

@@ -174,3 +174,23 @@ def test_reference_genome_high_contamination_excluded(tmp_path):
     assert read(out) == (
         f"{data('abisko4/73.20110600_S2D.10.fna')}\t{data('abisko4/73.20110600_S2D.10.fna')}\n"
     )
+
+
+def test_reference_mode_packed_matches_indicator(tmp_path, monkeypatch):
+    """The packed rectangular screen must give the same reference-mode
+    clusters as the indicator path."""
+    argsets = []
+    for backend in ("indicator", "packed"):
+        monkeypatch.setenv("GALAH_TPU_SCREEN", backend)
+        out = tmp_path / f"c_{backend}.tsv"
+        main([
+            "cluster", "--genome-fasta-files",
+            data("abisko4/73.20120800_S1X.13.fna"), data("set1/500kb.fna"),
+            "--reference-genomes",
+            data("set1/1mbp.fna"), data("abisko4/73.20120600_S2D.19.fna"),
+            "--ani", "95",
+            "--output-cluster-definition", str(out),
+        ])
+        argsets.append(read(out))
+    assert argsets[0] == argsets[1]
+    assert len(argsets[0].splitlines()) == 4
