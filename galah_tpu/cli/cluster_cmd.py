@@ -222,16 +222,18 @@ class _RecordingPreclusterer:
     """Wraps a preclusterer and saves its sparse result to disk — the
     phase checkpoint for --output-distance-cache."""
 
-    def __init__(self, inner, out_path: str, contig_names=None) -> None:
+    def __init__(self, inner, out_path: str, threshold: Optional[float] = None) -> None:
         self._inner = inner
         self._out_path = out_path
-        self._contig_names = contig_names
+        self._threshold = threshold
         self.supports_contigs = getattr(inner, "supports_contigs", True)
 
     def _save(self, cache, names):
         from galah_tpu.sketch.store import save_distance_cache
 
-        save_distance_cache(cache, self._out_path, names=names)
+        save_distance_cache(
+            cache, self._out_path, names=names, threshold=self._threshold
+        )
         logger.info("Saved distance cache (%d pairs) to %s", len(cache), self._out_path)
 
     def distances(self, paths):
@@ -410,17 +412,25 @@ def generate_galah_clusterer(
         from galah_tpu.sketch.store import load_distance_cache
 
         logger.info("Loading distance cache from %s", args.input_distance_cache)
-        cache, names = load_distance_cache(args.input_distance_cache)
+        cache, names, saved_threshold = load_distance_cache(
+            args.input_distance_cache
+        )
         if names is None:
             raise SystemExit(
                 "The distance cache has no unit names and cannot be remapped"
+            )
+        if saved_threshold is not None and pre_threshold_pct < saved_threshold - 1e-6:
+            raise SystemExit(
+                f"--input-distance-cache was recorded at ANI {saved_threshold:g} "
+                f"but this run needs pairs down to {pre_threshold_pct:g}; "
+                "re-run without the cache to recompute"
             )
         preclusterer = _PrecomputedPreclusterer(
             cache, names, args.precluster_method
         )
     elif getattr(args, "output_distance_cache", None):
         preclusterer = _RecordingPreclusterer(
-            preclusterer, args.output_distance_cache
+            preclusterer, args.output_distance_cache, threshold=pre_threshold_pct
         )
 
     return {

@@ -61,7 +61,9 @@ def run_process(args: argparse.Namespace) -> None:
         elif args.reference_genomes_list:
             with open(args.reference_genomes_list) as f:
                 reference_genomes = [
-                    line.rstrip("\n") for line in f if line.strip()
+                    line.rstrip("\n").split("\t")[0]
+                    for line in f
+                    if line.strip()
                 ]
         if reference_genomes is not None:
             logger.info("Clustering against %d reference genomes", len(reference_genomes))

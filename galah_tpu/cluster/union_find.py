@@ -44,10 +44,3 @@ class DisjointSet:
         for i in range(len(self.parent)):
             groups.setdefault(self.find(i), []).append(i)
         return [sorted(v) for _, v in sorted(groups.items(), key=lambda kv: min(kv[1]))]
-
-
-def union_find_from_pairs(n: int, pairs) -> DisjointSet:
-    ds = DisjointSet(n)
-    for i, j in pairs:
-        ds.join(int(i), int(j))
-    return ds

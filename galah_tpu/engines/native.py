@@ -258,7 +258,16 @@ def _screen_backend() -> str:
 def _screen_min_containment(
     ani_threshold_pct: float, min_af: float, k: int
 ) -> float:
-    af = max(min_af, defaults.NATIVE_SCREEN_MIN_AF_FLOOR)
+    floor = defaults.NATIVE_SCREEN_MIN_AF_FLOOR
+    if 0 < min_af < floor:
+        logger.warning(
+            "--min-aligned-fraction %.3g is below the screen's %.3g floor; "
+            "pairs with aligned fraction under the floor may be missed by "
+            "the prefilter",
+            min_af,
+            floor,
+        )
+    af = max(min_af, floor)
     return defaults.NATIVE_SCREEN_MARGIN * af * (ani_threshold_pct / 100.0) ** k
 
 
@@ -414,10 +423,17 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
         min_cont = _screen_min_containment(
             self.threshold, self.min_aligned_threshold, k
         )
+        import os as _os
         import time as _time
 
         _t0 = _time.perf_counter()
-        if jax.device_count() > 1 and n <= 32768 and not self.ctx.low_memory:
+        explicit_backend = _os.environ.get("GALAH_TPU_SCREEN")
+        if (
+            explicit_backend is None
+            and jax.device_count() > 1
+            and n <= 32768
+            and not self.ctx.low_memory
+        ):
             # Mesh-sharded sweep: rows data-parallel across devices,
             # XLA inserts the all-gather of the contracted side.
             from galah_tpu.parallel.distance import sharded_screen_triangle

@@ -36,37 +36,6 @@ class ScreenResult:
     ani_est: np.ndarray    # (P,) float32 — percentage scale
 
 
-@partial(jax.jit, static_argnames=("bits",))
-def _block_counts(si: jax.Array, sj: jax.Array, bits: int) -> jax.Array:
-    """Intersection counts between two indicator blocks.
-
-    si: (bi, B) , sj: (bj, B) 0/1 bf16 -> (bi, bj) f32 counts (exact).
-    """
-    return jax.lax.dot_general(
-        si,
-        sj,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-
-@partial(jax.jit, static_argnames=("bits_f",))
-def _block_containment_u8(
-    si_u8: jax.Array, sj_u8: jax.Array, a: jax.Array, b: jax.Array, bits_f: float
-) -> jax.Array:
-    """Fused screen block: uint8 indicators in (4x less host->device
-    traffic than bf16; cast to the matmul dtype on device), collision-
-    corrected containment out as bf16 (2x less device->host)."""
-    dt = _screen_dtype()
-    counts = jax.lax.dot_general(
-        si_u8.astype(dt),
-        sj_u8.astype(dt),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    return _containment(counts, a, b, bits_f).astype(jnp.bfloat16)
-
-
 def _unpack_bits(x_packed: jax.Array, dt) -> jax.Array:
     """(n, W) uint32 packed bitmap -> (n, W*32) 0/1 in dtype dt,
     word-major bit-minor (matches ops.popcount_screen.pack_indicator)."""
@@ -161,6 +130,22 @@ def _block_screen_extract_packed(
 
 
 @partial(jax.jit, static_argnames=("bits_f",))
+def _block_containment_u8(
+    si_u8: jax.Array, sj_u8: jax.Array, a: jax.Array, b: jax.Array, bits_f: float
+) -> jax.Array:
+    """Fused screen block: uint8 indicators in (cast to the matmul dtype
+    on device), collision-corrected containment out as bf16."""
+    dt = _screen_dtype()
+    counts = jax.lax.dot_general(
+        si_u8.astype(dt),
+        sj_u8.astype(dt),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return _containment(counts, a, b, bits_f).astype(jnp.bfloat16)
+
+
+@partial(jax.jit, static_argnames=("bits_f",))
 def _block_containment_packed(
     si_pk: jax.Array, sj_pk: jax.Array, a: jax.Array, b: jax.Array, bits_f: float
 ) -> jax.Array:
@@ -200,10 +185,6 @@ def _screen_dtype():
         if jax.default_backend() not in ("cpu",)
         else jnp.float32
     )
-
-
-def _to_device_block(indicators: np.ndarray) -> jax.Array:
-    return jnp.asarray(indicators, dtype=_screen_dtype())
 
 
 def screen_triangle(
@@ -349,20 +330,24 @@ def screen_triangle_packed(
                     si, sj, ai, aj, float(bits), min_cont_static, cap,
                     bj == bi,
                 )
-                issued.append((bi, bj, (si, sj, ai, aj), res))
+                # Do NOT keep the device blocks alive until the drain
+                # loop — in streaming (low-memory) mode that would pin
+                # every tile's buffers; overflow re-makes them instead.
+                issued.append((bi, bj, None, res))
 
-    for bi, bj, dense_ctx, (cnt, ii, jj, vals) in issued:
+    for bi, bj, _unused, (cnt, ii, jj, vals) in issued:
         cnt = int(cnt)
         if cnt > cap:
             # Rare overflow: pull the whole tile densely.
-            if dense_ctx is not None:
-                si, sj, ai, aj = dense_ctx
-            else:
+            if use_resident:
                 lo_i, lo_j = bi * block, bj * block
                 si = x_all[lo_i : lo_i + block]
                 sj = x_all[lo_j : lo_j + block]
                 ai = s_dev[lo_i : lo_i + block]
                 aj = s_dev[lo_j : lo_j + block]
+            else:
+                si, ai = make_block(bi)
+                sj, aj = (si, ai) if bj == bi else make_block(bj)
             cont = np.array(
                 _block_containment_packed(si, sj, ai, aj, float(bits))
             ).astype(np.float32)

@@ -34,34 +34,7 @@ def encode_bases(seq: bytes) -> np.ndarray:
 def canonical_kmers(seq: bytes, k: int) -> np.ndarray:
     """All valid canonical k-mers of one sequence as uint64 (with
     duplicates, in sequence order)."""
-    if k > 31:
-        raise ValueError("k must be <= 31 to fit 2 bits/base in uint64")
-    code = encode_bases(seq)
-    n = len(code) - k + 1
-    if n <= 0:
-        return np.empty(0, dtype=np.uint64)
-
-    bad = (code == 255).astype(np.int32)
-    bad_csum = np.concatenate([[0], np.cumsum(bad)])
-    valid = (bad_csum[k:] - bad_csum[:-k]) == 0  # (n,)
-    if not valid.any():
-        return np.empty(0, dtype=np.uint64)
-
-    # Horner evaluation over shifted 1D slices with in-place ops (~2k
-    # vector ops total, no (n, k) materialization, no allocation churn).
-    code64 = (code & np.uint8(3)).astype(np.uint64)  # invalid rows masked via `valid`
-    rc_code64 = np.uint64(3) - code64
-    two = np.uint64(2)
-    fwd = np.zeros(n, dtype=np.uint64)
-    rev = np.zeros(n, dtype=np.uint64)
-    for j in range(k):
-        fwd <<= two
-        fwd |= code64[j : j + n]
-    for j in range(k - 1, -1, -1):
-        rev <<= two
-        rev |= rc_code64[j : j + n]
-    np.minimum(fwd, rev, out=fwd)
-    return fwd[valid]
+    return canonical_kmers_with_positions(seq, k)[0]
 
 
 def canonical_kmers_with_positions(seq: bytes, k: int):

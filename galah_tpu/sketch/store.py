@@ -38,8 +38,10 @@ _PARAM_FIELDS = (
 
 def save_sketch(sketch: NativeSketch, path: str) -> None:
     meta = {f: getattr(sketch.params, f) for f in _PARAM_FIELDS}
-    np.savez_compressed(
-        path,
+    # np.savez appends ".npz" to bare paths; write through a file handle
+    # so the file lands exactly where the caller asked.
+    with open(path, "wb") as fh:
+        _savez(fh,
         name=np.array(sketch.name),
         total_len=np.int64(sketch.total_len),
         prefilter_buckets=sketch.prefilter_buckets,
@@ -47,7 +49,7 @@ def save_sketch(sketch: NativeSketch, path: str) -> None:
         frag_offsets=sketch.frag_offsets,
         member_buckets=sketch.member_buckets,
         params_json=np.array(json.dumps(meta)),
-    )
+        )
 
 
 def load_sketch(path: str) -> NativeSketch:
@@ -115,10 +117,13 @@ class DiskSketchStore:
 
 
 def save_distance_cache(
-    cache: SortedPairDistanceCache, path: str, names=None
+    cache: SortedPairDistanceCache, path: str, names=None,
+    threshold: Optional[float] = None,
 ) -> None:
     """Persist the sparse above-threshold pair list (the phase-2
-    artifact; pairs whose value is None are kept distinct)."""
+    artifact; pairs whose value is None are kept distinct). `threshold`
+    records the ANI the pairs were filtered at so resume can detect an
+    incompatible (lower) threshold."""
     items = list(cache.items())
     ii = np.array([k[0] for k, _ in items], dtype=np.int64)
     jj = np.array([k[1] for k, _ in items], dtype=np.int64)
@@ -129,13 +134,22 @@ def save_distance_cache(
     kwargs = dict(i=ii, j=jj, values=vals, has_value=has_val)
     if names is not None:
         kwargs["names"] = np.array(list(names))
-    np.savez_compressed(path, **kwargs)
+    if threshold is not None:
+        kwargs["threshold"] = np.float64(threshold)
+    with open(path, "wb") as fh:
+        _savez(fh, **kwargs)
 
 
-def load_distance_cache(path: str) -> Tuple[SortedPairDistanceCache, Optional[list]]:
+def load_distance_cache(path: str):
+    """Returns (cache, names, threshold-or-None)."""
     cache = SortedPairDistanceCache()
     with np.load(path, allow_pickle=False) as z:
         for i, j, v, hv in zip(z["i"], z["j"], z["values"], z["has_value"]):
             cache.insert((int(i), int(j)), float(v) if hv else None)
         names = [str(n) for n in z["names"]] if "names" in z else None
-    return cache, names
+        threshold = float(z["threshold"]) if "threshold" in z else None
+    return cache, names, threshold
+
+
+def _savez(fh, **kwargs) -> None:
+    np.savez_compressed(fh, **kwargs)

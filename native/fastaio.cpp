@@ -177,8 +177,21 @@ bool read_fasta_file(const char* path, std::vector<FastaRecordC>* out,
     }
     if (start < n) pending.append(buf + start, n - start);
   }
+  if (n < 0) {
+    // gzread returns -1 on a stream/CRC error; report it rather than
+    // silently truncating the file (the numpy fallback raises too).
+    int errnum = 0;
+    const char* msg = gzerror(f, &errnum);
+    *err = std::string("error reading ") + path + ": " +
+           (msg ? msg : "gzread failed");
+    gzclose(f);
+    return false;
+  }
   if (!pending.empty()) handle_line(pending);
-  gzclose(f);
+  if (gzclose(f) != Z_OK) {
+    *err = std::string("error closing ") + path + " (corrupt gzip stream?)";
+    return false;
+  }
   return true;
 }
 
@@ -255,8 +268,10 @@ void sketch_sequences_native_cpp(
                                  (h & member_mask));
             }
           }
-          if (h < gthresh) pref.push_back(h & pref_mask);
         }
+        // Independent of the fragment threshold: parity with the numpy
+        // path when genome_scale < fragment_scale (gthresh > fthresh).
+        if (h < gthresh) pref.push_back(h & pref_mask);
       }
     }
     frag_base += nfrag;

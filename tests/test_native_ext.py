@@ -94,3 +94,16 @@ def test_native_sketch_contig_mode_parity():
         assert np.array_equal(raw["member_buckets"], ref.member_buckets)
         assert np.array_equal(raw["frag_buckets"], ref.frag_buckets)
         assert np.array_equal(raw["frag_offsets"], ref.frag_offsets)
+
+
+def test_corrupt_gzip_errors(tmp_path):
+    """A truncated gzip stream must raise, not silently truncate (both
+    native and numpy paths)."""
+    import gzip
+
+    good = gzip.compress(b">c1\n" + b"ACGT" * 5000 + b"\n")
+    bad = tmp_path / "corrupt.fna.gz"
+    bad.write_bytes(good[: len(good) // 2])
+    with pytest.raises(Exception):
+        f = native_ext.NativeFasta(str(bad))
+        f.genome_stats()

@@ -48,9 +48,10 @@ def test_distance_cache_roundtrip(tmp_path):
     cache.insert((0, 3), 97.5)
     cache.insert((1, 2), None)
     p = str(tmp_path / "cache.npz")
-    save_distance_cache(cache, p, names=["a", "b", "c", "d"])
-    cache2, names = load_distance_cache(p)
+    save_distance_cache(cache, p, names=["a", "b", "c", "d"], threshold=95.0)
+    cache2, names, threshold = load_distance_cache(p)
     assert names == ["a", "b", "c", "d"]
+    assert threshold == 95.0
     assert cache2.get((3, 0)) == (97.5,)
     assert cache2.get((1, 2)) == (None,)
     assert len(cache2) == 2
@@ -121,7 +122,44 @@ def test_distance_cache_save_and_resume(tmp_path):
 
     with pytest.raises(SystemExit, match="does not cover"):
         main([
-            "cluster", "-f", genomes[0], data("set1/1mbp.fna"),
+            "cluster", "-f", genomes[0], data("set1/1mbp.fna"), "--ani", "99",
+            "--input-distance-cache", str(cache_path),
+            "--output-cluster-definition", "/dev/null",
+        ])
+
+
+def test_distance_cache_exact_path_no_npz_suffix(tmp_path):
+    """np.savez appends .npz to bare paths; ours must write exactly
+    where asked so --input-distance-cache round-trips."""
+    cache = SortedPairDistanceCache()
+    cache.insert((0, 1), 99.0)
+    p = str(tmp_path / "cache_no_suffix")
+    save_distance_cache(cache, p, names=["a", "b"])
+    import os
+
+    assert os.path.exists(p)
+    cache2, names, _ = load_distance_cache(p)
+    assert cache2.get((0, 1)) == (99.0,)
+
+
+def test_resume_rejects_lower_threshold(tmp_path):
+    import pytest
+
+    from galah_tpu.cli.main import main as cli_main
+
+    genomes = [
+        data("abisko4/73.20120800_S1X.13.fna"),
+        data("abisko4/73.20120600_S2D.19.fna"),
+    ]
+    cache_path = tmp_path / "c.npz"
+    cli_main([
+        "cluster", "-f", *genomes, "--ani", "99",
+        "--output-distance-cache", str(cache_path),
+        "--output-cluster-definition", "/dev/null",
+    ])
+    with pytest.raises(SystemExit, match="recorded at ANI"):
+        cli_main([
+            "cluster", "-f", *genomes, "--ani", "95",
             "--input-distance-cache", str(cache_path),
             "--output-cluster-definition", "/dev/null",
         ])
