@@ -1,0 +1,15 @@
+.PHONY: all native test bench clean
+
+all: native
+
+native:
+	$(MAKE) -C native
+
+test: native
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+clean:
+	$(MAKE) -C native clean
