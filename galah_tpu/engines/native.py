@@ -431,18 +431,36 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
         if (
             explicit_backend is None
             and jax.device_count() > 1
-            and n <= 32768
+            and self.ctx.low_memory
+        ):
+            logger.info(
+                "%d devices available but --low-memory streams sketches from "
+                "disk; screening on one device",
+                jax.device_count(),
+            )
+        if (
+            explicit_backend is None
+            and jax.device_count() > 1
             and not self.ctx.low_memory
         ):
-            # Mesh-sharded sweep: rows data-parallel across devices,
-            # XLA inserts the all-gather of the contracted side.
-            from galah_tpu.parallel.distance import sharded_screen_triangle
+            # Mesh-sharded tiled sweep: the packed matrix is resident on
+            # every device and the tile list is sharded — only sparse
+            # above-cutoff results leave a device (no n^2 anywhere).
+            from galah_tpu.parallel.distance import (
+                sharded_screen_triangle_packed,
+            )
 
-            res = sharded_screen_triangle(
-                np.stack([s.prefilter_indicator() for s in sketches]),
+            bits = self.ctx.params.prefilter_bits
+            logger.info(
+                "Screening on %d devices (sharded tile sweep)",
+                jax.device_count(),
+            )
+            res = sharded_screen_triangle_packed(
+                _LazyPackedRows(sketches, bits),
                 np.asarray([s.n_prefilter for s in sketches]),
                 k,
                 min_cont,
+                bits,
             )
         elif _screen_backend() == "popcount":
             # Pallas packed-bitmap kernel (VPU AND+popcount).

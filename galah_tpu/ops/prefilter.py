@@ -18,7 +18,7 @@ import logging
 import math
 from dataclasses import dataclass
 from functools import partial
-from typing import List, Sequence
+from typing import List, Sequence, Tuple
 
 import numpy as np
 
@@ -177,6 +177,25 @@ def _containment(counts: jax.Array, a: jax.Array, b: jax.Array, bits_f: float):
     return jnp.minimum(c / denom, 1.0)
 
 
+def _device_resident_budget() -> int:
+    """HBM budget for keeping the packed matrix resident: half the
+    device's reported memory limit, falling back to 4GB when the
+    backend doesn't report one (CPU)."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"]) // 2
+    except Exception:
+        pass
+    return 4 << 30
+
+
+# In-flight tile dispatches before the oldest result is drained: keeps
+# device->host results bounded (window * cap entries) while still
+# pipelining dispatch latency.
+TILE_WINDOW = 16
+
+
 def _screen_dtype():
     # bf16 feeds the MXU on TPU; CPU emulates bf16 slowly, so use f32
     # there. Both accumulate in f32 (exact for 0/1 counts).
@@ -280,15 +299,15 @@ def screen_triangle_packed(
     min_cont_static = float(np.float32(min_containment))
 
     # Resident mode: one upload of the whole packed matrix, device-side
-    # tile slicing (unless it would not fit a conservative HBM budget or
+    # tile slicing (unless it would not fit the device's HBM budget or
     # low-memory streaming was requested).
-    resident_budget = 4 << 30
-    use_resident = cache_blocks and n * w * 4 <= resident_budget
+    use_resident = cache_blocks and n * w * 4 <= _device_resident_budget()
 
     n_pad = ((n + block - 1) // block) * block
     nblocks = n_pad // block
 
-    issued = []
+    x_all = s_dev = None
+    make_block = None
     if use_resident:
         x_all_np = np.zeros((n_pad, w), dtype=np.uint32)
         for t in range(n):
@@ -298,14 +317,6 @@ def screen_triangle_packed(
         x_all = jnp.asarray(x_all_np)
         s_dev = jnp.asarray(s_all)
         del x_all_np
-        for bi in range(nblocks):
-            for bj in range(bi, nblocks):
-                res = _resident_screen_extract(
-                    x_all, s_dev, jnp.int32(bi), jnp.int32(bj),
-                    block=block, bits_f=float(bits),
-                    min_cont=min_cont_static, cap=cap, is_diag=bj == bi,
-                )
-                issued.append((bi, bj, None, res))
     else:
         dev_blocks = {}
 
@@ -319,23 +330,8 @@ def screen_triangle_packed(
                 dev_blocks[bi] = make_block(bi)
             return dev_blocks[bi]
 
-        for bi in range(math.ceil(n / block)):
-            si, ai = get_block(bi) if cache_blocks else make_block(bi)
-            for bj in range(bi, math.ceil(n / block)):
-                if bj == bi:
-                    sj, aj = si, ai
-                else:
-                    sj, aj = get_block(bj) if cache_blocks else make_block(bj)
-                res = _block_screen_extract_packed(
-                    si, sj, ai, aj, float(bits), min_cont_static, cap,
-                    bj == bi,
-                )
-                # Do NOT keep the device blocks alive until the drain
-                # loop — in streaming (low-memory) mode that would pin
-                # every tile's buffers; overflow re-makes them instead.
-                issued.append((bi, bj, None, res))
-
-    for bi, bj, _unused, (cnt, ii, jj, vals) in issued:
+    def drain(item) -> None:
+        bi, bj, (cnt, ii, jj, vals) = item
         cnt = int(cnt)
         if cnt > cap:
             # Rare overflow: pull the whole tile densely.
@@ -366,6 +362,45 @@ def screen_triangle_packed(
         if len(gi):
             pairs.append(np.stack([gi, gj], axis=1).astype(np.int64))
             anis.append((vals_np ** inv_k * 100.0).astype(np.float32))
+
+    # Sliding-window issue/drain: at most TILE_WINDOW tile results are
+    # in flight, so device result buffers and host pulls stay O(window)
+    # for arbitrarily long sweeps (previously the whole sweep's results
+    # were issued before any drain).
+    from collections import deque
+
+    pending: deque = deque()
+    if use_resident:
+        for bi in range(nblocks):
+            for bj in range(bi, nblocks):
+                res = _resident_screen_extract(
+                    x_all, s_dev, jnp.int32(bi), jnp.int32(bj),
+                    block=block, bits_f=float(bits),
+                    min_cont=min_cont_static, cap=cap, is_diag=bj == bi,
+                )
+                pending.append((bi, bj, res))
+                if len(pending) > TILE_WINDOW:
+                    drain(pending.popleft())
+    else:
+        for bi in range(math.ceil(n / block)):
+            si, ai = get_block(bi) if cache_blocks else make_block(bi)
+            for bj in range(bi, math.ceil(n / block)):
+                if bj == bi:
+                    sj, aj = si, ai
+                else:
+                    sj, aj = get_block(bj) if cache_blocks else make_block(bj)
+                res = _block_screen_extract_packed(
+                    si, sj, ai, aj, float(bits), min_cont_static, cap,
+                    bj == bi,
+                )
+                # Do NOT keep the device blocks alive in the window — in
+                # streaming (low-memory) mode that would pin every
+                # tile's buffers; overflow re-makes them instead.
+                pending.append((bi, bj, res))
+                if len(pending) > TILE_WINDOW:
+                    drain(pending.popleft())
+    while pending:
+        drain(pending.popleft())
 
     if pairs:
         return ScreenResult(np.concatenate(pairs), np.concatenate(anis))
@@ -411,18 +446,9 @@ def screen_rectangle_packed(
 
     pairs: List[np.ndarray] = []
     anis: List[np.ndarray] = []
-    issued = []
-    ref_block0 = nq_pad // block
-    for bi in range(nq_pad // block):
-        for bj in range(nr_pad // block):
-            res = _resident_screen_extract(
-                x_all, s_dev, jnp.int32(bi), jnp.int32(ref_block0 + bj),
-                block=block, bits_f=float(bits),
-                min_cont=min_cont_static, cap=cap, is_diag=False,
-            )
-            issued.append((bi, bj, res))
 
-    for bi, bj, (cnt, ii, jj, vals) in issued:
+    def drain(item) -> None:
+        bi, bj, (cnt, ii, jj, vals) = item
         cnt = int(cnt)
         if cnt > cap:
             lo_i, lo_j = bi * block, nq_pad + bj * block
@@ -448,6 +474,23 @@ def screen_rectangle_packed(
         if len(gi):
             pairs.append(np.stack([gi, gj], axis=1).astype(np.int64))
             anis.append((vals_np ** inv_k * 100.0).astype(np.float32))
+
+    from collections import deque
+
+    pending: deque = deque()
+    ref_block0 = nq_pad // block
+    for bi in range(nq_pad // block):
+        for bj in range(nr_pad // block):
+            res = _resident_screen_extract(
+                x_all, s_dev, jnp.int32(bi), jnp.int32(ref_block0 + bj),
+                block=block, bits_f=float(bits),
+                min_cont=min_cont_static, cap=cap, is_diag=False,
+            )
+            pending.append((bi, bj, res))
+            if len(pending) > TILE_WINDOW:
+                drain(pending.popleft())
+    while pending:
+        drain(pending.popleft())
 
     if pairs:
         return ScreenResult(np.concatenate(pairs), np.concatenate(anis))

@@ -63,20 +63,63 @@ def test_cluster_invariance_across_mesh_sizes(ndev, monkeypatch, tmp_path):
         data("abisko4/73.20120700_S3X.12.fna"),
         data("abisko4/73.20110800_S2D.13.fna"),
     ]
-    orig = dist_mod.sharded_screen_triangle
+    orig = dist_mod.sharded_screen_triangle_packed
 
-    def limited(indicators, sizes, k, min_cont, mesh=None):
+    def limited(packed, sizes, k, min_cont, bits, mesh=None, **kw):
         return orig(
-            indicators, sizes, k, min_cont,
-            mesh=make_mesh(jax.devices()[:ndev]),
+            packed, sizes, k, min_cont, bits,
+            mesh=make_mesh(jax.devices()[:ndev]), **kw,
         )
 
-    monkeypatch.setattr(dist_mod, "sharded_screen_triangle", limited)
+    monkeypatch.setattr(dist_mod, "sharded_screen_triangle_packed", limited)
     ctx = NativeContext(threads=2)
     pre = NativePreclusterer(threshold=99.0, min_aligned_threshold=0.15, ctx=ctx)
     cache = pre.distances(genomes)
     got = sorted((k, round(v, 2)) for k, v in cache.items())
     assert [k for k, _ in got] == [(0, 1), (0, 3), (1, 3)]
+
+
+def test_sharded_packed_matches_blocked_large():
+    """Beyond one tile per device: n spanning many tiles, overflow-free
+    path and tile-boundary indexing."""
+    from galah_tpu.ops.prefilter import screen_triangle_packed
+    from galah_tpu.parallel.distance import sharded_screen_triangle_packed
+
+    n, bits = 700, 2048
+    rng = np.random.default_rng(3)
+    x = (rng.random((n, bits)) < 0.08).astype(np.uint8)
+    for src in range(0, 40, 4):
+        x[src + 1] = x[src]
+    packed = list(
+        np.packbits(x.astype(bool), axis=1, bitorder="little").view(np.uint32)
+    )
+    sizes = x.sum(axis=1)
+    single = screen_triangle_packed(packed, sizes, 15, 0.2, bits, block=256)
+    mesh = make_mesh(jax.devices()[:8])
+    sharded = sharded_screen_triangle_packed(
+        packed, sizes, 15, 0.2, bits, mesh=mesh, block=128
+    )
+    key = lambda r: sorted(map(tuple, r.pairs.tolist()))
+    assert key(single) == key(sharded)
+    assert len(sharded.pairs) >= 10
+
+
+def test_sharded_packed_overflow_tile():
+    """cnt > cap per tile falls back to the dense pull for that tile."""
+    from galah_tpu.parallel.distance import sharded_screen_triangle_packed
+
+    n, bits = 96, 1024
+    x = np.zeros((n, bits), dtype=np.uint8)
+    x[:, :64] = 1  # all genomes identical -> every pair passes
+    packed = list(
+        np.packbits(x.astype(bool), axis=1, bitorder="little").view(np.uint32)
+    )
+    sizes = x.sum(axis=1)
+    mesh = make_mesh(jax.devices()[:2])
+    res = sharded_screen_triangle_packed(
+        packed, sizes, 15, 0.2, bits, mesh=mesh, block=128, cap=64
+    )
+    assert len(res.pairs) == n * (n - 1) // 2
 
 
 def test_graft_entry_compiles():

@@ -1,0 +1,65 @@
+"""Screen scalability: the sharded tiled sweep must handle corpus
+sizes far beyond the old dense-matrix path (which was capped at 32,768
+genomes and materialized O(n^2) host memory) with only sparse results
+ever reaching the host.
+
+Rows are random ~50%-load bitmaps, so the collision correction cancels
+unrelated pairs exactly (E[|A&B|] = a*b/bits) and only planted
+duplicate pairs survive the cutoff — ground truth is known at any n.
+
+The default test runs 20k rows; the 100k north-star shape (BASELINE.md
+config #3) runs when GALAH_TPU_SCALE_TESTS=1 and additionally asserts
+peak RSS stays orders of magnitude under the 40GB a dense n^2 pull
+would need.
+"""
+
+import os
+import resource
+
+import numpy as np
+import pytest
+from conftest import data  # noqa: F401  (forces CPU backend via conftest)
+
+import jax
+
+from galah_tpu.parallel.distance import sharded_screen_triangle_packed
+from galah_tpu.parallel.mesh import make_mesh
+
+
+def _planted_corpus(n: int, w: int, n_planted: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    x = rng.integers(0, 2**32, size=(n, w), dtype=np.uint32)
+    planted = []
+    for t in range(n_planted):
+        i = 2 * t
+        j = 2 * t + 1
+        x[j] = x[i]
+        planted.append((i, j))
+    sizes = np.unpackbits(x.view(np.uint8), axis=1).sum(axis=1)
+    return x, sizes, planted
+
+
+def _run(n: int, block: int):
+    w = 16  # 512-bit bitmaps keep the CPU matmul tractable at scale
+    x, sizes, planted = _planted_corpus(n, w, n_planted=200)
+    mesh = make_mesh(jax.devices()[:8])
+    res = sharded_screen_triangle_packed(
+        list(x), sizes, k=15, min_containment=0.5, bits=w * 32,
+        mesh=mesh, block=block,
+    )
+    got = sorted(map(tuple, res.pairs.tolist()))
+    assert got == sorted(planted)
+
+
+def test_sharded_screen_20k():
+    _run(20_000, block=4096)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("GALAH_TPU_SCALE_TESTS"),
+    reason="set GALAH_TPU_SCALE_TESTS=1 for the 100k north-star shape",
+)
+def test_sharded_screen_100k_bounded_memory():
+    _run(100_000, block=4096)
+    peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    assert peak_gb < 8.0, f"peak RSS {peak_gb:.1f}GB — dense-path regression?"
