@@ -1,18 +1,23 @@
 """Benchmark: genome-pairs/s of the all-vs-all sketch screen on one
-chip.
+chip, plus (stderr) the verify-stage kernels and the popcount-vs-matmul
+screen shoot-out.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line to stdout: {"metric", "value", "unit",
+"vs_baseline"} — the screen sweep, comparable across rounds. The other
+benches report to stderr and benchmarks/RESULTS.md.
 
 Baseline note: the reference (galah) publishes no numbers (BASELINE.md);
 its compute engine skani sweeps ~1e6 genome-pairs/s on a 32-core host
 for triangle mode (order-of-magnitude from the skani paper's
-50k-genomes-in-minutes claim). vs_baseline is pairs_per_s / 1e6 against
+50k-genomes-in-minutes claim; no skani binary exists on this rig to
+measure — see BASELINE.md). vs_baseline is pairs_per_s / 1e6 against
 that documented estimate.
 
 Timing notes for this environment: the tunneled axon TPU has ~25ms
 per-dispatch overhead and block_until_ready does not reliably block, so
-the workload is sized to make device time dominate and results are
-fetched to host for timing.
+workloads are sized to make device time dominate and results are
+fetched to host for timing. Inputs are generated ON DEVICE (the tunnel
+is ~MB/s). GALAH_BENCH=screen skips the stderr extras.
 """
 
 import json
@@ -20,28 +25,27 @@ import os
 import sys
 import time
 
-import numpy as np
+# Persistent across rounds (NOT /tmp): remote compilation through the
+# tunnel costs minutes per program; the cache turns that into seconds.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/galah_tpu/jax"),
+)
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/galah_tpu_jax_cache")
+
+def _log(msg: str) -> None:
+    print(f"bench: {msg}", file=sys.stderr, flush=True)
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
+def _small() -> bool:
+    """GALAH_BENCH_SMALL=1 shrinks shapes for CPU smoke tests."""
+    return bool(os.environ.get("GALAH_BENCH_SMALL"))
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ["JAX_COMPILATION_CACHE_DIR"])
-    except Exception:
-        pass
 
-    # Workload: 8192 genome sketches, 2^17-bit indicators (~10% load at
-    # the default scale for ~3Mb genomes) -> 33.5M pairs per sweep.
-    # Synthetic sketches are generated ON DEVICE: the tunneled test rig
-    # has very low host<->device bandwidth, and the screen's production
-    # input (sketches) is tiny compared to the indicator matrix anyway.
-    N = 8192
-    B = 1 << 17
+def bench_screen_matmul(jax, jnp):
+    """Headline: unpack->bf16 MXU matmul screen at production shape."""
+    N = 512 if _small() else 8192
+    B = 1 << (12 if _small() else 17)
     K = 15
 
     on_tpu = jax.default_backend() not in ("cpu",)
@@ -53,15 +57,10 @@ def main() -> None:
         sizes = jnp.sum(x.astype(jnp.float32), axis=1)
         return x, sizes
 
-    print(f"bench: backend={jax.default_backend()}", file=sys.stderr, flush=True)
     t_setup = time.perf_counter()
     x, sizes = make_inputs(jax.random.PRNGKey(0))
     x.block_until_ready()
-    print(
-        f"bench: inputs ready in {time.perf_counter() - t_setup:.1f}s",
-        file=sys.stderr,
-        flush=True,
-    )
+    _log(f"screen inputs ready in {time.perf_counter() - t_setup:.1f}s")
 
     @jax.jit
     def screen(xs, sz):
@@ -81,24 +80,211 @@ def main() -> None:
         # sparse-extraction proxy: count of above-threshold pairs
         return jnp.sum(ani >= 85.0)
 
-    # compile + warmup; fetch the scalar so async dispatch can't fool
-    # the timer.
     t_compile = time.perf_counter()
     float(screen(x, sizes))
-    print(
-        f"bench: compile+warmup {time.perf_counter() - t_compile:.1f}s",
-        file=sys.stderr,
-        flush=True,
-    )
+    _log(f"screen compile+warmup {time.perf_counter() - t_compile:.1f}s")
 
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         float(screen(x, sizes))
     dt = (time.perf_counter() - t0) / iters
+    pairs_per_s = N * (N - 1) / 2 / dt
+    _log(f"screen_matmul: {pairs_per_s/1e6:.1f}M pairs/s ({dt*1e3:.0f}ms/sweep)")
+    return pairs_per_s
 
-    pairs = N * (N - 1) / 2
-    pairs_per_s = pairs / dt
+
+def bench_screen_popcount(jax, jnp):
+    """Shoot-out alternative: packed-bitmap AND+popcount Pallas kernel
+    at the same logical shape (N genomes x B bits, packed uint32)."""
+    from galah_tpu.ops.popcount_screen import _popcount_tile_counts
+
+    N = 512 if _small() else 8192
+    B = 1 << (12 if _small() else 17)
+    W = B // 32
+    interpret = jax.default_backend() == "cpu"
+
+    @jax.jit
+    def make_packed(key):
+        return jax.random.randint(
+            key, (N, W), 0, 2**31 - 1, dtype=jnp.int32
+        ).astype(jnp.uint32)
+
+    x = make_packed(jax.random.PRNGKey(1))
+    x.block_until_ready()
+
+    t_compile = time.perf_counter()
+    int(jnp.sum(_popcount_tile_counts(x, x, interpret)[0, :1]))
+    _log(f"popcount compile+warmup {time.perf_counter() - t_compile:.1f}s")
+
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        int(jnp.sum(_popcount_tile_counts(x, x, interpret)[0, :1]))
+    dt = (time.perf_counter() - t0) / iters
+    pairs_per_s = N * N / dt  # full square (kernel computes all tiles)
+    _log(
+        f"screen_popcount: {pairs_per_s/1e6:.1f}M pairs/s "
+        f"({dt*1e3:.0f}ms/sweep, full-square)"
+    )
+    return pairs_per_s
+
+
+def bench_verify_grouped(jax, jnp):
+    """Verify stage, grouped one-query-many-refs kernel: directed
+    pairs/s at a realistic MAG shape (3Mb genome -> ~375k fragment
+    hashes, 64 refs per dispatch)."""
+    from galah_tpu.ops.fragment_ani import _forward_kernel
+
+    R = 8 if _small() else 64
+    MEMBER_BITS = 1 << (16 if _small() else 22)
+    W = MEMBER_BITS // 32
+    NHASH = 10_000 if _small() else 375_000
+    NPAD = ((NHASH + (1 << 14) - 1) >> 14) << 14
+    F = 1024  # ~3Mb / 3kb fragments
+    K = 15
+
+    @jax.jit
+    def make_inputs(key):
+        k1, k2 = jax.random.split(key)
+        bitmaps = jax.random.randint(
+            k1, (R, W), 0, 2**31 - 1, dtype=jnp.int32
+        ).astype(jnp.uint32)
+        popcounts = jnp.full((R,), MEMBER_BITS * 0.25, jnp.float32)
+        buckets = jax.random.randint(k2, (NPAD,), 0, MEMBER_BITS, dtype=jnp.int32)
+        offsets = jnp.minimum(
+            jnp.arange(F + 1, dtype=jnp.int32) * (NHASH // F), NHASH
+        )
+        return bitmaps, popcounts, buckets, offsets
+
+    bitmaps, popcounts, buckets, offsets = make_inputs(jax.random.PRNGKey(2))
+    bitmaps.block_until_ready()
+
+    def run():
+        ani, af = _forward_kernel(
+            bitmaps, popcounts, buckets, offsets, jnp.int32(NHASH),
+            num_frags=F, bits=MEMBER_BITS, k=K, min_hashes=8, min_ident=0.8,
+        )
+        return float(ani[0]) + float(af[0])
+
+    t_compile = time.perf_counter()
+    run()
+    _log(f"verify compile+warmup {time.perf_counter() - t_compile:.1f}s")
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run()
+    dt = (time.perf_counter() - t0) / iters
+    pairs_per_s = R / dt
+    hashes_per_s = R * NHASH / dt
+    _log(
+        f"verify_grouped: {pairs_per_s:.0f} directed-pairs/s at "
+        f"{NHASH//1000}k-hash streams ({hashes_per_s/1e9:.2f}G "
+        f"hash-lookups/s, {dt*1e3:.0f}ms/dispatch)"
+    )
+    return pairs_per_s
+
+
+def bench_verify_pairtable(jax, jnp):
+    """Verify stage, pair-table kernel: directed small-contig pairs/s
+    in one fixed-shape dispatch."""
+    import numpy as np
+
+    from galah_tpu.ops.pair_table import _pair_table_kernel, PairTableConfig
+
+    cfg = PairTableConfig(
+        member_bits=1 << 16, k=15, min_fragment_hashes=8,
+        min_fragment_identity=0.8,
+    )
+    W = cfg.member_bits // 32
+    P = cfg.max_pairs           # 4096 directed pairs
+    HASHES_PER_SRC = 512        # ~4kb contig at fragment scale 8
+    FRAGS_PER_SRC = 16
+    NSRC = min(cfg.max_bitmaps, 256)
+    uh = NSRC * HASHES_PER_SRC
+    uf = NSRC * FRAGS_PER_SRC
+
+    rng = np.random.default_rng(0)
+    ustream = np.zeros(cfg.max_unique_hashes, np.int32)
+    ustream[:uh] = rng.integers(0, cfg.member_bits, uh)
+    ufrag_offsets = np.full(cfg.max_unique_frags + 1, uh, np.int32)
+    ufrag_offsets[: uf + 1] = np.arange(uf + 1) * (HASHES_PER_SRC // FRAGS_PER_SRC)
+    pair_src = rng.integers(0, NSRC, P)
+    pair_ref = rng.integers(0, NSRC, P).astype(np.int32)
+    pair_src_start = (pair_src * HASHES_PER_SRC).astype(np.int32)
+    pair_ufrag_start = (pair_src * FRAGS_PER_SRC).astype(np.int32)
+    flat_start = np.arange(P + 1, dtype=np.int32) * HASHES_PER_SRC
+    fragflat_start = np.arange(P + 1, dtype=np.int32) * FRAGS_PER_SRC
+    n_flat = P * HASHES_PER_SRC
+    n_flat_frags = P * FRAGS_PER_SRC
+    assert n_flat <= cfg.max_flat_hashes and n_flat_frags <= cfg.max_flat_frags
+
+    import jax.numpy as jnp2
+
+    bitmaps = jnp2.asarray(
+        rng.integers(0, 2**32, (cfg.max_bitmaps, W), dtype=np.uint32)
+    )
+    popcounts = jnp2.full((cfg.max_bitmaps,), cfg.member_bits * 0.25, jnp2.float32)
+    args = [
+        jnp2.asarray(ustream), jnp2.asarray(ufrag_offsets), bitmaps, popcounts,
+        jnp2.asarray(pair_src_start), jnp2.asarray(flat_start),
+        jnp2.asarray(pair_ufrag_start), jnp2.asarray(fragflat_start),
+        jnp2.asarray(pair_ref), jnp2.int32(n_flat), jnp2.int32(n_flat_frags),
+    ]
+
+    def run():
+        ani, af = _pair_table_kernel(
+            *args, flatn=cfg.max_flat_hashes, flatf=cfg.max_flat_frags,
+            bits=cfg.member_bits, k=cfg.k,
+            min_hashes=cfg.min_fragment_hashes,
+            min_ident=cfg.min_fragment_identity,
+        )
+        return float(ani[0]) + float(af[0])
+
+    t_compile = time.perf_counter()
+    run()
+    _log(f"pairtable compile+warmup {time.perf_counter() - t_compile:.1f}s")
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run()
+    dt = (time.perf_counter() - t0) / iters
+    pairs_per_s = P / dt
+    _log(
+        f"verify_pairtable: {pairs_per_s/1e3:.1f}K directed-pairs/s "
+        f"(contig shape, {dt*1e3:.0f}ms/dispatch)"
+    )
+    return pairs_per_s
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+        )
+    except Exception:
+        pass
+
+    _log(f"backend={jax.default_backend()}")
+    which = os.environ.get("GALAH_BENCH", "all")
+
+    pairs_per_s = bench_screen_matmul(jax, jnp)
+
+    if which != "screen":
+        for name, fn in (
+            ("popcount", bench_screen_popcount),
+            ("verify_grouped", bench_verify_grouped),
+            ("verify_pairtable", bench_verify_pairtable),
+        ):
+            try:
+                fn(jax, jnp)
+            except Exception as e:  # extras never break the headline
+                _log(f"{name} bench failed: {e!r}")
 
     baseline_pairs_per_s = 1e6  # 32-core skani triangle, documented estimate
     print(

@@ -44,7 +44,7 @@ class FragmentAniConfig:
     member_bits: int = defaults.NATIVE_MEMBER_BITS
     min_fragment_hashes: int = 8
     min_fragment_identity: float = defaults.NATIVE_FRAGMENT_MIN_IDENTITY
-    max_refs_per_dispatch: int = 16
+    max_refs_per_dispatch: int = 64
     # LRU bounds on device-side per-genome caches (bitmaps are
     # member_bits/8 bytes each; query streams scale with genome size).
     max_cached_bitmaps: int = 512
@@ -93,18 +93,16 @@ def _forward_kernel(
 ):
     """One query's fragments against R reference bitmaps.
 
-    Segment ids, validity mask and per-fragment counts are derived on
-    device from the compact offsets array — the fragment stream upload
-    is just (buckets, offsets), halving host->device traffic."""
+    Validity mask and per-fragment counts are derived on device from
+    the compact offsets array — the fragment stream upload is just
+    (buckets, offsets), halving host->device traffic.
+
+    Per-fragment hit counts use cumsum + boundary gathers rather than a
+    segment sum: fragments are contiguous stream ranges, and on TPU a
+    prefix scan + two gathers beats XLA's scatter-add lowering."""
     npad = buckets.shape[0]
     idx = jnp.arange(npad, dtype=jnp.int32)
     valid = idx < n
-    seg_ids = jnp.clip(
-        jnp.searchsorted(offsets, idx, side="right").astype(jnp.int32) - 1,
-        0,
-        num_frags,
-    )
-    seg_ids = jnp.where(valid, seg_ids, num_frags)
     M = jnp.diff(offsets)
 
     word_idx = buckets >> 5
@@ -112,9 +110,11 @@ def _forward_kernel(
     words = jnp.take(bitmaps, word_idx, axis=1)          # (R, N)
     bits_hit = ((words >> bit_idx[None, :]) & jnp.uint32(1)).astype(jnp.int32)
     bits_hit = jnp.where(valid[None, :], bits_hit, 0)
-    m = jax.vmap(
-        lambda row: jax.ops.segment_sum(row, seg_ids, num_segments=num_frags + 1)
-    )(bits_hit)[:, :num_frags]
+    # H[:, t] = hits before stream position t; fragment f covers
+    # [offsets[f], offsets[f+1]) so m[:, f] = H[of+1] - H[of].
+    h = jnp.cumsum(bits_hit, axis=1)
+    h = jnp.pad(h, ((0, 0), (1, 0)))
+    m = jnp.take(h, offsets[1:], axis=1) - jnp.take(h, offsets[:-1], axis=1)
     return _ani_af_from_counts(
         m, M[None, :], popcounts, float(bits), k, min_hashes, min_ident
     )
@@ -187,12 +187,19 @@ class FragmentAniEngine:
         so device round trips pipeline instead of serializing."""
         cfg = self.cfg
         buckets, offsets, n, fpad = self._query_arrays(query_key, query)
+        # Bound the (R, N) gather/cumsum intermediates to ~256MB: very
+        # long streams get fewer refs per dispatch.
+        npad = int(buckets.shape[0])
+        r_chunk = max(8, min(cfg.max_refs_per_dispatch, (64 << 20) // npad))
         out = []
-        for lo in range(0, len(refs), cfg.max_refs_per_dispatch):
-            chunk = refs[lo : lo + cfg.max_refs_per_dispatch]
-            keys = ref_keys[lo : lo + cfg.max_refs_per_dispatch]
+        for lo in range(0, len(refs), r_chunk):
+            chunk = refs[lo : lo + r_chunk]
+            keys = ref_keys[lo : lo + r_chunk]
             pairs_bm = [self._bitmap(k_, s) for k_, s in zip(keys, chunk)]
-            rpad = _round_up(len(chunk), 8)
+            # Bucket the ref-count axis to powers of two (floor 8) so
+            # the kernel compiles for a handful of shapes, not every
+            # chunk length.
+            rpad = max(8, 1 << (len(chunk) - 1).bit_length())
             W = cfg.member_bits // 32
             bm = jnp.zeros((rpad, W), dtype=jnp.uint32)
             bm = bm.at[: len(chunk)].set(jnp.stack([b for b, _ in pairs_bm]))
@@ -284,6 +291,12 @@ class FragmentAniEngine:
           source, streams never duplicated across its targets.
         GALAH_TPU_VERIFY=pairtable|grouped forces one.
 
+        Routing is per directed pair: sources whose streams fit the
+        pair-table budget go through the pair-table kernel, the rest
+        through the grouped kernel — one oversized genome in a small-
+        contig corpus no longer forces every pair onto the per-source
+        dispatch path.
+
         Returns {(a, b): (ani_pct, af_a_dir, af_b_dir)}."""
         import os
         from collections import defaultdict
@@ -294,45 +307,49 @@ class FragmentAniEngine:
             directed_set.add((b, a))
 
         mode = os.environ.get("GALAH_TPU_VERIFY")
-        if mode != "grouped":
-            max_stream = max(
-                (len(sketches_by_key[k_].frag_buckets) for k_ in sketches_by_key),
-                default=0,
-            )
-            table_cfg = self._pair_table().cfg
-            if mode == "pairtable" or max_stream <= table_cfg.max_flat_hashes // 8:
-                fwd = self._pair_table().run(
-                    sorted(directed_set), sketches_by_key
-                )
-                out = {}
-                for a, b in pairs:
-                    ani_f, af_f = fwd[(a, b)]
-                    ani_r, af_r = fwd[(b, a)]
-                    out[(a, b)] = (max(ani_f, ani_r), af_f, af_r)
-                return out
+        small_pairs: list = []
+        large_pairs: list = []
+        if mode == "grouped":
+            large_pairs = sorted(directed_set)
+        elif mode == "pairtable":
+            small_pairs = sorted(directed_set)
+        else:
+            thresh = self._pair_table().cfg.max_flat_hashes // 8
+            for d in sorted(directed_set):
+                if len(sketches_by_key[d[0]].frag_buckets) <= thresh:
+                    small_pairs.append(d)
+                else:
+                    large_pairs.append(d)
 
-        directed = defaultdict(set)
-        for a, b in pairs:
-            directed[a].add(b)
-            directed[b].add(a)
-        # Issue every dispatch first (async), then collect: round trips
-        # pipeline instead of paying dispatch latency per group.
-        issued = []
-        for src in sorted(directed):
-            targets = sorted(directed[src])
-            chunks = self.one_to_many_async(
-                sketches_by_key[src],
-                src,
-                [sketches_by_key[t] for t in targets],
-                targets,
-            )
-            issued.append((src, targets, chunks))
         fwd = {}
-        for src, targets, chunks in issued:
-            anis = np.concatenate([np.asarray(a[:ln]) for a, _, ln in chunks])
-            afs = np.concatenate([np.asarray(f[:ln]) for _, f, ln in chunks])
-            for t, x, y in zip(targets, anis, afs):
-                fwd[(src, t)] = (float(x), float(y))
+        if small_pairs:
+            fwd.update(self._pair_table().run(small_pairs, sketches_by_key))
+        if large_pairs:
+            directed = defaultdict(set)
+            for a, b in large_pairs:
+                directed[a].add(b)
+            # Issue every dispatch first (async), then collect: round
+            # trips pipeline instead of paying dispatch latency per
+            # group.
+            issued = []
+            for src in sorted(directed):
+                targets = sorted(directed[src])
+                chunks = self.one_to_many_async(
+                    sketches_by_key[src],
+                    src,
+                    [sketches_by_key[t] for t in targets],
+                    targets,
+                )
+                issued.append((src, targets, chunks))
+            for src, targets, chunks in issued:
+                anis = np.concatenate(
+                    [np.asarray(a[:ln]) for a, _, ln in chunks]
+                )
+                afs = np.concatenate(
+                    [np.asarray(f[:ln]) for _, f, ln in chunks]
+                )
+                for t, x, y in zip(targets, anis, afs):
+                    fwd[(src, t)] = (float(x), float(y))
         out = {}
         for a, b in pairs:
             ani_f, af_f = fwd[(a, b)]

@@ -77,6 +77,7 @@ def _pair_table_kernel(
     UF = ufrag_offsets.shape[0] - 1
     P = pair_src_start.shape[0]
     G, W = bitmaps.shape
+    assert flatf * (1 << 14) < (1 << 31), "fixed-point ident sum would overflow"
 
     # --- flat hash space ---
     flat_idx = jnp.arange(flatn, dtype=jnp.int32)
@@ -98,22 +99,10 @@ def _pair_table_kernel(
     )
     hit = jnp.where(valid_h, hit, 0)
 
-    # --- fragment mapping ---
-    ufrag = jnp.clip(
-        jnp.searchsorted(ufrag_offsets, upos, side="right").astype(jnp.int32) - 1,
-        0,
-        UF - 1,
-    )
-    flat_frag = pair_fragflat_start[pair_of] + (ufrag - pair_ufrag_start[pair_of])
-    flat_frag = jnp.where(
-        valid_h, jnp.clip(flat_frag, 0, flatf - 1), flatf
-    )
-    m = jax.ops.segment_sum(hit, flat_frag, num_segments=flatf + 1)[:flatf]
-    Mf = jax.ops.segment_sum(
-        valid_h.astype(jnp.int32), flat_frag, num_segments=flatf + 1
-    )[:flatf]
-
-    # --- per-fragment epilogue ---
+    # --- per-fragment hit counts via cumsum + boundary gathers ---
+    # Fragments are contiguous flat ranges, so a prefix scan + two
+    # gathers replaces the scatter-add segment sum (TPU scatters are
+    # slow; scans and gathers are fast).
     frag_idx = jnp.arange(flatf, dtype=jnp.int32)
     valid_f = frag_idx < n_flat_frags
     fpair = jnp.clip(
@@ -124,6 +113,24 @@ def _pair_table_kernel(
         0,
         P - 1,
     )
+    # Global unique-fragment id of flat fragment f, then its flat hash
+    # range: flat position of stream pos u (pair p) is
+    # pair_flat_start[p] + u - pair_src_start[p].
+    uf = jnp.clip(
+        pair_ufrag_start[fpair] + (frag_idx - pair_fragflat_start[fpair]),
+        0,
+        UF - 1,
+    )
+    base = pair_flat_start[fpair] - pair_src_start[fpair]
+    f_start = jnp.clip(base + ufrag_offsets[uf], 0, flatn)
+    f_end = jnp.clip(base + ufrag_offsets[uf + 1], 0, flatn)
+    f_start = jnp.where(valid_f, f_start, 0)
+    f_end = jnp.where(valid_f, f_end, 0)
+    hcum = jnp.pad(jnp.cumsum(hit), (1, 0))  # (flatn+1,) hits before t
+    m = hcum[f_end] - hcum[f_start]
+    Mf = f_end - f_start
+
+    # --- per-fragment epilogue ---
     p = popcounts[pair_ref[fpair]] / float(bits)
     Mfloat = Mf.astype(jnp.float32)
     c = (m.astype(jnp.float32) - Mfloat * p) / jnp.maximum(1.0 - p, 1e-6)
@@ -133,16 +140,21 @@ def _pair_table_kernel(
     ident = jnp.power(jnp.maximum(cont, 1e-30), 1.0 / k)
     aligned = usable & (ident >= min_ident)
 
-    seg = jnp.where(valid_f, fpair, P)
-    n_aligned = jax.ops.segment_sum(
-        aligned.astype(jnp.int32), seg, num_segments=P + 1
-    )[:P]
-    n_usable = jax.ops.segment_sum(
-        usable.astype(jnp.int32), seg, num_segments=P + 1
-    )[:P]
-    sum_ident = jax.ops.segment_sum(
-        jnp.where(aligned, ident, 0.0), seg, num_segments=P + 1
-    )[:P]
+    # --- per-pair reduction, same cumsum trick over the frag axis ---
+    # ident is accumulated in 2^-14 fixed point so the prefix sum stays
+    # exact (f32 prefix sums drift ~1e-7 * sum * log n, enough to move
+    # ANI by hundredths of a point on 64k-fragment batches).
+    ident_fx = jnp.where(aligned, jnp.round(ident * (1 << 14)), 0.0).astype(
+        jnp.int32
+    )
+    acum = jnp.pad(jnp.cumsum(aligned.astype(jnp.int32)), (1, 0))
+    ucum = jnp.pad(jnp.cumsum(usable.astype(jnp.int32)), (1, 0))
+    icum = jnp.pad(jnp.cumsum(ident_fx), (1, 0))
+    lo = pair_fragflat_start[:P]
+    hi = pair_fragflat_start[1:]
+    n_aligned = acum[hi] - acum[lo]
+    n_usable = ucum[hi] - ucum[lo]
+    sum_ident = (icum[hi] - icum[lo]).astype(jnp.float32) / float(1 << 14)
     ani = sum_ident / jnp.maximum(n_aligned, 1) * 100.0
     af = n_aligned / jnp.maximum(n_usable, 1)
     return ani, af

@@ -1,0 +1,219 @@
+"""Subprocess passthrough backends exercised via bash shims named
+`skani` / `fastANI` that emit canned TSV — the same fake-backend
+pattern as test_run_checkm2.py.
+
+Contracts covered (reference src/skani.rs:109-225 triangle sparse,
+:229-377 sketch+search low-memory, :379-498 contig -i name matching,
+:502-687 reference-mode search, :718-788 dist empty->0.0;
+src/fastani.rs:82-152 five-column parse + fragment-count AF).
+"""
+
+import os
+import stat
+
+import pytest
+
+from galah_tpu.engines.subprocess_backends import (
+    FastaniClusterer,
+    SkaniClusterer,
+    SkaniPreclusterer,
+    check_for_binary,
+)
+
+SKANI_SHIM = r"""#!/bin/bash
+[ -n "$SKANI_SHIM_LOG" ] && echo "$@" >> "$SKANI_SHIM_LOG"
+sub=$1; shift
+listfile=""; contig=0; db=""; ql=""; q=""; r=""; out=""
+while [[ $# -gt 0 ]]; do
+  case $1 in
+    -l) listfile=$2; shift 2;;
+    -i) contig=1; shift;;
+    -o) out=$2; shift 2;;
+    -d) db=$2; shift 2;;
+    --ql) ql=$2; shift 2;;
+    -q) q=$2; shift 2;;
+    -r) r=$2; shift 2;;
+    *) shift;;
+  esac
+done
+header="Ref_file\tQuery_file\tANI\tAlign_fraction_ref\tAlign_fraction_query\tRef_name\tQuery_name"
+case $sub in
+  triangle)
+    mapfile -t files < "$listfile"
+    echo -e "$header"
+    if [[ $contig == 1 ]]; then
+      names=($(grep -h '^>' "${files[@]}" | sed 's/^>//; s/[ \t].*//'))
+      echo -e "x\ty\t97.5\t85.0\t83.0\t${names[0]} circular\t${names[1]} linear"
+      echo -e "x\ty\t91.0\t80.0\t80.0\t${names[0]}\t${names[2]}"
+      echo -e "x\ty\t99.0\t80.0\t80.0\tunknown_contig\t${names[1]}"
+    else
+      echo -e "${files[0]}\t${files[1]}\t97.5\t85.1\t83.2"
+      echo -e "${files[0]}\t${files[2]}\t91.0\t50.0\t50.0"
+      echo -e "/nonexistent/zzz.fna\t${files[1]}\t99.0\t90.0\t90.0"
+    fi
+    ;;
+  sketch)
+    mkdir -p "$out"
+    cp "$listfile" "$out/list.txt"
+    ;;
+  search)
+    mapfile -t refs < "$db/list.txt"
+    mapfile -t queries < "$ql"
+    echo -e "$header"
+    echo -e "${queries[0]}\t${queries[0]}\t100.0\t100.0\t100.0"
+    echo -e "${refs[0]}\t${queries[1]}\t96.0\t70.0\t72.0"
+    ;;
+  dist)
+    echo -e "$header"
+    if [[ -z "$SKANI_SHIM_DIST_EMPTY" ]]; then
+      echo -e "$r\t$q\t97.8\t88.0\t86.0"
+    fi
+    ;;
+esac
+"""
+
+FASTANI_SHIM = r"""#!/bin/bash
+q=""; r=""
+while [[ $# -gt 0 ]]; do
+  case $1 in
+    --query) q=$2; shift 2;;
+    --ref) r=$2; shift 2;;
+    *) shift;;
+  esac
+done
+case $(basename "$q") in
+  a.fna) echo -e "$q\t$r\t97.0\t40\t100";;
+  b.fna) echo -e "$q\t$r\t96.0\t10\t100";;
+  *) ;;
+esac
+"""
+
+
+@pytest.fixture
+def shim_env(tmp_path, monkeypatch):
+    """Puts skani/fastANI shims on PATH; returns (genomes, log path)."""
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    for name, body in (("skani", SKANI_SHIM), ("fastANI", FASTANI_SHIM)):
+        p = bindir / name
+        p.write_text(body)
+        os.chmod(p, os.stat(p).st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+    log = tmp_path / "shim.log"
+    monkeypatch.setenv("SKANI_SHIM_LOG", str(log))
+    monkeypatch.delenv("SKANI_SHIM_DIST_EMPTY", raising=False)
+    gdir = tmp_path / "genomes"
+    gdir.mkdir()
+    genomes = []
+    for i, stem in enumerate(("a", "b", "c")):
+        p = gdir / f"{stem}.fna"
+        # a tab in one header exercises the sanitization tempfiles
+        desc = "\tdescription" if i == 0 else ""
+        p.write_text(f">{stem}_contig{desc}\nACGTACGTACGTACGT\n")
+        genomes.append(str(p))
+    return genomes, log
+
+
+def test_skani_triangle_sparse_parse(shim_env):
+    genomes, log = shim_env
+    pre = SkaniPreclusterer(threshold=95.0, min_aligned_threshold=0.15)
+    cache = pre.distances(genomes)
+    # 97.5 row kept; 91.0 below threshold dropped; unknown path dropped
+    assert dict(cache.items()) == {(0, 1): 97.5}
+    assert "--min-af 15.0" in log.read_text()
+    assert "--sparse" in log.read_text()
+
+
+def test_skani_triangle_small_genomes_flag(shim_env):
+    genomes, log = shim_env
+    pre = SkaniPreclusterer(
+        threshold=95.0, min_aligned_threshold=0.15, small_genomes=True
+    )
+    pre.distances(genomes)
+    assert "--small-genomes" in log.read_text()
+
+
+def test_skani_lowmem_sketch_then_search(shim_env):
+    genomes, log = shim_env
+    pre = SkaniPreclusterer(
+        threshold=95.0, min_aligned_threshold=0.15, low_memory=True
+    )
+    cache = pre.distances(genomes)
+    # self-match (100.0, i==j) skipped; (refs[0]=a, queries[1]=b) kept
+    assert dict(cache.items()) == {(0, 1): 96.0}
+    assert "sketch" in log.read_text()
+
+
+def test_skani_contig_name_matching(shim_env, tmp_path):
+    """Contig mode matches on the first word of Ref_name/Query_name
+    (columns 5/6), not file paths."""
+    genomes, log = shim_env
+    contig_names = ["a_contig", "b_contig", "c_contig"]
+    pre = SkaniPreclusterer(threshold=95.0, min_aligned_threshold=0.15)
+    cache = pre.distances_contigs(genomes, contig_names)
+    # (a_contig, b_contig) 97.5 kept (description split off); 91.0 below
+    # threshold; unknown_contig row ignored
+    assert dict(cache.items()) == {(0, 1): 97.5}
+    assert " -i " in log.read_text()
+
+
+def test_skani_reference_mode_search(shim_env):
+    genomes, log = shim_env
+    pre = SkaniPreclusterer(threshold=95.0, min_aligned_threshold=0.15)
+    cache = pre.distances_with_references(genomes, [genomes[2]])
+    # queries are a,b (indices 0,1); ref db holds c (index 2).
+    # search emits a self-match (skipped) + (ref c, query b) 96.0
+    assert dict(cache.items()) == {(1, 2): 96.0}
+    text = log.read_text()
+    assert "sketch" in text and "search" in text
+
+
+def test_skani_reference_mode_refuses_small_genomes(shim_env):
+    genomes, _ = shim_env
+    pre = SkaniPreclusterer(
+        threshold=95.0, min_aligned_threshold=0.15, small_genomes=True
+    )
+    with pytest.raises(ValueError, match="small genomes"):
+        pre.distances_with_references(genomes, [genomes[2]])
+
+
+def test_skani_dist_parse_and_empty(shim_env, monkeypatch):
+    genomes, _ = shim_env
+    clu = SkaniClusterer(threshold=95.0, min_aligned_threshold=0.15)
+    clu.initialise()
+    assert clu.calculate_ani(genomes[0], genomes[1]) == 97.8
+    # below --min-af skani emits nothing: treated as ANI 0.0
+    monkeypatch.setenv("SKANI_SHIM_DIST_EMPTY", "1")
+    assert clu.calculate_ani(genomes[0], genomes[1]) == 0.0
+
+
+def test_skani_threshold_guard(shim_env):
+    with pytest.raises(ValueError, match="85"):
+        SkaniPreclusterer(threshold=80.0, min_aligned_threshold=0.15)
+
+
+def test_fastani_bidirectional_af_semantics(shim_env):
+    genomes, _ = shim_env
+    a, b = genomes[0], genomes[1]
+    # a->b: 97.0 AF 0.40; b->a: 96.0 AF 0.10
+    clu = FastaniClusterer(threshold=95.0, min_aligned_threshold=0.3)
+    clu.initialise()
+    # either direction passing AF suffices; ANI is the max of directions
+    assert clu.calculate_ani(a, b) == 97.0
+    assert clu.calculate_ani(b, a) == 97.0
+    # both directions under AF 0.5 -> None
+    strict = FastaniClusterer(threshold=95.0, min_aligned_threshold=0.5)
+    assert strict.calculate_ani(a, b) is None
+
+
+def test_fastani_no_output_returns_none(shim_env):
+    genomes, _ = shim_env
+    clu = FastaniClusterer(threshold=95.0, min_aligned_threshold=0.1)
+    # the shim emits nothing for c.fna queries -> one_way None -> None
+    assert clu.calculate_ani(genomes[2], genomes[0]) is None
+
+
+def test_check_for_binary_missing(tmp_path, monkeypatch):
+    monkeypatch.setenv("PATH", str(tmp_path))
+    with pytest.raises(SystemExit, match="skani"):
+        check_for_binary("skani")
