@@ -84,21 +84,30 @@ class _LazySketchList:
 def _shrink_bits(
     params: NativeSketchParams, max_genome_length: int
 ) -> NativeSketchParams:
-    """Shrink bitmap widths when the dataset's genomes are small: target
-    ~16x the expected sketch size (~6% load factor), never growing past
-    the defaults. Cuts device residency and host<->device transfer
-    without affecting decisions (collisions are corrected for)."""
+    """Shrink bitmap widths when the dataset's genomes are small, never
+    growing past the defaults. Cuts device residency and host<->device
+    transfer. The screen bitmap targets ~6% load (x16): collisions are
+    corrected for and the screen cutoff is conservative. The verify
+    (member) bitmap targets ~0.4% load (x256): per-fragment identity
+    estimates feed a >=95%-ANI decision where +-0.01 matters — at x16
+    load a 95.0-borderline contig pair (reference
+    tests/data/contigs/contigs_rep_bug.fna) flipped clusters with the
+    codegen of the compiled kernel."""
     import dataclasses
 
-    def pick(target_hashes: int, default_bits: int, floor_bits: int) -> int:
-        bits = 1 << max(int(target_hashes * 16 - 1).bit_length(), floor_bits)
+    def pick(
+        target_hashes: int, default_bits: int, floor_bits: int, mult: int
+    ) -> int:
+        bits = 1 << max(int(target_hashes * mult - 1).bit_length(), floor_bits)
         return min(bits, default_bits)
 
     member = pick(
-        max_genome_length // params.fragment_scale + 1, params.member_bits, 17
+        max_genome_length // params.fragment_scale + 1,
+        params.member_bits, 17, 256,
     )
     pref = pick(
-        max_genome_length // params.genome_scale + 1, params.prefilter_bits, 13
+        max_genome_length // params.genome_scale + 1,
+        params.prefilter_bits, 13, 16,
     )
     return dataclasses.replace(params, member_bits=member, prefilter_bits=pref)
 

@@ -247,7 +247,8 @@ def test_github7_aligned_fraction_from_fragment_counts(tmp_path):
 
 
 def test_gzip_input(tmp_path):
-    # tests/test_cmdline.rs:612-629
+    # tests/test_cmdline.rs:612-629 (test_github53): exact rep/member
+    # golden — the checkm2 report makes S2M.16 the representative.
     genomes = [
         data("abisko4/73.20120800_S1D.21.fna.gz"),
         data("abisko4/73.20110800_S2M.16.fna.gz"),
@@ -256,10 +257,13 @@ def test_gzip_input(tmp_path):
     run_cli([
         "cluster", "--genome-fasta-files", *genomes,
         "--output-cluster-definition", str(out),
+        "--checkm2-quality-report",
+        data("abisko4/abisko4_quality_report.tsv"),
     ])
-    content = read(out)
-    assert genomes[0] in content and genomes[1] in content
-    assert len(content.splitlines()) == 2
+    assert read(out) == (
+        f"{genomes[1]}\t{genomes[1]}\n"
+        f"{genomes[1]}\t{genomes[0]}\n"
+    )
 
 
 def test_finch_preclusterer_with_native_clusterer(tmp_path):
