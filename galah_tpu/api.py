@@ -160,6 +160,8 @@ def _build_engines(p: ClusterParameters):
                 fragment_length=p.fragment_length,
                 threads=p.threads,
                 low_memory=p.low_memory,
+                min_screen_af=af_frac,
+                screen_ani_pct=pre_pct,
             )
         return native_ctx
 

@@ -349,6 +349,8 @@ def generate_galah_clusterer(
                 threads=args.threads,
                 low_memory=args.low_memory,
                 max_genome_length=max_len,
+                min_screen_af=min_af,
+                screen_ani_pct=pre_threshold_pct,
             )
         return native_ctx
 

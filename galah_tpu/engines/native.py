@@ -124,6 +124,8 @@ class NativeContext:
         low_memory: bool = False,
         params: Optional[NativeSketchParams] = None,
         max_genome_length: Optional[int] = None,
+        min_screen_af: Optional[float] = None,
+        screen_ani_pct: Optional[float] = None,
     ) -> None:
         if params is not None:
             self.params = params
@@ -133,6 +135,8 @@ class NativeContext:
             self.params = NativeSketchParams(fragment_length=fragment_length)
             if max_genome_length:
                 self.params = _shrink_bits(self.params, max_genome_length)
+        if min_screen_af is not None:
+            self._widen_for_low_af(min_screen_af, screen_ani_pct)
         self.threads = max(1, threads)
         self.low_memory = low_memory
         if low_memory:
@@ -159,6 +163,48 @@ class NativeContext:
                 min_fragment_hashes=self.params.min_fragment_hashes,
             )
         )
+
+    def _widen_for_low_af(
+        self, min_af: float, screen_ani_pct: Optional[float]
+    ) -> None:
+        """Widen the prefilter bitmap when the requested AF puts the
+        exact screen cutoff near the collision-noise floor.
+
+        Corrected-containment noise between unrelated sketches has
+        std ~ 1/sqrt(B) (independent of sketch size), so the bitmap is
+        sized to keep the cutoff >= 4 sigma. If that would need more
+        than 2^26 bits (8MB packed per genome) the flag is refused with
+        a clear error instead of ever silently losing pairs the
+        reference would keep (src/skani.rs:144-159)."""
+        import dataclasses
+        import math as _math
+
+        if min_af <= 0 or min_af >= defaults.NATIVE_SCREEN_MIN_AF_FLOOR:
+            return
+        ani = screen_ani_pct or defaults.MIN_SUPPORTED_PRECLUSTER_ANI
+        cutoff = _screen_min_containment(ani, min_af, self.params.k)
+        need = (4.0 / cutoff) ** 2
+        cap = 1 << 26
+        if need > cap:
+            raise ValueError(
+                f"Error: --min-aligned-fraction {min_af:g} at ANI "
+                f"{ani:g}% needs a {need / 8 / 1e6:.0f}MB prefilter "
+                "sketch per genome to screen reliably. Raise "
+                "--min-aligned-fraction, or lower it to 0 to disable "
+                "aligned-fraction screening entirely (every pair is "
+                "then verified)."
+            )
+        bits = 1 << _math.ceil(_math.log2(need))
+        if bits > self.params.prefilter_bits:
+            logger.info(
+                "Widening prefilter bitmap to %d bits for "
+                "--min-aligned-fraction %.3g",
+                bits,
+                min_af,
+            )
+            self.params = dataclasses.replace(
+                self.params, prefilter_bits=bits
+            )
 
     def key_for(self, sketch: NativeSketch) -> str:
         # Keyed by unit name (path or contig name) so device-side caches
@@ -267,17 +313,17 @@ def _screen_backend() -> str:
 def _screen_min_containment(
     ani_threshold_pct: float, min_af: float, k: int
 ) -> float:
-    floor = defaults.NATIVE_SCREEN_MIN_AF_FLOOR
-    if 0 < min_af < floor:
-        logger.warning(
-            "--min-aligned-fraction %.3g is below the screen's %.3g floor; "
-            "pairs with aligned fraction under the floor may be missed by "
-            "the prefilter",
-            min_af,
-            floor,
-        )
-    af = max(min_af, floor)
-    return defaults.NATIVE_SCREEN_MARGIN * af * (ani_threshold_pct / 100.0) ** k
+    """Exact screen cutoff from the requested AF — no floor. The
+    reference passes --min-af through to skani verbatim
+    (src/skani.rs:144-159); when the user asks for a very low AF the
+    context widens the prefilter bitmap instead
+    (NativeContext._widen_for_low_af) so the cutoff stays above
+    collision noise (std ~ 1/sqrt(B)) rather than silently dropping
+    pairs. min_af <= 0 disables screen pruning entirely (every pair is
+    verified)."""
+    if min_af <= 0:
+        return 0.0
+    return defaults.NATIVE_SCREEN_MARGIN * min_af * (ani_threshold_pct / 100.0) ** k
 
 
 class _VerifyMixin:

@@ -172,3 +172,121 @@ def test_mimag_tier_rule():
     assert mimag_tier(95, 0, 0, 1, 1, 20) == "Medium quality"
     assert mimag_tier(95, 0, 1, 1, 1, 17) == "Medium quality"
     assert mimag_tier(90.1, 4.9, 1, 1, 1, 18) == "High quality"
+
+
+def test_analyse_mock_no_16s(mock_path, tmp_path):
+    # tests/test_analyse.rs:235-272
+    mock_path("73.20120800_S1D.21", 95.0, 2.0, 1, 0, 1, 20)
+    assert run_analyse_to(tmp_path) == (
+        HEADER + f"{data(GENOME)}\t95.00\t2.00\t1\t0\t1\t20\tMedium quality\n"
+    )
+
+
+def test_analyse_mock_insufficient_completeness(mock_path, tmp_path):
+    # tests/test_analyse.rs:313-350: 89.9 <= 90 -> Medium
+    mock_path("73.20120800_S1D.21", 89.9, 2.0, 1, 1, 1, 20)
+    assert run_analyse_to(tmp_path) == (
+        HEADER + f"{data(GENOME)}\t89.90\t2.00\t1\t1\t1\t20\tMedium quality\n"
+    )
+
+
+def test_analyse_mock_over_contamination(mock_path, tmp_path):
+    # tests/test_analyse.rs:352-389: 5.1 >= 5 -> Medium
+    mock_path("73.20120800_S1D.21", 95.0, 5.1, 1, 1, 1, 20)
+    assert run_analyse_to(tmp_path) == (
+        HEADER + f"{data(GENOME)}\t95.00\t5.10\t1\t1\t1\t20\tMedium quality\n"
+    )
+
+
+def test_analyse_mock_low_completeness(mock_path, tmp_path):
+    # tests/test_analyse.rs:391-428: < 50 -> Low
+    mock_path("73.20120800_S1D.21", 49.0, 2.0, 1, 1, 1, 20)
+    assert run_analyse_to(tmp_path) == (
+        HEADER + f"{data(GENOME)}\t49.00\t2.00\t1\t1\t1\t20\tLow quality\n"
+    )
+
+
+def test_analyse_mock_high_contamination(mock_path, tmp_path):
+    # tests/test_analyse.rs:430-467: >= 10 -> Low
+    mock_path("73.20120800_S1D.21", 95.0, 11.0, 1, 1, 1, 20)
+    assert run_analyse_to(tmp_path) == (
+        HEADER + f"{data(GENOME)}\t95.00\t11.00\t1\t1\t1\t20\tLow quality\n"
+    )
+
+
+GENOMES4 = [
+    data("set1/1mbp.fna"),
+    data("set1/500kb.fna"),
+    data("abisko4/73.20120800_S1D.21.fna"),
+    data("abisko4/73.20110800_S2M.16.fna"),
+]
+
+
+def _fixture_lists(tmp_path):
+    fi = data("analyse_file_inputs")
+    barrnap_list = tmp_path / "barrnap_list.tsv"
+    barrnap_list.write_text(
+        "".join(f"{g}\t{fi}/barrnap{i+1}.gff\n" for i, g in enumerate(GENOMES4))
+    )
+    trna_list = tmp_path / "trna_list.tsv"
+    trna_list.write_text(
+        "".join(f"{g}\t{fi}/trnascan{i+1}.out\n" for i, g in enumerate(GENOMES4))
+    )
+    return str(barrnap_list), str(trna_list)
+
+
+def test_analyse_with_checkm2_quality_report_golden(tmp_path):
+    # tests/test_analyse.rs:469-497: exact 4-row golden off fixtures
+    barrnap_list, trna_list = _fixture_lists(tmp_path)
+    out = tmp_path / "mimag.tsv"
+    main([
+        "analyse", "--genome-fasta-files", *GENOMES4,
+        "--checkm2-quality-report",
+        data("analyse_file_inputs/checkm2_quality_report.tsv"),
+        "--barrnap-gff-list", barrnap_list,
+        "--trnascan-out-list", trna_list,
+        "--output-mimag-summary", str(out),
+    ])
+    assert open(out).read() == (
+        HEADER
+        + f"{GENOMES4[0]}\t95.50\t1.20\t1\t1\t1\t19\tHigh quality\n"
+        + f"{GENOMES4[1]}\t68.37\t2.91\t0\t1\t1\t10\tMedium quality\n"
+        + f"{GENOMES4[2]}\t95.50\t1.20\t0\t0\t1\t1\tMedium quality\n"
+        + f"{GENOMES4[3]}\t95.37\t2.91\t0\t0\t0\t0\tMedium quality\n"
+    )
+
+
+def test_analyse_with_checkm_tab_table_golden(tmp_path):
+    # tests/test_analyse.rs:499-527: CheckM1 tab-table input
+    barrnap_list, trna_list = _fixture_lists(tmp_path)
+    out = tmp_path / "mimag.tsv"
+    main([
+        "analyse", "--genome-fasta-files", *GENOMES4,
+        "--checkm-tab-table",
+        data("analyse_file_inputs/checkm_tab_table.tsv"),
+        "--barrnap-gff-list", barrnap_list,
+        "--trnascan-out-list", trna_list,
+        "--output-mimag-summary", str(out),
+    ])
+    assert open(out).read() == (
+        HEADER
+        + f"{GENOMES4[0]}\t95.50\t1.20\t1\t1\t1\t19\tHigh quality\n"
+        + f"{GENOMES4[1]}\t58.37\t12.91\t0\t1\t1\t10\tLow quality\n"
+        + f"{GENOMES4[2]}\t48.37\t1.20\t0\t0\t1\t1\tLow quality\n"
+        + f"{GENOMES4[3]}\t38.37\t2.91\t0\t0\t0\t0\tLow quality\n"
+    )
+
+
+def test_analyse_mock_with_quality_report_output(mock_path, tmp_path):
+    # tests/test_analyse.rs:529-569: CheckM2-format quality report out
+    mock_path("73.20120800_S1D.21", 95.0, 2.0, 1, 1, 1, 20)
+    quality = tmp_path / "quality_report.tsv"
+    assert run_analyse_to(
+        tmp_path, extra=("--output-quality-report", str(quality))
+    ) == (HEADER + f"{data(GENOME)}\t95.00\t2.00\t1\t1\t1\t20\tHigh quality\n")
+    content = open(quality).read()
+    # verbatim copy of the CheckM2 report, same as the reference
+    # (src/analyse.rs:125-141 copies the file; the digits below are the
+    # shim's float formatting)
+    assert "Name\tCompleteness\tContamination" in content
+    assert "73.20120800_S1D.21\t95.0\t2.0" in content

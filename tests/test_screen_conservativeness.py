@@ -45,3 +45,51 @@ def test_borderline_pair_survives_screen(tmp_path):
     got = cache.get((0, 1))
     assert got is not None, "borderline pair was screened out"
     assert got[0] > 95.0
+
+
+def test_low_af_widens_prefilter_and_keeps_pair(tmp_path):
+    """--min-aligned-fraction below 5%: the screen cutoff is computed
+    exactly from the requested AF (reference passes --min-af through,
+    src/skani.rs:144-159) and the prefilter bitmap widens so the cutoff
+    clears collision noise. A ~3%-AF 97%-ANI pair must survive."""
+    from galah_tpu import defaults
+
+    rng = np.random.default_rng(5)
+    L = 400_000
+    shared_len = 12_000  # 3% of L
+    shared = random_genome(rng, shared_len)
+    a = np.concatenate([shared, random_genome(rng, L - shared_len)])
+    b = np.concatenate(
+        [mutate(rng, shared, 0.97), random_genome(rng, L - shared_len)]
+    )
+    p1, p2 = str(tmp_path / "a.fna"), str(tmp_path / "b.fna")
+    write_fasta(p1, a, "a")
+    write_fasta(p2, b, "b")
+
+    ctx = NativeContext(threads=2, min_screen_af=0.02, screen_ani_pct=95.0)
+    assert ctx.params.prefilter_bits > defaults.NATIVE_PREFILTER_BITS
+    pre = NativePreclusterer(threshold=95.0, min_aligned_threshold=0.02, ctx=ctx)
+    cache = pre.distances([p1, p2])
+    got = cache.get((0, 1))
+    assert got is not None, "low-AF pair was screened out"
+    assert got[0] > 95.0
+
+
+def test_low_af_above_floor_unchanged():
+    from galah_tpu import defaults
+
+    ctx = NativeContext(threads=1, min_screen_af=0.15, screen_ani_pct=95.0)
+    assert ctx.params.prefilter_bits == defaults.NATIVE_PREFILTER_BITS
+
+
+def test_impossibly_low_af_refused():
+    import pytest
+
+    with pytest.raises(ValueError, match="min-aligned-fraction"):
+        NativeContext(threads=1, min_screen_af=0.0005, screen_ani_pct=85.0)
+
+
+def test_zero_af_disables_screen_pruning():
+    from galah_tpu.engines.native import _screen_min_containment
+
+    assert _screen_min_containment(95.0, 0.0, 15) == 0.0
