@@ -9,7 +9,7 @@ in ONE dispatch:
 - unique source fragment streams are concatenated and uploaded once per
   dispatch; when a source has many targets its stream is NOT duplicated
   on the host — tiny per-pair descriptor triples reconstruct the
-  flat hash->pair mapping on device via searchsorted over pair regions;
+  flat hash->pair mapping on device via prefix sums over pair regions;
 - unique target bitmaps are stacked on device from the engine's LRU
   cache (no re-upload);
 - per-fragment hit counts come from one flat gather + segment sum; the
@@ -79,15 +79,21 @@ def _pair_table_kernel(
     G, W = bitmaps.shape
     assert flatf * (1 << 14) < (1 << 31), "fixed-point ident sum would overflow"
 
+    def boundary_ids(starts, domain):
+        """For each i in [0, domain): (number of starts <= i) - 1 —
+        searchsorted(starts, iota, 'right') - 1, but built from a tiny
+        scatter + prefix sum. TPU searchsorted lowers to log(K) serial
+        gather passes over the full domain and dominated this kernel's
+        runtime; the scatter touches only len(starts) elements."""
+        marks = jnp.zeros((domain,), jnp.int32).at[
+            jnp.clip(starts, 0, domain - 1)
+        ].add(jnp.where(starts < domain, 1, 0))
+        return jnp.cumsum(marks) - 1
+
     # --- flat hash space ---
     flat_idx = jnp.arange(flatn, dtype=jnp.int32)
     valid_h = flat_idx < n_flat
-    pair_of = jnp.clip(
-        jnp.searchsorted(pair_flat_start, flat_idx, side="right").astype(jnp.int32)
-        - 1,
-        0,
-        P - 1,
-    )
+    pair_of = jnp.clip(boundary_ids(pair_flat_start, flatn), 0, P - 1)
     rel = flat_idx - pair_flat_start[pair_of]
     upos = jnp.clip(pair_src_start[pair_of] + rel, 0, U - 1)
     bucket = ustream[upos].astype(jnp.int32)
@@ -105,14 +111,7 @@ def _pair_table_kernel(
     # slow; scans and gathers are fast).
     frag_idx = jnp.arange(flatf, dtype=jnp.int32)
     valid_f = frag_idx < n_flat_frags
-    fpair = jnp.clip(
-        jnp.searchsorted(pair_fragflat_start, frag_idx, side="right").astype(
-            jnp.int32
-        )
-        - 1,
-        0,
-        P - 1,
-    )
+    fpair = jnp.clip(boundary_ids(pair_fragflat_start, flatf), 0, P - 1)
     # Global unique-fragment id of flat fragment f, then its flat hash
     # range: flat position of stream pos u (pair p) is
     # pair_flat_start[p] + u - pair_src_start[p].
