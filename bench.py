@@ -15,9 +15,14 @@ that documented estimate.
 
 Timing notes for this environment: the tunneled axon TPU has ~25ms
 per-dispatch overhead and block_until_ready does not reliably block, so
-workloads are sized to make device time dominate and results are
-fetched to host for timing. Inputs are generated ON DEVICE (the tunnel
-is ~MB/s). GALAH_BENCH=screen skips the stderr extras.
+each kernel's repeat loop runs INSIDE one jit (fori_loop with an
+iteration-to-iteration data dependence — the previous result perturbs
+one input element, so XLA cannot hoist or CSE the body) and exactly one
+scalar is fetched at the end; the measured time is device time, not
+tunnel latency (methodology validated in
+benchmarks/verify_gather_bench.py: single-shot timings understate the
+verify kernels ~8x). Inputs are generated ON DEVICE (the tunnel is
+~MB/s). GALAH_BENCH=screen skips the stderr extras.
 """
 
 import json
@@ -42,6 +47,38 @@ def _small() -> bool:
     return bool(os.environ.get("GALAH_BENCH_SMALL"))
 
 
+def _iters() -> int:
+    return 3 if _small() else 10
+
+
+def _repeat_in_jit(jax, jnp, body, perturb):
+    """Return jitted fn running `body(x) -> f32 scalar` _iters() times
+    with a data dependence between iterations: `perturb(x, bit)` folds
+    the previous result's low bit back into the input so XLA cannot
+    hoist or CSE the body out of the loop. One dispatch, one scalar."""
+
+    @jax.jit
+    def run(x):
+        def step(i, acc):
+            xp = perturb(x, (acc % 2.0))
+            return acc + body(xp)
+
+        return jax.lax.fori_loop(0, _iters(), step, jnp.float32(0.0))
+
+    return run
+
+
+def _time_reps(fn, x, name):
+    """Compile+warmup, then time one repeated-body dispatch; returns
+    seconds per body iteration."""
+    t0 = time.perf_counter()
+    float(fn(x))
+    _log(f"{name} compile+warmup {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    float(fn(x))
+    return (time.perf_counter() - t0) / _iters()
+
+
 def bench_screen_matmul(jax, jnp):
     """Headline: unpack->bf16 MXU matmul screen at production shape."""
     N = 512 if _small() else 8192
@@ -62,33 +99,27 @@ def bench_screen_matmul(jax, jnp):
     x.block_until_ready()
     _log(f"screen inputs ready in {time.perf_counter() - t_setup:.1f}s")
 
-    @jax.jit
-    def screen(xs, sz):
+    def screen(xs):
         counts = jax.lax.dot_general(
             xs,
             xs,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        a = sz[:, None]
-        b = sz[None, :]
+        a = sizes[:, None]
+        b = sizes[None, :]
         bits_f = float(B)
         c1 = jnp.maximum(counts - a * b / bits_f, 0.0)
         c = jnp.maximum(counts - (a - c1) * (b - c1) / bits_f, 0.0)
         cont = jnp.minimum(c / jnp.maximum(jnp.minimum(a, b), 1.0), 1.0)
         ani = jnp.power(jnp.maximum(cont, 1e-30), 1.0 / K) * 100.0
         # sparse-extraction proxy: count of above-threshold pairs
-        return jnp.sum(ani >= 85.0)
+        return jnp.sum(ani >= 85.0).astype(jnp.float32)
 
-    t_compile = time.perf_counter()
-    float(screen(x, sizes))
-    _log(f"screen compile+warmup {time.perf_counter() - t_compile:.1f}s")
-
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        float(screen(x, sizes))
-    dt = (time.perf_counter() - t0) / iters
+    run = _repeat_in_jit(
+        jax, jnp, screen, lambda xs, bit: xs.at[0, 0].set(bit.astype(dtype))
+    )
+    dt = _time_reps(run, x, "screen")
     pairs_per_s = N * (N - 1) / 2 / dt
     _log(f"screen_matmul: {pairs_per_s/1e6:.1f}M pairs/s ({dt*1e3:.0f}ms/sweep)")
     return pairs_per_s
@@ -113,15 +144,14 @@ def bench_screen_popcount(jax, jnp):
     x = make_packed(jax.random.PRNGKey(1))
     x.block_until_ready()
 
-    t_compile = time.perf_counter()
-    int(jnp.sum(_popcount_tile_counts(x, x, interpret)[0, :1]))
-    _log(f"popcount compile+warmup {time.perf_counter() - t_compile:.1f}s")
-
-    iters = 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        int(jnp.sum(_popcount_tile_counts(x, x, interpret)[0, :1]))
-    dt = (time.perf_counter() - t0) / iters
+    run = _repeat_in_jit(
+        jax,
+        jnp,
+        lambda xs: jnp.sum(_popcount_tile_counts(xs, xs, interpret)[0, :1])
+        .astype(jnp.float32),
+        lambda xs, bit: xs.at[0, 0].set(bit.astype(jnp.uint32)),
+    )
+    dt = _time_reps(run, x, "popcount")
     pairs_per_s = N * N / dt  # full square (kernel computes all tiles)
     _log(
         f"screen_popcount: {pairs_per_s/1e6:.1f}M pairs/s "
@@ -160,22 +190,20 @@ def bench_verify_grouped(jax, jnp):
     bitmaps, popcounts, buckets, offsets = make_inputs(jax.random.PRNGKey(2))
     bitmaps.block_until_ready()
 
-    def run():
+    def body(b):
         ani, af = _forward_kernel(
-            bitmaps, popcounts, buckets, offsets, jnp.int32(NHASH),
+            bitmaps, popcounts, b, offsets, jnp.int32(NHASH),
             num_frags=F, bits=MEMBER_BITS, k=K, min_hashes=8, min_ident=0.8,
         )
-        return float(ani[0]) + float(af[0])
+        return ani[0] + af[0]
 
-    t_compile = time.perf_counter()
-    run()
-    _log(f"verify compile+warmup {time.perf_counter() - t_compile:.1f}s")
-
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        run()
-    dt = (time.perf_counter() - t0) / iters
+    run = _repeat_in_jit(
+        jax, jnp, body,
+        lambda b, bit: b.at[0].set(
+            jnp.minimum(b[0] + bit.astype(jnp.int32), MEMBER_BITS - 1)
+        ),
+    )
+    dt = _time_reps(run, buckets, "verify")
     pairs_per_s = R / dt
     hashes_per_s = R * NHASH / dt
     _log(
@@ -233,24 +261,22 @@ def bench_verify_pairtable(jax, jnp):
         jnp2.asarray(pair_ref), jnp2.int32(n_flat), jnp2.int32(n_flat_frags),
     ]
 
-    def run():
+    def body(us):
         ani, af = _pair_table_kernel(
-            *args, flatn=cfg.max_flat_hashes, flatf=cfg.max_flat_frags,
+            us, *args[1:], flatn=cfg.max_flat_hashes, flatf=cfg.max_flat_frags,
             bits=cfg.member_bits, k=cfg.k,
             min_hashes=cfg.min_fragment_hashes,
             min_ident=cfg.min_fragment_identity,
         )
-        return float(ani[0]) + float(af[0])
+        return ani[0] + af[0]
 
-    t_compile = time.perf_counter()
-    run()
-    _log(f"pairtable compile+warmup {time.perf_counter() - t_compile:.1f}s")
-
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        run()
-    dt = (time.perf_counter() - t0) / iters
+    run = _repeat_in_jit(
+        jax, jnp2, body,
+        lambda us, bit: us.at[0].set(
+            jnp2.minimum(us[0] + bit.astype(jnp2.int32), cfg.member_bits - 1)
+        ),
+    )
+    dt = _time_reps(run, args[0], "pairtable")
     pairs_per_s = P / dt
     _log(
         f"verify_pairtable: {pairs_per_s/1e3:.1f}K directed-pairs/s "
@@ -260,8 +286,15 @@ def bench_verify_pairtable(jax, jnp):
 
 
 def main() -> None:
+    import galah_tpu  # noqa: F401  (applies the numpy allocator tuning)
     import jax
     import jax.numpy as jnp
+
+    # The container's sitecustomize pins jax_platforms=axon via
+    # jax.config (env JAX_PLATFORMS is ignored); honor the repo-wide
+    # CPU-forcing knob for smoke runs.
+    if os.environ.get("GALAH_TPU_PLATFORM") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     try:
         jax.config.update(

@@ -254,7 +254,7 @@ class NativeContext:
             with metrics.current().phase("sketch"):
                 for path in missing:
                     self._contig_store[path] = sketch_contigs_native(
-                        path, self.params
+                        path, self.params, threads=self.threads
                     )
         for path in paths:
             out.extend(self._contig_store[path])

@@ -260,15 +260,19 @@ def sketch_file_native(path: str, params: NativeSketchParams) -> NativeSketch:
     return sketch_sequences_native(path, seqs, params)
 
 
-def sketch_contigs_native(path: str, params: NativeSketchParams) -> List[NativeSketch]:
+def sketch_contigs_native(
+    path: str, params: NativeSketchParams, threads: int = 1
+) -> List[NativeSketch]:
     """One sketch per contig (for --cluster-contigs; the reference runs
     `skani triangle -i`, src/skani.rs:379-498). Contig names follow the
-    reference's tab-split rule."""
+    reference's tab-split rule. `threads` parallelizes sketching across
+    contigs in the native library (deterministic: each contig's sketch
+    is independent and lands at its fixed index)."""
     from galah_tpu import native_ext
 
     if native_ext.available():
         f = native_ext.NativeFasta(path)
-        raws = f.native_sketch(1, params)
+        raws = f.native_sketch(1, params, threads=threads)
         return [
             _from_raw(f.name(i).split("\t")[0], raw, params)
             for i, raw in enumerate(raws)

@@ -12,9 +12,11 @@
 // Build: make -C native   (produces libfastaio.so)
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include <zlib.h>
@@ -431,11 +433,14 @@ void gt_genome_stats(void* handle, int64_t out_stats[3]) {
   genome_stats_cpp(((GtHandle*)handle)->records, out_stats);
 }
 
-// mode 0: whole genome (one sketch); mode 1: per contig
+// mode 0: whole genome (one sketch); mode 1: per contig.
+// threads > 1 parallelizes mode 1 across contigs (each contig's sketch
+// is independent; results land at fixed indices, so output is
+// deterministic regardless of thread count).
 int64_t gt_native_sketch(void* handle, int mode, int k, uint64_t gthresh,
                          uint64_t fthresh, int64_t frag_len,
                          int64_t min_frag_len, uint32_t member_mask,
-                         uint32_t pref_mask) {
+                         uint32_t pref_mask, int threads) {
   auto* h = (GtHandle*)handle;
   h->sketches.clear();
   if (mode == 0) {
@@ -446,12 +451,35 @@ int64_t gt_native_sketch(void* handle, int mode, int k, uint64_t gthresh,
                                 min_frag_len, member_mask, pref_mask,
                                 &h->sketches.back());
   } else {
-    for (const auto& r : h->records) {
-      std::vector<const FastaRecordC*> one{&r};
-      h->sketches.emplace_back();
+    const int64_t n = (int64_t)h->records.size();
+    h->sketches.resize((size_t)n);
+    auto sketch_one = [&](int64_t i) {
+      std::vector<const FastaRecordC*> one{&h->records[(size_t)i]};
       sketch_sequences_native_cpp(one, k, gthresh, fthresh, frag_len,
                                   min_frag_len, member_mask, pref_mask,
-                                  &h->sketches.back());
+                                  &h->sketches[(size_t)i]);
+    };
+    int nthreads = threads < 1 ? 1 : threads;
+    if (nthreads > n) nthreads = (int)n;
+    if (nthreads <= 1) {
+      for (int64_t i = 0; i < n; i++) sketch_one(i);
+    } else {
+      // dynamic chunks: contig lengths vary wildly, static partition
+      // would straggle on a few long contigs
+      constexpr int64_t kChunk = 16;
+      std::atomic<int64_t> next{0};
+      auto worker = [&]() {
+        for (;;) {
+          const int64_t lo = next.fetch_add(kChunk);
+          if (lo >= n) return;
+          const int64_t hi = lo + kChunk < n ? lo + kChunk : n;
+          for (int64_t i = lo; i < hi; i++) sketch_one(i);
+        }
+      };
+      std::vector<std::thread> pool;
+      pool.reserve((size_t)nthreads);
+      for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
+      for (auto& th : pool) th.join();
     }
   }
   return (int64_t)h->sketches.size();
@@ -478,6 +506,51 @@ void gt_sketch_copy(void* handle, int64_t i, int32_t* pref, int32_t* member,
               s.frag_buckets.size() * sizeof(int32_t));
   std::memcpy(frag_offsets, s.frag_offsets.data(),
               s.frag_offsets.size() * sizeof(int64_t));
+}
+
+// Bulk transfer: one call for all sketches (a 100k-contig file would
+// otherwise pay 200k ctypes round trips). out_totals = summed
+// [n_pref, n_member, n_fragbuckets, n_frag_offsets] over all sketches.
+void gt_sketch_bulk_sizes(void* handle, int64_t out_totals[4]) {
+  auto* h = (GtHandle*)handle;
+  int64_t t[4] = {0, 0, 0, 0};
+  for (const auto& s : h->sketches) {
+    t[0] += (int64_t)s.prefilter_buckets.size();
+    t[1] += (int64_t)s.member_buckets.size();
+    t[2] += (int64_t)s.frag_buckets.size();
+    t[3] += (int64_t)s.frag_offsets.size();
+  }
+  std::memcpy(out_totals, t, sizeof(t));
+}
+
+// meta: (n_sketches, 5) row-major
+// [total_len, n_pref, n_member, n_fragbuckets, n_frag_offsets];
+// the array arguments receive every sketch's data concatenated in
+// sketch order (caller splits with cumulative sums of the meta rows).
+void gt_sketch_bulk_copy(void* handle, int64_t* meta, int32_t* pref,
+                         int32_t* member, int32_t* fragbuckets,
+                         int64_t* frag_offsets) {
+  auto* h = (GtHandle*)handle;
+  for (const auto& s : h->sketches) {
+    meta[0] = s.total_len;
+    meta[1] = (int64_t)s.prefilter_buckets.size();
+    meta[2] = (int64_t)s.member_buckets.size();
+    meta[3] = (int64_t)s.frag_buckets.size();
+    meta[4] = (int64_t)s.frag_offsets.size();
+    meta += 5;
+    std::memcpy(pref, s.prefilter_buckets.data(),
+                s.prefilter_buckets.size() * sizeof(int32_t));
+    pref += s.prefilter_buckets.size();
+    std::memcpy(member, s.member_buckets.data(),
+                s.member_buckets.size() * sizeof(int32_t));
+    member += s.member_buckets.size();
+    std::memcpy(fragbuckets, s.frag_buckets.data(),
+                s.frag_buckets.size() * sizeof(int32_t));
+    fragbuckets += s.frag_buckets.size();
+    std::memcpy(frag_offsets, s.frag_offsets.data(),
+                s.frag_offsets.size() * sizeof(int64_t));
+    frag_offsets += s.frag_offsets.size();
+  }
 }
 
 int64_t gt_mash_sketch(void* handle, int k, int64_t sketch_size,
