@@ -96,6 +96,25 @@ def test_native_sketch_contig_mode_parity():
         assert np.array_equal(raw["frag_offsets"], ref.frag_offsets)
 
 
+def test_native_sketch_contig_mode_threaded_determinism():
+    """Contig sketching across host threads must be bit-identical to
+    the serial order (each contig's sketch lands at a fixed index)."""
+    from galah_tpu.sketch.fracminhash import small_genome_params
+
+    path = data("contigs/contigs.fna")
+    params = small_genome_params()
+    serial = native_ext.NativeFasta(path).native_sketch(1, params, threads=1)
+    threaded = native_ext.NativeFasta(path).native_sketch(1, params, threads=4)
+    assert len(serial) == len(threaded) and len(serial) > 1
+    for a, b in zip(serial, threaded):
+        assert a["total_len"] == b["total_len"]
+        for key in (
+            "prefilter_buckets", "member_buckets", "frag_buckets",
+            "frag_offsets",
+        ):
+            assert np.array_equal(a[key], b[key]), key
+
+
 def test_corrupt_gzip_errors(tmp_path):
     """A truncated gzip stream must raise, not silently truncate (both
     native and numpy paths)."""
