@@ -49,6 +49,20 @@ def get_lib():
         logger.warning("failed to load %s: %s", path, e)
         return None
 
+    try:
+        _bind_signatures(lib)
+    except AttributeError as e:
+        # A stale library missing newer symbols must degrade to the
+        # numpy fallback, not break available().
+        logger.warning("stale native library %s (%s); rebuild with "
+                       "`make -C native`. Using numpy fallback.", path, e)
+        return None
+    _LIB = lib
+    logger.debug("loaded native fastaio from %s", path)
+    return _LIB
+
+
+def _bind_signatures(lib) -> None:
     lib.gt_open.restype = ctypes.c_void_p
     lib.gt_open.argtypes = [ctypes.c_char_p]
     lib.gt_error.restype = ctypes.c_char_p
@@ -98,9 +112,6 @@ def get_lib():
     lib.gt_murmur3_x64_128_low.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_uint32,
     ]
-    _LIB = lib
-    logger.debug("loaded native fastaio from %s", path)
-    return _LIB
 
 
 def available() -> bool:
