@@ -38,6 +38,7 @@ from galah_tpu.ops.prefilter import (
     ScreenResult,
     _block_containment_packed,
     _containment,
+    _device_resident_budget,
     _screen_dtype,
     _unpack_bits,
 )
@@ -49,6 +50,8 @@ logger = logging.getLogger(__name__)
 TILES_PER_DEVICE = 8
 # In-flight dispatch window (results drain once this many are issued).
 DISPATCH_WINDOW = 8
+# Row-sharded sweep: per-device per-stage compacted output capacity.
+ROWSHARD_STAGE_CAP = 1 << 15
 
 
 _TILE_FN_CACHE: dict = {}
@@ -155,6 +158,26 @@ def sharded_screen_triangle_packed(
         return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
     w = len(packed[0])
     block = _pick_block(n, block)
+
+    # Replicating the resident matrix is fastest while it fits; past
+    # the per-device HBM budget, row-shard it so capacity scales with
+    # device count (GALAH_TPU_ROWSHARD=1/0 forces either way).
+    import os as _os
+
+    rowshard_env = _os.environ.get("GALAH_TPU_ROWSHARD")
+    n_pad_est = ((n + block - 1) // block) * block
+    if rowshard_env != "0" and (
+        rowshard_env == "1"
+        or n_pad_est * w * 4 > _device_resident_budget()
+    ):
+        logger.info(
+            "Row-sharding the resident packed matrix (%d rows x %d words "
+            "> per-device budget)", n, w,
+        )
+        return sharded_screen_triangle_rowsharded(
+            packed, sizes, k, min_containment, bits, mesh=mesh, block=block
+        )
+
     inv_k = 1.0 / k
     min_cont_static = float(np.float32(min_containment))
     n_devices = math.prod(mesh.shape.values())
@@ -247,6 +270,322 @@ def sharded_screen_triangle_packed(
             jax.device_put(tij.copy(), mat_sh),
         )
         pending.append((tile_chunk, outs))
+        if len(pending) > DISPATCH_WINDOW:
+            collect(*pending.popleft())
+    while pending:
+        collect(*pending.popleft())
+
+    if pairs:
+        return ScreenResult(np.concatenate(pairs), np.concatenate(anis))
+    return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
+
+
+def _rowshard_stage_fn(mesh: Mesh, block: int, cap: int, slots: int,
+                       stage_cap: int):
+    """Build (and cache) the jitted one-column-stage sweep for the
+    ROW-SHARDED resident matrix.
+
+    Layout: global row blocks are distributed cyclically — block g is
+    owned by device g % n_dev at local slot g // n_dev — so per-stage
+    triangle work (all blocks g <= cb against column block cb) is
+    balanced within one tile across devices. Each stage:
+
+      1. the owner of column block cb contributes its slice, psum
+         broadcasts it to every device (ICI),
+      2. every device scans its local slots, computing only valid
+         triangle tiles (lax.cond skips g > cb), extracting sparse
+         above-cutoff hits on device,
+      3. hits are compacted into one fixed-size per-device stream with
+         a running-offset dynamic_update_slice; only (cnts, stream)
+         leave the device.
+
+    Per-device residency is O(n*W / n_dev) — the property that lets the
+    screen reach the 300k-genome multi-host north star (the role skani's
+    sketch-then-stream search plays at scale, reference
+    src/skani.rs:229-377). Column stage index cb and the real block
+    count are traced, so one compilation serves every stage and run.
+    """
+    key = ("rowshard", mesh, block, cap, slots, stage_cap)
+    fn = _TILE_FN_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    axes = tuple(mesh.axis_names)
+    n_dev = math.prod(mesh.shape.values())
+
+    def local_fn(x_local, s_local, bits_f, min_cont, cb, nblocks_real):
+        w = x_local.shape[1]
+        idx = jnp.int32(0)
+        for ax in axes:
+            idx = idx * mesh.shape[ax] + jax.lax.axis_index(ax)
+        owner = cb % n_dev
+        cslot = cb // n_dev
+        blk = jax.lax.dynamic_slice(x_local, (cslot * block, 0), (block, w))
+        sblk = jax.lax.dynamic_slice(s_local, (cslot * block,), (block,))
+        col_x = jax.lax.psum(
+            jnp.where(idx == owner, blk, jnp.zeros_like(blk)), axes
+        )
+        col_s = jax.lax.psum(jnp.where(idx == owner, sblk, 0.0), axes)
+        dt = _screen_dtype()
+        col_unpacked = _unpack_bits(col_x, dt)
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+        cols_j = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+
+        def compute(s):
+            si = jax.lax.dynamic_slice(x_local, (s * block, 0), (block, w))
+            a = jax.lax.dynamic_slice(s_local, (s * block,), (block,))
+            g = idx + s * n_dev
+            counts = jax.lax.dot_general(
+                _unpack_bits(si, dt),
+                col_unpacked,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            cont = _containment(counts, a, col_s, bits_f)
+            mask = (cont >= min_cont) & ((g != cb) | (cols_j > rows_i))
+            cnt = jnp.sum(mask).astype(jnp.int32)
+            ii, jj = jnp.nonzero(mask, size=cap, fill_value=0)
+            return (
+                cnt,
+                ii.astype(jnp.int32),
+                jj.astype(jnp.int32),
+                cont[ii, jj].astype(jnp.bfloat16),
+            )
+
+        def _vary(tree):
+            # shard_map requires cond branches / scan carries to agree
+            # on varying-over-mesh-axes types; constants start unvarying.
+            return jax.tree.map(
+                lambda v: jax.lax.pcast(v, axes, to="varying"), tree
+            )
+
+        def skip(s):
+            return _vary(
+                (
+                    jnp.int32(0),
+                    jnp.zeros((cap,), jnp.int32),
+                    jnp.zeros((cap,), jnp.int32),
+                    jnp.zeros((cap,), jnp.bfloat16),
+                )
+            )
+
+        def scan_body(carry, s):
+            off, out_ii, out_jj, out_vals = carry
+            g = idx + s * n_dev
+            valid = (g <= cb) & (g < nblocks_real)
+            cnt, ii, jj, vals = jax.lax.cond(valid, compute, skip, s)
+            woff = jnp.minimum(off, stage_cap - cap)
+            out_ii = jax.lax.dynamic_update_slice(out_ii, ii, (woff,))
+            out_jj = jax.lax.dynamic_update_slice(out_jj, jj, (woff,))
+            out_vals = jax.lax.dynamic_update_slice(out_vals, vals, (woff,))
+            return (off + jnp.minimum(cnt, cap), out_ii, out_jj, out_vals), cnt
+
+        init = _vary(
+            (
+                jnp.int32(0),
+                jnp.zeros((stage_cap,), jnp.int32),
+                jnp.zeros((stage_cap,), jnp.int32),
+                jnp.zeros((stage_cap,), jnp.bfloat16),
+            )
+        )
+        (_, out_ii, out_jj, out_vals), cnts = jax.lax.scan(
+            scan_body, init, jnp.arange(slots, dtype=jnp.int32)
+        )
+        return cnts, out_ii, out_jj, out_vals
+
+    fn = jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(axes, None), P(axes), P(), P(), P(), P()),
+            out_specs=(P(axes), P(axes), P(axes), P(axes)),
+        )
+    )
+    _TILE_FN_CACHE[key] = fn
+    return fn
+
+
+def _host_block(packed, n: int, w: int, g: int, block: int) -> np.ndarray:
+    """Materialize row block g (original genome order) from host rows,
+    zero-padded past n."""
+    out = np.zeros((block, w), np.uint32)
+    lo = g * block
+    for j in range(max(0, min(n - lo, block))):
+        out[j] = packed[lo + j]
+    return out
+
+
+def _dense_tile_hits(
+    packed, sizes_pad, n, w, bits, g, cb, block, min_containment
+):
+    """Recompute one overflowing tile densely (device matmul on two
+    host-assembled blocks) and return its above-cutoff hits."""
+    xi = jnp.asarray(_host_block(packed, n, w, g, block))
+    xj = jnp.asarray(_host_block(packed, n, w, cb, block))
+    a = jnp.asarray(sizes_pad[g * block : (g + 1) * block])
+    b = jnp.asarray(sizes_pad[cb * block : (cb + 1) * block])
+    cont = np.array(
+        _block_containment_packed(xi, xj, a, b, float(bits))
+    ).astype(np.float32)
+    if g == cb:
+        cont[np.tril_indices(cont.shape[0])] = 0.0
+    hit = np.argwhere(cont >= min_containment)
+    gi = hit[:, 0] + g * block
+    gj = hit[:, 1] + cb * block
+    return gi, gj, cont[hit[:, 0], hit[:, 1]]
+
+
+def sharded_screen_triangle_rowsharded(
+    packed: Sequence[np.ndarray],
+    sizes: np.ndarray,
+    k: int,
+    min_containment: float,
+    bits: int,
+    mesh: Optional[Mesh] = None,
+    block: int = 1024,
+    cap: int = 8192,
+    stage_cap: int = ROWSHARD_STAGE_CAP,
+) -> ScreenResult:
+    """Upper-triangle all-vs-all screen with the packed matrix ROW-
+    SHARDED across the mesh (cyclic block ownership): per-device HBM is
+    O(n*W / n_dev), so capacity grows with devices/hosts instead of
+    being capped by one device's memory as in the replicated sweep."""
+    if mesh is None:
+        from galah_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    n = len(packed)
+    if n == 0:
+        return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
+    w = len(packed[0])
+    block = _pick_block(n, block)
+    stage_cap = max(stage_cap, 2 * cap)
+    inv_k = 1.0 / k
+    min_cont_static = float(np.float32(min_containment))
+    axes = tuple(mesh.axis_names)
+    n_dev = math.prod(mesh.shape.values())
+
+    nblocks_real = (n + block - 1) // block
+    slots = (nblocks_real + n_dev - 1) // n_dev
+    n_local = slots * block
+    total = n_dev * n_local
+
+    sizes_pad = np.zeros((nblocks_real * block,), np.float32)
+    sizes_pad[:n] = np.asarray(sizes, np.float32)
+
+    x_sh = NamedSharding(mesh, P(axes, None))
+    s_sh = NamedSharding(mesh, P(axes))
+
+    def _fill_rows(start: int, stop: int, width: Optional[int]) -> np.ndarray:
+        """Rows [start, stop) of the block-permuted global matrix:
+        permuted block p = d*slots + s holds original block
+        g = d + s*n_dev (cyclic ownership)."""
+        shape = (stop - start, w) if width else (stop - start,)
+        out = np.zeros(shape, np.uint32 if width else np.float32)
+        p0 = start // block
+        for p in range(p0, (stop + block - 1) // block):
+            d, s = divmod(p, slots)
+            g = d + s * n_dev
+            lo = max(start, p * block) - start
+            if g >= nblocks_real:
+                continue
+            if width:
+                out[lo : lo + block] = _host_block(packed, n, w, g, block)
+            else:
+                out[lo : lo + block] = sizes_pad[g * block : (g + 1) * block]
+        return out
+
+    def cb_x(index):
+        sl = index[0]
+        start = sl.start or 0
+        stop = sl.stop if sl.stop is not None else total
+        assert start % block == 0 and stop % block == 0, (start, stop)
+        return _fill_rows(start, stop, w)
+
+    def cb_s(index):
+        sl = index[0]
+        start = sl.start or 0
+        stop = sl.stop if sl.stop is not None else total
+        assert start % block == 0 and stop % block == 0, (start, stop)
+        return _fill_rows(start, stop, None)
+
+    x_all = jax.make_array_from_callback((total, w), x_sh, cb_x)
+    s_all = jax.make_array_from_callback((total,), s_sh, cb_s)
+
+    fn = _rowshard_stage_fn(mesh, block, cap, slots, stage_cap)
+    bits_dev = jnp.float32(bits)
+    min_cont_dev = jnp.float32(min_cont_static)
+    nblocks_dev = jnp.int32(nblocks_real)
+    multiproc = jax.process_count() > 1
+
+    pairs: List[np.ndarray] = []
+    anis: List[np.ndarray] = []
+
+    def emit(gi, gj, v):
+        keep = (gi < n) & (gj < n)
+        gi, gj, v = gi[keep], gj[keep], v[keep]
+        if len(gi):
+            pairs.append(np.stack([gi, gj], axis=1).astype(np.int64))
+            anis.append(
+                (np.asarray(v, np.float32) ** inv_k * 100.0).astype(np.float32)
+            )
+
+    def collect(cb, outs):
+        if multiproc:
+            from jax.experimental import multihost_utils
+
+            cnts, ii, jj, vals = (
+                multihost_utils.process_allgather(o, tiled=True) for o in outs
+            )
+        else:
+            cnts, ii, jj, vals = outs
+        cnts = np.asarray(cnts)
+        ii = np.asarray(ii)
+        jj = np.asarray(jj)
+        vals = np.asarray(vals).astype(np.float32)
+        for d in range(n_dev):
+            # Replay the device's running offset to locate each slot's
+            # segment in the compacted stream; fall back to dense
+            # recompute per overflowing tile, or for the whole device-
+            # stage if the stream itself overflowed (clobbered writes).
+            segs = []  # (g, off, stored)
+            off = 0
+            clobbered = False
+            for s in range(slots):
+                g = d + s * n_dev
+                if g > cb or g >= nblocks_real:
+                    continue
+                c = int(cnts[d * slots + s])
+                stored = min(c, cap)
+                if stored and off > stage_cap - cap:
+                    clobbered = True
+                segs.append((g, c, off))
+                off += stored
+            if clobbered:
+                logger.warning(
+                    "row-sharded screen: stage %d device %d stream "
+                    "overflow (%d hits > %d); dense recompute",
+                    cb, d, off, stage_cap,
+                )
+            base_i = d * stage_cap
+            for g, c, soff in segs:
+                if clobbered or c > cap:
+                    gi, gj, v = _dense_tile_hits(
+                        packed, sizes_pad, n, w, bits, g, cb, block,
+                        min_cont_static,
+                    )
+                    emit(gi, gj, v)
+                else:
+                    gi = ii[base_i + soff : base_i + soff + c] + g * block
+                    gj = jj[base_i + soff : base_i + soff + c] + cb * block
+                    emit(gi, gj, vals[base_i + soff : base_i + soff + c])
+
+    pending: deque = deque()
+    for cb in range(nblocks_real):
+        outs = fn(
+            x_all, s_all, bits_dev, min_cont_dev, jnp.int32(cb), nblocks_dev
+        )
+        pending.append((cb, outs))
         if len(pending) > DISPATCH_WINDOW:
             collect(*pending.popleft())
     while pending:

@@ -122,6 +122,91 @@ def test_sharded_packed_overflow_tile():
     assert len(res.pairs) == n * (n - 1) // 2
 
 
+def test_rowsharded_matches_replicated():
+    """Row-sharded resident matrix (cyclic block ownership + per-stage
+    column psum broadcast) produces the identical sparse pair list."""
+    from galah_tpu.ops.prefilter import screen_triangle_packed
+    from galah_tpu.parallel.distance import sharded_screen_triangle_rowsharded
+
+    n, bits = 700, 2048
+    rng = np.random.default_rng(3)
+    x = (rng.random((n, bits)) < 0.08).astype(np.uint8)
+    for src in range(0, 40, 4):
+        x[src + 1] = x[src]
+    packed = list(
+        np.packbits(x.astype(bool), axis=1, bitorder="little").view(np.uint32)
+    )
+    sizes = x.sum(axis=1)
+    single = screen_triangle_packed(packed, sizes, 15, 0.2, bits, block=256)
+    key = lambda r: sorted(map(tuple, r.pairs.tolist()))
+    for ndev, bucket in ((2, 1), (8, 1), (8, 2)):
+        mesh = make_mesh(jax.devices()[:ndev], bucket_axis=bucket)
+        rs = sharded_screen_triangle_rowsharded(
+            packed, sizes, 15, 0.2, bits, mesh=mesh, block=128
+        )
+        assert key(single) == key(rs), (ndev, bucket)
+    assert len(single.pairs) >= 10
+
+
+def test_rowsharded_overflow_tile():
+    """Per-tile cnt > cap falls back to a dense recompute of that tile."""
+    from galah_tpu.parallel.distance import sharded_screen_triangle_rowsharded
+
+    n, bits = 96, 1024
+    x = np.zeros((n, bits), dtype=np.uint8)
+    x[:, :64] = 1
+    packed = list(
+        np.packbits(x.astype(bool), axis=1, bitorder="little").view(np.uint32)
+    )
+    sizes = x.sum(axis=1)
+    mesh = make_mesh(jax.devices()[:2])
+    res = sharded_screen_triangle_rowsharded(
+        packed, sizes, 15, 0.2, bits, mesh=mesh, block=128, cap=64
+    )
+    assert len(res.pairs) == n * (n - 1) // 2
+
+
+def test_rowsharded_stream_overflow():
+    """A device-stage whose compacted stream overflows is recomputed
+    densely (stage_cap floor is 2*cap, so force many full tiles)."""
+    from galah_tpu.parallel.distance import sharded_screen_triangle_rowsharded
+
+    n, bits = 1024, 1024
+    x = np.zeros((n, bits), dtype=np.uint8)
+    x[:, :64] = 1
+    packed = list(
+        np.packbits(x.astype(bool), axis=1, bitorder="little").view(np.uint32)
+    )
+    sizes = x.sum(axis=1)
+    mesh = make_mesh(jax.devices()[:2])
+    res = sharded_screen_triangle_rowsharded(
+        packed, sizes, 15, 0.2, bits, mesh=mesh, block=128,
+        cap=16384, stage_cap=16384,
+    )
+    assert len(res.pairs) == n * (n - 1) // 2
+
+
+def test_rowshard_env_forces_path(monkeypatch):
+    """GALAH_TPU_ROWSHARD=1 routes the packed entry point through the
+    row-sharded sweep; results match the replicated default."""
+    from galah_tpu.parallel.distance import sharded_screen_triangle_packed
+
+    x, sizes = synthetic_indicators()
+    packed = list(
+        np.packbits(x.astype(bool), axis=1, bitorder="little").view(np.uint32)
+    )
+    mesh = make_mesh(jax.devices()[:8])
+    base = sharded_screen_triangle_packed(
+        packed, sizes, 15, 0.2, x.shape[1], mesh=mesh
+    )
+    monkeypatch.setenv("GALAH_TPU_ROWSHARD", "1")
+    forced = sharded_screen_triangle_packed(
+        packed, sizes, 15, 0.2, x.shape[1], mesh=mesh
+    )
+    key = lambda r: sorted(map(tuple, r.pairs.tolist()))
+    assert key(base) == key(forced)
+
+
 def test_graft_entry_compiles():
     import __graft_entry__ as g
 
