@@ -82,9 +82,10 @@ def cluster(
     )
 
     logger.info("Finding representative genomes and assigning all genomes to these ..")
+    local_caches = _bucket_cache(preclusters, cache)
     all_clusters: List[List[int]] = []
     for precluster_id, original_indices in enumerate(preclusters):
-        local_cache = cache.transform_ids(original_indices)
+        local_cache = local_caches[precluster_id]
         local_units = [units[i] for i in original_indices]
         logger.debug(
             "Clustering precluster %d with indices %s", precluster_id, original_indices
@@ -113,6 +114,29 @@ def _partition_sketches(n: int, cache: SortedPairDistanceCache) -> List[List[int
     return ds.sets()
 
 
+def _bucket_cache(
+    preclusters: List[List[int]], cache: SortedPairDistanceCache
+) -> List[SortedPairDistanceCache]:
+    """Build every precluster-local cache in ONE pass over the global
+    cache. Equivalent to per-precluster `transform_ids`
+    (src/sorted_pair_genome_distance_cache.rs:47-58) but O(E) total
+    instead of O(sum m_p^2) — at a 100k-genome single precluster the
+    quadratic scan is hours, the bucketing pass is seconds. Valid
+    because single-linkage puts both endpoints of every cached pair in
+    the same precluster by construction."""
+    pos: dict = {}
+    for p, ids in enumerate(preclusters):
+        for a, g in enumerate(ids):
+            pos[g] = (p, a)
+    out = [SortedPairDistanceCache() for _ in preclusters]
+    for (i, j), v in cache.items():
+        pi, a = pos[i]
+        pj, b = pos[j]
+        assert pi == pj, f"pair ({i},{j}) spans preclusters {pi},{pj}"
+        out[pi].insert((a, b), v)
+    return out
+
+
 def _find_precluster_cluster_representatives(
     clusterer: "ClusterDistanceFinder",
     precl_cache: SortedPairDistanceCache,
@@ -124,16 +148,24 @@ def _find_precluster_cluster_representatives(
     Returns (sorted rep indices, the clusterer-ANI cache to seed
     membership assignment with)."""
     reps: List[int] = []  # kept sorted ascending (BTreeSet parity)
+    rep_set: set = set()
     clusterer_cache = SortedPairDistanceCache()
     threshold = clusterer.get_ani_threshold()
+    # Candidates can only be cache neighbors, so scan i's adjacency
+    # instead of every rep: O(E) total, not O(m^2) — the difference
+    # between seconds and hours in a 100k-genome precluster. Ascending
+    # neighbor order keeps iteration-order parity with the reference's
+    # scan over the rep BTreeSet (src/clusterer.rs:194-204).
+    adj = _adjacency(precl_cache, len(genomes))
 
     for i in range(len(genomes)):
         # All current reps within precluster distance of genome i,
-        # sorted ascending by precluster ANI (src/clusterer.rs:194-204).
+        # sorted ascending by precluster ANI (src/clusterer.rs:194-204;
+        # sort is stable, so equal ANIs stay in ascending-index order).
         cands = []
-        for j in reps:
-            got = precl_cache.get((i, j))
-            if got is not None:
+        for j in adj[i]:
+            if j in rep_set:
+                got = precl_cache.get((i, j))
                 cands.append((j, got[0]))
         cands.sort(key=lambda t: (t[1] is not None, t[1]))
         potential_refs = [j for j, _ in cands]
@@ -161,6 +193,7 @@ def _find_precluster_cluster_representatives(
         if is_rep:
             logger.debug("Genome designated representative: %d %s", i, genomes[i])
             _insort(reps, i)
+            rep_set.add(i)
 
     if skip_clusterer:
         # Return all precluster ANIs: fixes the transitivity bug the
@@ -181,6 +214,11 @@ def _find_precluster_cluster_memberships(
     rep_to_index = {r: k for k, r in enumerate(representatives)}
     rep_set = set(representatives)
     result: List[List[int]] = [[r] for r in representatives]
+    # Only cache neighbors can carry an ANI to a rep (every `calculated`
+    # entry is a precl_cache pair by construction), so scan adjacency
+    # instead of every rep — O(E), ascending order for tie parity with
+    # the reference's scan over the rep set (src/clusterer.rs:408-444).
+    adj = _adjacency(precl_cache, len(genomes))
 
     # Compute all missing rep<->genome ANIs in one device batch
     # (the reference computes them per genome in parallel,
@@ -189,8 +227,8 @@ def _find_precluster_cluster_memberships(
     for i in range(len(genomes)):
         if i in rep_set:
             continue
-        for rep in representatives:
-            if not calculated.contains_key((i, rep)) and precl_cache.contains_key((i, rep)):
+        for rep in adj[i]:
+            if rep in rep_set and not calculated.contains_key((i, rep)):
                 missing_pairs.append((i, rep))
     if missing_pairs:
         anis = clusterer.calculate_ani_batch(
@@ -204,7 +242,9 @@ def _find_precluster_cluster_memberships(
             continue
         best_rep = None
         best_ani = None
-        for rep in representatives:
+        for rep in adj[i]:
+            if rep not in rep_set:
+                continue
             got = calculated.get((i, rep))
             ani = got[0] if got is not None else None
             if ani is not None and (best_ani is None or ani > best_ani):
@@ -217,6 +257,19 @@ def _find_precluster_cluster_memberships(
             )
         result[rep_to_index[best_rep]].append(i)
     return result
+
+
+def _adjacency(
+    cache: SortedPairDistanceCache, n: int
+) -> List[List[int]]:
+    """Per-genome sorted neighbor lists from cache key presence."""
+    adj: List[List[int]] = [[] for _ in range(n)]
+    for (i, j), _ in cache.items():
+        adj[i].append(j)
+        adj[j].append(i)
+    for lst in adj:
+        lst.sort()
+    return adj
 
 
 def _insort(sorted_list: List[int], value: int) -> None:

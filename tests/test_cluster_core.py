@@ -168,3 +168,106 @@ def test_cache_sorted_keys():
     assert cache.contains_key((2, 5))
     cache.insert((2, 5), None)
     assert cache.get((5, 2)) == (None,)  # present-but-None distinguishable
+
+
+def _oracle_cluster(n, pair_anis, threshold, clu_anis=None):
+    """Straightforward reimplementation of the reference semantics
+    (scan over ALL reps per genome, src/clusterer.rs:182-259, 350-449)
+    — the O(m^2) shape the production adjacency-scan path must match
+    exactly, including stable-sort tie order."""
+    import bisect
+
+    skip = clu_anis is None
+    cache = SortedPairDistanceCache()
+    for (i, j), ani in pair_anis.items():
+        cache.insert((i, j), ani)
+    ds = DisjointSet(n)
+    for (i, j), _ in cache.items():
+        ds.join(i, j)
+    preclusters = ds.sets()
+    preclusters.sort(key=len, reverse=True)
+    out = []
+    for ids in preclusters:
+        local = cache.transform_ids(ids)
+        m = len(ids)
+        reps = []
+        calculated = SortedPairDistanceCache()
+        for i in range(m):
+            cands = []
+            for j in reps:
+                got = local.get((i, j))
+                if got is not None:
+                    cands.append((j, got[0]))
+            cands.sort(key=lambda t: (t[1] is not None, t[1]))
+            is_rep = True
+            for j, _ in cands:
+                if skip:
+                    got = local.get((j, i))
+                    ani = got[0] if got is not None else None
+                else:
+                    key = tuple(sorted((f"g{ids[i]}", f"g{ids[j]}")))
+                    ani = clu_anis.get(key)
+                    if ani is not None:
+                        calculated.insert((j, i), ani)
+                if ani is not None and ani >= threshold:
+                    is_rep = False
+            if is_rep:
+                bisect.insort(reps, i)
+        if skip:
+            calculated = local
+        rep_set = set(reps)
+        rep_to_idx = {r: k for k, r in enumerate(reps)}
+        result = [[r] for r in reps]
+        for i in range(m):
+            if i in rep_set:
+                continue
+            if not skip:
+                for rep in reps:
+                    if not calculated.contains_key((i, rep)) and local.contains_key(
+                        (i, rep)
+                    ):
+                        key = tuple(sorted((f"g{ids[i]}", f"g{ids[rep]}")))
+                        calculated.insert((i, rep), clu_anis.get(key))
+            best = None
+            bani = None
+            for rep in reps:
+                got = calculated.get((i, rep))
+                ani = got[0] if got is not None else None
+                if ani is not None and (bani is None or ani > bani):
+                    best, bani = rep, ani
+            result[rep_to_idx[best]].append(i)
+        for c in result:
+            out.append([ids[w] for w in c])
+    return out
+
+
+def test_adjacency_scan_matches_full_scan_oracle():
+    """Randomized parity pin for the O(E) adjacency-scan fast path
+    (both skip and non-skip modes), with quantized ANIs forcing ties so
+    tie-break iteration order is exercised."""
+    import random
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n = 60
+        pair_anis = {}
+        for i in range(n):
+            for j in range(i + 1, n):
+                if rng.random() < 0.12:
+                    pair_anis[(i, j)] = rng.choice([93.0, 95.0, 96.0, 96.0, 98.0])
+        # skip mode (precluster method == cluster method)
+        pre = FakePreclusterer(n, pair_anis, name="same")
+        clu = FakeClusterer(95.0, {}, name="same")
+        got = cluster(paths(n), pre, clu)
+        want = _oracle_cluster(n, pair_anis, 95.0)
+        assert got == want, f"skip mode diverged at seed {seed}"
+        # non-skip mode: independent clusterer ANIs, some None
+        clu_anis = {}
+        for (i, j) in pair_anis:
+            key = tuple(sorted((f"g{i}", f"g{j}")))
+            clu_anis[key] = rng.choice([None, 94.0, 95.5, 96.5, 96.5])
+        pre2 = FakePreclusterer(n, pair_anis, name="pre")
+        clu2 = FakeClusterer(95.0, clu_anis, name="clu")
+        got2 = cluster(paths(n), pre2, clu2)
+        want2 = _oracle_cluster(n, pair_anis, 95.0, clu_anis)
+        assert got2 == want2, f"non-skip mode diverged at seed {seed}"

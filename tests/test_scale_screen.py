@@ -22,7 +22,10 @@ from conftest import data  # noqa: F401  (forces CPU backend via conftest)
 
 import jax
 
-from galah_tpu.parallel.distance import sharded_screen_triangle_packed
+from galah_tpu.parallel.distance import (
+    sharded_screen_triangle_packed,
+    sharded_screen_triangle_rowsharded,
+)
 from galah_tpu.parallel.mesh import make_mesh
 
 
@@ -39,11 +42,11 @@ def _planted_corpus(n: int, w: int, n_planted: int, seed: int = 0):
     return x, sizes, planted
 
 
-def _run(n: int, block: int):
+def _run(n: int, block: int, fn=sharded_screen_triangle_packed):
     w = 16  # 512-bit bitmaps keep the CPU matmul tractable at scale
     x, sizes, planted = _planted_corpus(n, w, n_planted=200)
     mesh = make_mesh(jax.devices()[:8])
-    res = sharded_screen_triangle_packed(
+    res = fn(
         list(x), sizes, k=15, min_containment=0.5, bits=w * 32,
         mesh=mesh, block=block,
     )
@@ -63,3 +66,20 @@ def test_sharded_screen_100k_bounded_memory():
     _run(100_000, block=4096)
     peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     assert peak_gb < 8.0, f"peak RSS {peak_gb:.1f}GB — dense-path regression?"
+
+
+def test_rowsharded_screen_20k():
+    _run(20_000, block=4096, fn=sharded_screen_triangle_rowsharded)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("GALAH_TPU_SCALE_TESTS"),
+    reason="set GALAH_TPU_SCALE_TESTS=1 for the 300k north-star shape",
+)
+def test_rowsharded_screen_300k_bounded_memory():
+    """BASELINE.md north-star config #5 shape (300k genomes, >=4 hosts)
+    on the 8-device virtual mesh: the row-sharded sweep keeps per-device
+    residency at n/8 rows and only sparse hits reach the host."""
+    _run(300_000, block=4096, fn=sharded_screen_triangle_rowsharded)
+    peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    assert peak_gb < 12.0, f"peak RSS {peak_gb:.1f}GB — dense-path regression?"
