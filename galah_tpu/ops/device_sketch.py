@@ -1,0 +1,416 @@
+"""On-device FracMinHash sketching (canonical k-mers + splitmix64).
+
+Moves the sketch stage — the reference delegates it to skani/finch on
+host CPUs (src/skani.rs:270-290, src/finch.rs:55-72) and galah_tpu's
+default path runs it in threaded C++ (native/fastaio.cpp) — onto the
+TPU itself. One upload of 2-bit-encoded sequence per genome replaces
+per-genome host hashing; canonical k-mer construction, the splitmix64
+finalizer, FracMinHash selection, bitmap construction and per-fragment
+dedup/compaction all run on device, bit-identical to the host
+implementation (galah_tpu/sketch/fracminhash.py, sketch/kmers.py).
+
+Why this is the TPU-native answer: k-mer hashing is pure elementwise
+integer arithmetic over the sequence — VPU work that XLA fuses into a
+handful of passes over the input. A single chip hashes sequence far
+faster than the host cores that feed it, so on production hosts the
+sketch phase stops being the pipeline bottleneck (benchmarks/RESULTS.md
+measures the 100k-contig config sketch-bound after the screen/verify
+rounds).
+
+TPUs have no native uint64, so the 64-bit splitmix64 finalizer runs on
+(hi, lo) uint32 lane pairs with exact carry propagation (validated
+element-for-element against the numpy uint64 implementation in
+tests/test_device_sketch.py).
+
+Layout notes:
+- A genome's contigs are concatenated with one invalid byte between
+  them: any k-window containing the separator is dropped, so no k-mer
+  spans a contig boundary — same semantics as the host's per-contig
+  loop.
+- Fragment assignment reuses the host rule (k-mer belongs to the
+  fragment containing its start position; k-mers past the last
+  fragment boundary are counted in the genome-level sets but not in
+  any fragment). The host precomputes, per genome, a sorted boundary
+  list and a bin -> fragment map (-1 for separator/trailing bins);
+  on device the bin of every position is a scatter + prefix sum.
+- Per-fragment dedup = lexicographic sort by (fragment, bucket) +
+  adjacent-difference compaction, exactly np.unique on
+  frag * member_bits + bucket without ever forming the 64-bit key.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from galah_tpu.sketch.fracminhash import (
+    NativeSketch,
+    NativeSketchParams,
+    _fragment_boundaries,
+)
+from galah_tpu.sketch.kmers import encode_bases
+
+logger = logging.getLogger(__name__)
+
+_M1 = 0xBF58476D1CE4E5B9
+_M2 = 0x94D049BB133111EB
+
+
+def _u32(x: int):
+    return jnp.uint32(x & 0xFFFFFFFF)
+
+
+def _mul32x32(a, b: int):
+    """Full 32x32 -> 64 product of a uint32 array with a constant.
+    Returns (hi, lo) uint32; exact via 16-bit limbs."""
+    a0 = a & _u32(0xFFFF)
+    a1 = a >> _u32(16)
+    b0 = _u32(b & 0xFFFF)
+    b1 = _u32((b >> 16) & 0xFFFF)
+    p = a0 * b0
+    q = a1 * b0
+    r = a0 * b1
+    s = a1 * b1
+    t = (p >> _u32(16)) + (q & _u32(0xFFFF)) + (r & _u32(0xFFFF))
+    lo = (p & _u32(0xFFFF)) | ((t & _u32(0xFFFF)) << _u32(16))
+    hi = s + (q >> _u32(16)) + (r >> _u32(16)) + (t >> _u32(16))
+    return hi, lo
+
+
+def _mul64_const(hi, lo, c: int):
+    """(hi, lo) * c mod 2**64 for a 64-bit constant c."""
+    c_lo = c & 0xFFFFFFFF
+    c_hi = (c >> 32) & 0xFFFFFFFF
+    out_hi, out_lo = _mul32x32(lo, c_lo)
+    out_hi = out_hi + lo * _u32(c_hi) + hi * _u32(c_lo)
+    return out_hi, out_lo
+
+
+def _shr64(hi, lo, r: int):
+    """(hi, lo) >> r for 0 < r < 32."""
+    return hi >> _u32(r), (lo >> _u32(r)) | (hi << _u32(32 - r))
+
+
+def _xor64(ahi, alo, bhi, blo):
+    return ahi ^ bhi, alo ^ blo
+
+
+def mix64_pair(hi, lo):
+    """splitmix64 finalizer on (hi, lo) uint32 pairs — exactly
+    galah_tpu.sketch.fracminhash.mix64 without native uint64."""
+    hi, lo = _xor64(hi, lo, *_shr64(hi, lo, 30))
+    hi, lo = _mul64_const(hi, lo, _M1)
+    hi, lo = _xor64(hi, lo, *_shr64(hi, lo, 27))
+    hi, lo = _mul64_const(hi, lo, _M2)
+    hi, lo = _xor64(hi, lo, *_shr64(hi, lo, 31))
+    return hi, lo
+
+
+def _lt64(hi, lo, t: int):
+    t_hi = _u32((t >> 32) & 0xFFFFFFFF)
+    t_lo = _u32(t & 0xFFFFFFFF)
+    return (hi < t_hi) | ((hi == t_hi) & (lo < t_lo))
+
+
+def _pack_indicator_words(ind):
+    """(bits,) 0/1 uint32 indicator -> (bits//32,) uint32 words, bit
+    (bucket & 31) of word (bucket >> 5) — host pack_indicator layout."""
+    bits = ind.shape[0]
+    w = ind.reshape(bits // 32, 32)
+    return jnp.sum(w << jnp.arange(32, dtype=jnp.uint32)[None, :],
+                   axis=1, dtype=jnp.uint32)
+
+
+def _sketch_one(
+    codes,        # (P,) uint8; 0..3 bases, >=4 invalid/separator/padding
+    bounds,       # (NB,) int32 sorted fragment-bin boundaries (global
+                  #  concatenated coordinates); padding = P (out of range)
+    bin2frag,     # (NB,) int32 fragment id per bin, -1 = not a fragment
+    *,
+    k: int,
+    member_bits: int,
+    prefilter_bits: int,
+    gthresh: int,
+    fthresh: int,
+    max_frags: int,
+    max_sel: int,
+):
+    P = codes.shape[0]
+    n = P - k + 1
+    c32 = (codes & jnp.uint8(3)).astype(jnp.uint32)
+    invalid = codes >= jnp.uint8(4)
+
+    fwd = jnp.zeros(n, dtype=jnp.uint32)
+    rev = jnp.zeros(n, dtype=jnp.uint32)
+    bad = jnp.zeros(n, dtype=bool)
+    for j in range(k):
+        cj = jax.lax.slice(c32, (j,), (j + n,))
+        fwd = (fwd << _u32(2)) | cj
+        rev = rev | ((_u32(3) - cj) << _u32(2 * j))
+        bad = bad | jax.lax.slice(invalid, (j,), (j + n,))
+    canon = jnp.minimum(fwd, rev)
+    kvalid = ~bad
+
+    hi, lo = mix64_pair(jnp.zeros_like(canon), canon)
+    fsel = kvalid & _lt64(hi, lo, fthresh)
+    gsel = kvalid & _lt64(hi, lo, gthresh)
+    mbucket = (lo & _u32(member_bits - 1)).astype(jnp.int32)
+    pbucket = (lo & _u32(prefilter_bits - 1)).astype(jnp.int32)
+
+    # Genome-level sets as bitmaps (scatter-max of ones, dedup free).
+    mem_ind = jnp.zeros(member_bits, dtype=jnp.uint32)
+    mem_ind = mem_ind.at[jnp.where(fsel, mbucket, member_bits)].max(
+        jnp.uint32(1), mode="drop"
+    )
+    pref_ind = jnp.zeros(prefilter_bits, dtype=jnp.uint32)
+    pref_ind = pref_ind.at[jnp.where(gsel, pbucket, prefilter_bits)].max(
+        jnp.uint32(1), mode="drop"
+    )
+    member_words = _pack_indicator_words(mem_ind)
+    pref_words = _pack_indicator_words(pref_ind)
+    member_pop = jnp.sum(mem_ind, dtype=jnp.int32)
+    n_pref = jnp.sum(pref_ind, dtype=jnp.int32)
+
+    # Fragment of each position: count of boundaries <= pos, minus 1,
+    # mapped through bin2frag. Scatter + prefix sum instead of
+    # searchsorted (which lowers to serial gather passes on TPU).
+    marks = jnp.zeros(n, dtype=jnp.int32)
+    marks = marks.at[bounds].add(1, mode="drop")
+    pos_bin = jnp.cumsum(marks) - 1
+    # Boundaries at positions >= n (possible when the last fragment end
+    # lands inside the final k-1 bases) were dropped by the scatter;
+    # they only delimit regions with no valid k-mer start anyway.
+    frag = bin2frag[jnp.clip(pos_bin, 0, bin2frag.shape[0] - 1)]
+    stream_sel = fsel & (frag >= 0)
+
+    # Compact (frag, bucket) pairs of selected in-fragment positions.
+    sel_pos = jnp.cumsum(stream_sel.astype(jnp.int32)) - 1
+    n_sel = sel_pos[-1] + 1
+    overflow = n_sel > max_sel
+    scatter_to = jnp.where(stream_sel, sel_pos, max_sel)
+    BIG = jnp.int32(2**30)
+    cfrag = jnp.full(max_sel, BIG, dtype=jnp.int32)
+    cfrag = cfrag.at[scatter_to].set(frag, mode="drop")
+    cbucket = jnp.full(max_sel, BIG, dtype=jnp.int32)
+    cbucket = cbucket.at[scatter_to].set(mbucket, mode="drop")
+
+    # Sort lexicographically by (frag, bucket); padding sorts last.
+    sfrag, sbucket = jax.lax.sort((cfrag, cbucket), num_keys=2)
+
+    # Unique within fragment: keep first of each (frag, bucket) run.
+    prev_f = jnp.concatenate([jnp.array([-1], jnp.int32), sfrag[:-1]])
+    prev_b = jnp.concatenate([jnp.array([-1], jnp.int32), sbucket[:-1]])
+    is_real = sfrag < BIG
+    first = is_real & ((sfrag != prev_f) | (sbucket != prev_b))
+    out_pos = jnp.cumsum(first.astype(jnp.int32)) - 1
+    n_unique = out_pos[-1] + 1
+    flat = jnp.zeros(max_sel, dtype=jnp.int32)
+    flat = flat.at[jnp.where(first, out_pos, max_sel)].set(
+        sbucket, mode="drop"
+    )
+    counts = jnp.zeros(max_frags, dtype=jnp.int32)
+    counts = counts.at[jnp.where(first, sfrag, max_frags)].add(
+        1, mode="drop"
+    )
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+    return (
+        pref_words, n_pref, member_words, member_pop,
+        flat, offsets, n_unique, overflow,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "member_bits", "prefilter_bits", "gthresh", "fthresh",
+        "max_frags", "max_sel",
+    ),
+)
+def _sketch_batch_kernel(
+    codes, bounds, bin2frag, *,
+    k, member_bits, prefilter_bits, gthresh, fthresh, max_frags, max_sel,
+):
+    return jax.vmap(
+        lambda c, b, m: _sketch_one(
+            c, b, m,
+            k=k, member_bits=member_bits, prefilter_bits=prefilter_bits,
+            gthresh=gthresh, fthresh=fthresh,
+            max_frags=max_frags, max_sel=max_sel,
+        )
+    )(codes, bounds, bin2frag)
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, int(x - 1).bit_length())
+
+
+@dataclass
+class _GenomePlan:
+    """Host-side prep for one genome: concatenated codes + fragment
+    bins in concatenated coordinates."""
+
+    codes: np.ndarray       # (L,) uint8
+    bounds: np.ndarray      # (nb,) int32
+    bin2frag: np.ndarray    # (nb,) int32
+    n_frags: int
+    total_len: int
+
+
+def _plan_genome(seqs: Sequence[bytes], params: NativeSketchParams) -> _GenomePlan:
+    parts: List[np.ndarray] = []
+    bounds: List[int] = [0]
+    bin2frag: List[int] = []
+    off = 0
+    fid = 0
+    total = 0
+    for idx, seq in enumerate(seqs):
+        if idx > 0:
+            parts.append(np.full(1, 255, dtype=np.uint8))
+            off += 1
+        parts.append(encode_bases(seq))
+        total += len(seq)
+        cb = _fragment_boundaries(len(seq), params)
+        nfrag = max(0, len(cb) - 1)
+        for f in range(nfrag):
+            start = off + int(cb[f])
+            end = off + int(cb[f + 1])
+            if start > bounds[-1]:
+                bin2frag.append(-1)
+                bounds.append(start)
+            bin2frag.append(fid)
+            bounds.append(end)
+            fid += 1
+        off += len(seq)
+    if off > bounds[-1]:
+        bin2frag.append(-1)
+        bounds.append(off)
+    codes = (
+        np.concatenate(parts) if parts else np.empty(0, dtype=np.uint8)
+    )
+    return _GenomePlan(
+        codes=codes,
+        bounds=np.asarray(bounds, dtype=np.int32),
+        bin2frag=np.asarray(bin2frag, dtype=np.int32),
+        n_frags=fid,
+        total_len=total,
+    )
+
+
+class DeviceSketchOverflow(Exception):
+    """Selected-hash count exceeded the batch's capacity (pathological
+    repeat content); the caller should fall back to host sketching."""
+
+
+def _sel_capacity(n_positions: int, params: NativeSketchParams) -> int:
+    """Padded capacity for fragment-selected hashes: mean n/scale plus
+    a generous margin (binomial tail is tiny; the margin mostly covers
+    repeat-rich sequence where every copy of a selected k-mer counts)."""
+    mean = n_positions / max(1, params.fragment_scale)
+    return _next_pow2(int(2.0 * mean) + 1024)
+
+
+def device_sketch_batch(
+    names: Sequence[str],
+    seq_lists: Sequence[Sequence[bytes]],
+    params: NativeSketchParams,
+    *,
+    return_device: bool = False,
+):
+    """Sketch a batch of genomes on device, bit-identical to
+    sketch_sequences_native.
+
+    names/seq_lists: per genome, its name and contig sequences.
+    Returns List[NativeSketch] (host arrays) when return_device is
+    False; otherwise (sketches, device_arrays) where device_arrays
+    holds the on-device products for zero-copy downstream use:
+    {pref_words, n_pref, member_words, member_pop, flat, offsets,
+    n_unique} each batched over genomes.
+
+    Raises DeviceSketchOverflow if a genome's selected-hash stream
+    exceeds capacity (extreme repeat content) — callers fall back to
+    the host path for that batch.
+    """
+    assert params.k <= 15, "device sketch packs k-mers in 30 bits"
+    plans = [_plan_genome(s, params) for s in seq_lists]
+    G = len(plans)
+    max_len = max((p.codes.shape[0] for p in plans), default=1)
+    P = _next_pow2(max(max_len, params.k))
+    NB = _next_pow2(max(max(p.bounds.shape[0] for p in plans), 2))
+    F = _next_pow2(max(max(p.n_frags for p in plans), 1))
+    SEL = _sel_capacity(P - params.k + 1, params)
+
+    codes = np.full((G, P), 255, dtype=np.uint8)
+    bounds = np.full((G, NB), P, dtype=np.int32)
+    bin2frag = np.full((G, NB), -1, dtype=np.int32)
+    for i, p in enumerate(plans):
+        codes[i, : p.codes.shape[0]] = p.codes
+        bounds[i, : p.bounds.shape[0]] = p.bounds
+        bin2frag[i, : p.bin2frag.shape[0]] = p.bin2frag
+
+    out = _sketch_batch_kernel(
+        jnp.asarray(codes), jnp.asarray(bounds), jnp.asarray(bin2frag),
+        k=params.k,
+        member_bits=params.member_bits,
+        prefilter_bits=params.prefilter_bits,
+        gthresh=int(params.genome_threshold),
+        fthresh=int(params.fragment_threshold),
+        max_frags=F,
+        max_sel=SEL,
+    )
+    (pref_words, n_pref, member_words, member_pop,
+     flat, offsets, n_unique, overflow) = out
+    if bool(np.any(np.asarray(overflow))):
+        raise DeviceSketchOverflow(
+            f"selected-hash stream exceeded capacity {SEL}"
+        )
+
+    flat_h = np.asarray(flat)
+    offsets_h = np.asarray(offsets)
+    n_unique_h = np.asarray(n_unique)
+    member_words_h = np.asarray(member_words)
+    pref_words_h = np.asarray(pref_words)
+
+    sketches: List[NativeSketch] = []
+    for i, p in enumerate(plans):
+        nf = p.n_frags
+        nu = int(n_unique_h[i])
+        sketches.append(
+            NativeSketch(
+                name=names[i],
+                total_len=p.total_len,
+                prefilter_buckets=_words_to_buckets(pref_words_h[i]),
+                frag_buckets=flat_h[i, :nu].copy(),
+                frag_offsets=offsets_h[i, : nf + 1].astype(np.int64),
+                member_buckets=_words_to_buckets(member_words_h[i]),
+                params=params,
+            )
+        )
+    if return_device:
+        dev = {
+            "pref_words": pref_words,
+            "n_pref": n_pref,
+            "member_words": member_words,
+            "member_pop": member_pop,
+            "flat": flat,
+            "offsets": offsets,
+            "n_unique": n_unique,
+        }
+        return sketches, dev
+    return sketches
+
+
+def _words_to_buckets(words: np.ndarray) -> np.ndarray:
+    """(W,) uint32 packed words -> sorted int32 bucket indices."""
+    bits = np.unpackbits(
+        words.view(np.uint8), bitorder="little"
+    )
+    return np.nonzero(bits)[0].astype(np.int32)

@@ -1,0 +1,199 @@
+"""On-device sketching must be bit-identical to the host sketcher.
+
+The device kernel (galah_tpu/ops/device_sketch.py) re-implements
+canonical k-mer extraction, the splitmix64 finalizer (on uint32 lane
+pairs), FracMinHash selection, bitmap construction and per-fragment
+dedup. Every field of the resulting NativeSketch must match
+sketch_sequences_native exactly — the screen/verify stages and all
+cluster goldens depend on the sketches, so "close" is not enough.
+"""
+
+import numpy as np
+import pytest
+
+from galah_tpu.ops.device_sketch import (
+    DeviceSketchOverflow,
+    device_sketch_batch,
+    mix64_pair,
+)
+from galah_tpu.sketch.fracminhash import (
+    NativeSketchParams,
+    mix64,
+    sketch_sequences_native,
+    small_genome_params,
+)
+
+_BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def _random_seq(rng, length, n_prob=0.0, lower_prob=0.0):
+    seq = _BASES[rng.integers(0, 4, size=length)].copy()
+    if n_prob:
+        seq[rng.random(length) < n_prob] = ord("N")
+    if lower_prob:
+        lower = rng.random(length) < lower_prob
+        seq[lower] += 32
+    return seq.tobytes()
+
+
+def _params_medium():
+    # Shrunk widths keep the test fast while exercising every stage.
+    return NativeSketchParams(
+        genome_scale=50,
+        fragment_scale=4,
+        fragment_length=700,
+        prefilter_bits=1 << 12,
+        member_bits=1 << 14,
+        min_fragment_hashes=4,
+        min_fragment_length=100,
+    )
+
+
+def _assert_sketch_equal(dev, host):
+    assert dev.total_len == host.total_len
+    np.testing.assert_array_equal(dev.prefilter_buckets, host.prefilter_buckets)
+    np.testing.assert_array_equal(dev.member_buckets, host.member_buckets)
+    np.testing.assert_array_equal(dev.frag_offsets, host.frag_offsets)
+    np.testing.assert_array_equal(dev.frag_buckets, host.frag_buckets)
+
+
+def test_mix64_pair_matches_uint64_reference():
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 1 << 30, size=4096, dtype=np.uint64)
+    want = mix64(x)
+    hi, lo = mix64_pair(
+        np.zeros(x.shape, np.uint32), x.astype(np.uint32)
+    )
+    got = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | np.asarray(
+        lo
+    ).astype(np.uint64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_single_contig_parity():
+    rng = np.random.default_rng(1)
+    params = _params_medium()
+    seqs = [_random_seq(rng, 5000)]
+    host = sketch_sequences_native("g", seqs, params)
+    (dev,) = device_sketch_batch(["g"], [seqs], params)
+    assert host.n_fragments > 3 and host.frag_buckets.size > 50
+    _assert_sketch_equal(dev, host)
+
+
+def test_ns_lowercase_and_multicontig_parity():
+    rng = np.random.default_rng(2)
+    params = _params_medium()
+    seqs = [
+        _random_seq(rng, 3001, n_prob=0.01, lower_prob=0.3),
+        _random_seq(rng, 1234),
+        _random_seq(rng, 799, n_prob=0.05),
+    ]
+    host = sketch_sequences_native("g", seqs, params)
+    (dev,) = device_sketch_batch(["g"], [seqs], params)
+    _assert_sketch_equal(dev, host)
+
+
+def test_edge_contigs_parity():
+    """Short contigs: below k, below min_fragment_length, one-fragment
+    remainder rules, and an empty contig."""
+    rng = np.random.default_rng(3)
+    params = _params_medium()
+    cases = [
+        [_random_seq(rng, 10)],                    # < k: no k-mers
+        [_random_seq(rng, 60)],                    # < min_fragment_length
+        [_random_seq(rng, 100)],                   # == min_fragment_length
+        [_random_seq(rng, 1049)],                  # remainder 349 < L/2 dropped
+        [_random_seq(rng, 1051)],                  # remainder 351 >= L/2 kept
+        [b"", _random_seq(rng, 500)],              # empty first contig
+        [_random_seq(rng, 500), _random_seq(rng, 20)],
+    ]
+    names = [f"g{i}" for i in range(len(cases))]
+    hosts = [
+        sketch_sequences_native(n, s, params) for n, s in zip(names, cases)
+    ]
+    devs = device_sketch_batch(names, cases, params)
+    for d, h in zip(devs, hosts):
+        _assert_sketch_equal(d, h)
+
+
+def test_small_genome_params_parity():
+    rng = np.random.default_rng(4)
+    params = small_genome_params(fragment_length=1000)
+    # Shrink bitmap widths for test speed, keeping the dense scales.
+    import dataclasses
+
+    params = dataclasses.replace(
+        params, prefilter_bits=1 << 12, member_bits=1 << 14
+    )
+    seqs_a = [_random_seq(rng, 3000)]
+    seqs_b = [_random_seq(rng, 5200, n_prob=0.002)]
+    hosts = [
+        sketch_sequences_native("a", seqs_a, params),
+        sketch_sequences_native("b", seqs_b, params),
+    ]
+    devs = device_sketch_batch(["a", "b"], [seqs_a, seqs_b], params)
+    for d, h in zip(devs, hosts):
+        _assert_sketch_equal(d, h)
+
+
+def test_batch_mixed_lengths_parity():
+    rng = np.random.default_rng(5)
+    params = _params_medium()
+    lists = [
+        [_random_seq(rng, ln, n_prob=0.005)]
+        for ln in (350, 5000, 1200, 16000, 777)
+    ]
+    names = [f"g{i}" for i in range(len(lists))]
+    hosts = [
+        sketch_sequences_native(n, s, params) for n, s in zip(names, lists)
+    ]
+    devs = device_sketch_batch(names, lists, params)
+    for d, h in zip(devs, hosts):
+        _assert_sketch_equal(d, h)
+
+
+def test_repeat_overflow_raises():
+    """A pathological repeat genome (every copy of a selected k-mer is
+    selected) overflows the stream capacity and must raise, not
+    truncate silently."""
+    params = NativeSketchParams(
+        genome_scale=50,
+        fragment_scale=8,
+        fragment_length=700,
+        prefilter_bits=1 << 12,
+        member_bits=1 << 14,
+        min_fragment_hashes=4,
+        min_fragment_length=100,
+    )
+    # Homopolymer: every k-mer is A^k, whose canonical code is 0 and
+    # mix64(0) == 0 < threshold — every one of ~4k positions is
+    # selected while the binomial mean is ~n/8, far under capacity.
+    seqs = [b"A" * 4096]
+    with pytest.raises(DeviceSketchOverflow):
+        device_sketch_batch(["g"], [seqs], params)
+
+
+def test_device_arrays_match_host_derivation():
+    """return_device arrays must be the packed forms of the sketch."""
+    rng = np.random.default_rng(7)
+    params = _params_medium()
+    seqs = [_random_seq(rng, 4000), _random_seq(rng, 900)]
+    (dev,), arrays = device_sketch_batch(
+        ["g"], [seqs], params, return_device=True
+    )
+    host = sketch_sequences_native("g", seqs, params)
+    np.testing.assert_array_equal(
+        np.asarray(arrays["member_words"][0]), host.member_bitmap_words()
+    )
+    assert int(arrays["member_pop"][0]) == host.member_popcount
+    assert int(arrays["n_pref"][0]) == host.n_prefilter
+    from galah_tpu.ops.popcount_screen import pack_indicator
+
+    np.testing.assert_array_equal(
+        np.asarray(arrays["pref_words"][0]),
+        pack_indicator(host.prefilter_buckets, params.prefilter_bits),
+    )
+    nu = int(arrays["n_unique"][0])
+    np.testing.assert_array_equal(
+        np.asarray(arrays["flat"][0][:nu]), host.frag_buckets
+    )
