@@ -25,6 +25,7 @@ compatible (None on AF failure, src/fastani.rs:56-68).
 from __future__ import annotations
 
 import logging
+import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -223,7 +224,19 @@ class NativeContext:
         if missing:
             logger.info("Sketching %d genomes ..", len(missing))
             with metrics.current().phase("sketch"):
-                if self.threads > 1 and len(missing) > 1:
+                if os.environ.get("GALAH_TPU_DEVICE_SKETCH") == "1":
+                    # Opt-in accelerator sketching (ops/device_sketch.py):
+                    # bit-identical to the host path; wins when the
+                    # device link is fast enough to beat host hashing.
+                    from galah_tpu.ops.device_sketch import (
+                        device_sketch_files,
+                    )
+
+                    for p, sk in zip(
+                        missing, device_sketch_files(missing, self.params)
+                    ):
+                        self._store.put(p, sk)
+                elif self.threads > 1 and len(missing) > 1:
                     with ThreadPoolExecutor(max_workers=self.threads) as ex:
                         for p, sk in zip(
                             missing,

@@ -414,3 +414,62 @@ def _words_to_buckets(words: np.ndarray) -> np.ndarray:
         words.view(np.uint8), bitorder="little"
     )
     return np.nonzero(bits)[0].astype(np.int32)
+
+
+def device_sketch_files(
+    paths: Sequence[str],
+    params: NativeSketchParams,
+    *,
+    max_batch_bytes: int = 256 << 20,
+) -> List[NativeSketch]:
+    """Sketch whole genome files on device.
+
+    Reads sequences on the host (C++ reader when available), groups
+    genomes into power-of-two length buckets so each bucket reuses one
+    compiled program, and dispatches batches capped at max_batch_bytes
+    of padded sequence. Genomes whose repeat content overflows the
+    selected-hash capacity fall back to the host sketcher — results are
+    bit-identical either way, so mixing paths is safe.
+
+    Opt-in via GALAH_TPU_DEVICE_SKETCH=1 (engines/native.py): on hosts
+    with fast interconnect to the accelerator this removes the host
+    hashing stage entirely; on a thin tunnel the sequence upload costs
+    more than host hashing saves.
+    """
+    from galah_tpu.io.fasta import read_fasta_sequences
+
+    seq_lists = [read_fasta_sequences(p) for p in paths]
+    out: List[Optional[NativeSketch]] = [None] * len(paths)
+
+    # Bucket by padded concatenated length (contigs + separators).
+    buckets = {}
+    for i, seqs in enumerate(seq_lists):
+        total = sum(len(s) for s in seqs) + max(0, len(seqs) - 1)
+        P = _next_pow2(max(total, params.k))
+        buckets.setdefault(P, []).append(i)
+
+    for P, idxs in sorted(buckets.items()):
+        per = max(1, max_batch_bytes // max(P, 1))
+        for start in range(0, len(idxs), per):
+            chunk = idxs[start : start + per]
+            names = [paths[i] for i in chunk]
+            lists = [seq_lists[i] for i in chunk]
+            try:
+                sketches = device_sketch_batch(names, lists, params)
+            except DeviceSketchOverflow:
+                logger.warning(
+                    "device sketch overflow for a %d-genome batch; "
+                    "falling back to host sketching",
+                    len(chunk),
+                )
+                from galah_tpu.sketch.fracminhash import (
+                    sketch_sequences_native,
+                )
+
+                sketches = [
+                    sketch_sequences_native(n, s, params)
+                    for n, s in zip(names, lists)
+                ]
+            for i, sk in zip(chunk, sketches):
+                out[i] = sk
+    return out  # type: ignore[return-value]

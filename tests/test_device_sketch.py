@@ -173,6 +173,56 @@ def test_repeat_overflow_raises():
         device_sketch_batch(["g"], [seqs], params)
 
 
+def test_device_sketch_files_matches_host(tmp_path, monkeypatch):
+    """The engine's GALAH_TPU_DEVICE_SKETCH=1 path (device_sketch_files)
+    must produce sketches identical to sketch_file_native on real
+    multi-contig FASTA files, including the length-bucketed batching."""
+    from galah_tpu.ops.device_sketch import device_sketch_files
+    from galah_tpu.sketch.fracminhash import sketch_file_native
+
+    rng = np.random.default_rng(8)
+    params = _params_medium()
+    paths = []
+    for i, lens in enumerate([(4000, 900), (2100,), (15000, 50, 3000)]):
+        p = tmp_path / f"g{i}.fna"
+        with open(p, "w") as f:
+            for j, ln in enumerate(lens):
+                f.write(f">c{j}\n")
+                f.write(_random_seq(rng, ln).decode() + "\n")
+        paths.append(str(p))
+    hosts = [sketch_file_native(p, params) for p in paths]
+    devs = device_sketch_files(paths, params)
+    for d, h in zip(devs, hosts):
+        assert d.name == h.name
+        _assert_sketch_equal(d, h)
+
+
+def test_cli_cluster_with_device_sketch(tmp_path, monkeypatch):
+    """GALAH_TPU_DEVICE_SKETCH=1 end-to-end: same cluster golden as the
+    host path (tests/test_cli_cluster.py) on the abisko4 fixtures."""
+    from conftest import data
+
+    from galah_tpu.cli.main import main
+
+    monkeypatch.setenv("GALAH_TPU_DEVICE_SKETCH", "1")
+    genomes = [
+        data("abisko4/73.20120800_S1D.21.fna"),
+        data("abisko4/73.20110800_S2M.16.fna"),
+    ]
+    out = tmp_path / "clusters.tsv"
+    main([
+        "cluster", "--genome-fasta-files", *genomes,
+        "--output-cluster-definition", str(out),
+        "--checkm-tab-table", data("abisko4/abisko4.csv"),
+    ])
+    with open(out) as f:
+        got = f.read()
+    assert got == (
+        f"{genomes[1]}\t{genomes[1]}\n"
+        f"{genomes[1]}\t{genomes[0]}\n"
+    )
+
+
 def test_device_arrays_match_host_derivation():
     """return_device arrays must be the packed forms of the sketch."""
     rng = np.random.default_rng(7)
