@@ -285,6 +285,60 @@ def bench_verify_pairtable(jax, jnp):
     return pairs_per_s
 
 
+def bench_device_sketch(jax, jnp):
+    """On-device FracMinHash sketching: bases/s through the production
+    batch kernel (ops/device_sketch.py) at a 32 x 1Mb-genome shape."""
+    import numpy as np
+
+    from galah_tpu.ops.device_sketch import _sketch_batch_kernel
+    from galah_tpu.sketch.fracminhash import NativeSketchParams
+
+    G = 4 if _small() else 32
+    P = 1 << (16 if _small() else 20)  # padded genome length
+    params = NativeSketchParams()
+    frag_len = params.fragment_length
+    nfrag = P // frag_len
+    NB = 1 << int(nfrag + 1).bit_length()
+    SEL = 1 << int(2 * P // params.fragment_scale + 1024).bit_length()
+
+    bounds_np = np.full((G, NB), P, np.int32)
+    bin2frag_np = np.full((G, NB), -1, np.int32)
+    bounds_np[:, :nfrag + 1] = np.arange(nfrag + 1, dtype=np.int32) * frag_len
+    bin2frag_np[:, :nfrag] = np.arange(nfrag, dtype=np.int32)
+
+    @jax.jit
+    def make_codes(key):
+        return jax.random.randint(key, (G, P), 0, 4, dtype=jnp.uint8)
+
+    codes = make_codes(jax.random.PRNGKey(3))
+    codes.block_until_ready()
+    bounds = jnp.asarray(bounds_np)
+    bin2frag = jnp.asarray(bin2frag_np)
+
+    def body(c):
+        out = _sketch_batch_kernel(
+            c, bounds, bin2frag,
+            k=params.k, member_bits=params.member_bits,
+            prefilter_bits=params.prefilter_bits,
+            gthresh=int(params.genome_threshold),
+            fthresh=int(params.fragment_threshold),
+            max_frags=nfrag, max_sel=SEL,
+        )
+        return out[1].astype(jnp.float32)[0]  # n_pref of genome 0
+
+    run = _repeat_in_jit(
+        jax, jnp, body,
+        lambda c, bit: c.at[0, 0].set(bit.astype(jnp.uint8)),
+    )
+    dt = _time_reps(run, codes, "device_sketch")
+    bases_per_s = G * P / dt
+    _log(
+        f"device_sketch: {bases_per_s/1e6:.0f}M bases/s "
+        f"({G}x{P>>20 or 1}Mb, {dt*1e3:.0f}ms/batch)"
+    )
+    return bases_per_s
+
+
 def main() -> None:
     import galah_tpu  # noqa: F401  (applies the numpy allocator tuning)
     import jax
@@ -313,6 +367,7 @@ def main() -> None:
             ("popcount", bench_screen_popcount),
             ("verify_grouped", bench_verify_grouped),
             ("verify_pairtable", bench_verify_pairtable),
+            ("device_sketch", bench_device_sketch),
         ):
             try:
                 fn(jax, jnp)

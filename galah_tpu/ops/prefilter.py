@@ -44,18 +44,22 @@ def _unpack_bits(x_packed: jax.Array, dt) -> jax.Array:
     return bits.astype(dt).reshape(x_packed.shape[0], -1)
 
 
+# bits_f/min_cont are TRACED (not static): every distinct threshold or
+# sketch width would otherwise recompile the kernel — minutes per
+# program over this rig's remote-compile tunnel.
 @partial(
     jax.jit,
-    static_argnames=("block", "bits_f", "min_cont", "cap", "is_diag"),
+    static_argnames=("block", "cap", "is_diag"),
 )
 def _resident_screen_extract(
     x_all: jax.Array,   # (n_pad, W) uint32 — full packed matrix, resident
     sizes: jax.Array,   # (n_pad,) f32
     bi: jax.Array,      # () int32 block row index
     bj: jax.Array,      # () int32 block col index
+    bits_f: jax.Array,   # () f32 — traced
+    min_cont: jax.Array,  # () f32 — traced
+    *,
     block: int,
-    bits_f: float,
-    min_cont: float,
     cap: int,
     is_diag: bool,
 ):
@@ -88,16 +92,15 @@ def _resident_screen_extract(
     )
 
 
-@partial(
-    jax.jit, static_argnames=("bits_f", "min_cont", "cap", "is_diag")
-)
+@partial(jax.jit, static_argnames=("cap", "is_diag"))
 def _block_screen_extract_packed(
     si_pk: jax.Array,
     sj_pk: jax.Array,
     a: jax.Array,
     b: jax.Array,
-    bits_f: float,
-    min_cont: float,
+    bits_f: jax.Array,   # () f32 — traced (see note above)
+    min_cont: jax.Array,  # () f32 — traced
+    *,
     cap: int,
     is_diag: bool,
 ):
@@ -129,9 +132,9 @@ def _block_screen_extract_packed(
     )
 
 
-@partial(jax.jit, static_argnames=("bits_f",))
+@jax.jit
 def _block_containment_u8(
-    si_u8: jax.Array, sj_u8: jax.Array, a: jax.Array, b: jax.Array, bits_f: float
+    si_u8: jax.Array, sj_u8: jax.Array, a: jax.Array, b: jax.Array, bits_f
 ) -> jax.Array:
     """Fused screen block: uint8 indicators in (cast to the matmul dtype
     on device), collision-corrected containment out as bf16."""
@@ -145,9 +148,9 @@ def _block_containment_u8(
     return _containment(counts, a, b, bits_f).astype(jnp.bfloat16)
 
 
-@partial(jax.jit, static_argnames=("bits_f",))
+@jax.jit
 def _block_containment_packed(
-    si_pk: jax.Array, sj_pk: jax.Array, a: jax.Array, b: jax.Array, bits_f: float
+    si_pk: jax.Array, sj_pk: jax.Array, a: jax.Array, b: jax.Array, bits_f
 ) -> jax.Array:
     """Fused screen block over packed uint32 bitmaps: 32x less
     host->device traffic than uint8 indicators; unpacked to the matmul
@@ -296,7 +299,7 @@ def screen_triangle_packed(
     sizes_f = sizes.astype(np.float32)
     w = len(packed[0])
     cap = 16384
-    min_cont_static = float(np.float32(min_containment))
+    min_cont_f = float(np.float32(min_containment))
 
     # Resident mode: one upload of the whole packed matrix, device-side
     # tile slicing (unless it would not fit the device's HBM budget or
@@ -376,7 +379,7 @@ def screen_triangle_packed(
                 res = _resident_screen_extract(
                     x_all, s_dev, jnp.int32(bi), jnp.int32(bj),
                     block=block, bits_f=float(bits),
-                    min_cont=min_cont_static, cap=cap, is_diag=bj == bi,
+                    min_cont=min_cont_f, cap=cap, is_diag=bj == bi,
                 )
                 pending.append((bi, bj, res))
                 if len(pending) > TILE_WINDOW:
@@ -390,8 +393,8 @@ def screen_triangle_packed(
                 else:
                     sj, aj = get_block(bj) if cache_blocks else make_block(bj)
                 res = _block_screen_extract_packed(
-                    si, sj, ai, aj, float(bits), min_cont_static, cap,
-                    bj == bi,
+                    si, sj, ai, aj, float(bits), min_cont_f,
+                    cap=cap, is_diag=bj == bi,
                 )
                 # Do NOT keep the device blocks alive in the window — in
                 # streaming (low-memory) mode that would pin every
@@ -428,7 +431,7 @@ def screen_rectangle_packed(
     w = len(query_packed[0])
     inv_k = 1.0 / k
     cap = 16384
-    min_cont_static = float(np.float32(min_containment))
+    min_cont_f = float(np.float32(min_containment))
 
     nq_pad = ((nq + block - 1) // block) * block
     nr_pad = ((nr + block - 1) // block) * block
@@ -484,7 +487,7 @@ def screen_rectangle_packed(
             res = _resident_screen_extract(
                 x_all, s_dev, jnp.int32(bi), jnp.int32(ref_block0 + bj),
                 block=block, bits_f=float(bits),
-                min_cont=min_cont_static, cap=cap, is_diag=False,
+                min_cont=min_cont_f, cap=cap, is_diag=False,
             )
             pending.append((bi, bj, res))
             if len(pending) > TILE_WINDOW:
