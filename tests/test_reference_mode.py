@@ -194,3 +194,60 @@ def test_reference_mode_packed_matches_indicator(tmp_path, monkeypatch):
         argsets.append(read(out))
     assert argsets[0] == argsets[1]
     assert len(argsets[0].splitlines()) == 4
+
+
+def _install_shims(tmp_path, monkeypatch):
+    """skani/fastANI bash shims on PATH (same canned-TSV pattern as
+    test_subprocess_backends.py, reused via import)."""
+    import os
+    import stat
+
+    from test_subprocess_backends import FASTANI_SHIM, SKANI_SHIM
+
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    for name, body in (("skani", SKANI_SHIM), ("fastANI", FASTANI_SHIM)):
+        p = bindir / name
+        p.write_text(body)
+        os.chmod(p, os.stat(p).st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+    monkeypatch.delenv("SKANI_SHIM_LOG", raising=False)
+    monkeypatch.delenv("SKANI_SHIM_DIST_EMPTY", raising=False)
+
+
+def test_reference_genomes_with_different_precluster_methods(
+    tmp_path, monkeypatch
+):
+    # tests/test_cmdline.rs:904-940 first half: --precluster-method
+    # skani works in reference mode (the finch refusal half is
+    # test_reference_genomes_finch_unsupported). Driven via the shim
+    # binary's sketch+search path.
+    _install_shims(tmp_path, monkeypatch)
+    out = tmp_path / "c.tsv"
+    assert main([
+        "cluster", "--genome-fasta-files",
+        data("set1/500kb.fna"), data("set1/1mbp.fna"),
+        "--reference-genomes", data("set2/1mbp.fna"),
+        "--precluster-method", "skani",
+        "--output-cluster-definition", str(out),
+    ]) == 0
+    assert out.exists()
+
+
+def test_reference_genomes_with_different_cluster_methods(
+    tmp_path, monkeypatch
+):
+    # tests/test_cmdline.rs:943-975: --cluster-method skani and fastani
+    # both work in reference mode (native preclusterer feeds candidate
+    # pairs to the passthrough verifier).
+    _install_shims(tmp_path, monkeypatch)
+    for method in ("skani", "fastani"):
+        out = tmp_path / f"c_{method}.tsv"
+        assert main([
+            "cluster", "--genome-fasta-files",
+            data("set1/500kb.fna"), data("set1/1mbp.fna"),
+            "--reference-genomes", data("set2/1mbp.fna"),
+            "--cluster-method", method,
+            "--output-cluster-definition", str(out),
+        ]) == 0, method
+        assert out.exists(), method
