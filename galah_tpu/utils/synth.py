@@ -95,3 +95,40 @@ def make_families(
             paths.append(p)
             family_ids.append(fam)
     return paths, family_ids
+
+
+def make_strains(
+    directory: str,
+    n_species: int,
+    strains_per_species: int,
+    members_per_strain: int,
+    genome_length: int = 200_000,
+    strain_ani: float = 0.98,
+    within_ani: float = 0.997,
+    seed: int = 0,
+) -> Tuple[List[str], List[int]]:
+    """Two-level corpus for strain-resolution workloads (BASELINE
+    config #2: 1k MAGs dereplicated at 99% ANI): each species has
+    `strains_per_species` strains at ~strain_ani to the species base
+    (pairwise strain-strain ANI ~ 1-2*(1-strain_ani), well below a 99%
+    threshold), and each strain has members at ~within_ani to the
+    strain base (pairwise ~99.4% at the default — above it). Returns
+    (paths, strain_id_per_path); exact dereplication recovers one
+    cluster per strain."""
+    os.makedirs(directory, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    paths: List[str] = []
+    strain_ids: List[int] = []
+    sid = 0
+    for sp in range(n_species):
+        species_base = random_genome(rng, genome_length)
+        for st in range(strains_per_species):
+            strain_base = mutate(rng, species_base, strain_ani)
+            for m in range(members_per_strain):
+                seq = strain_base if m == 0 else mutate(rng, strain_base, within_ani)
+                p = os.path.join(directory, f"sp{sp}_st{st}_m{m}.fna")
+                write_fasta(p, seq, f"sp{sp}_st{st}_m{m}")
+                paths.append(p)
+                strain_ids.append(sid)
+            sid += 1
+    return paths, strain_ids

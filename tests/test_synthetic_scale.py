@@ -100,3 +100,44 @@ def test_contig_family_recovery(tmp_path):
         by_family.setdefault(fam, set()).add(rep_of[n])
     assert all(len(r) == 1 for r in by_family.values())
     assert len({next(iter(r)) for r in by_family.values()}) == 40
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("GALAH_TPU_SCALE_TESTS"),
+    reason="set GALAH_TPU_SCALE_TESTS=1 for the 1k strain-level shape",
+)
+def test_strain_level_1k_at_99(tmp_path):
+    """BASELINE config #2: 1k MAGs, strain-level dereplication at
+    --ani 99 with the precluster prefilter. 128 species x 2 strains
+    (~96% pairwise, must stay separate) x 4 members (~99.4% pairwise,
+    must merge) -> exactly 256 clusters of 4."""
+    from galah_tpu.utils.synth import make_strains
+
+    paths, strain_ids = make_strains(
+        str(tmp_path / "genomes"),
+        n_species=128,
+        strains_per_species=2,
+        members_per_strain=4,
+        genome_length=200_000,
+        seed=13,
+    )
+    assert len(paths) == 1024
+    out = tmp_path / "clusters.tsv"
+    rc = main([
+        "cluster", "--genome-fasta-files", *paths,
+        "--ani", "99", "--precluster-ani", "95",
+        "--output-cluster-definition", str(out), "-q",
+    ])
+    assert rc == 0
+    rep_of = {}
+    with open(out) as f:
+        for line in f:
+            rep, member = line.rstrip("\n").split("\t")
+            rep_of[member] = rep
+    by_strain = {}
+    for p, sid in zip(paths, strain_ids):
+        by_strain.setdefault(sid, set()).add(rep_of[p])
+    assert all(len(r) == 1 for r in by_strain.values()), {
+        k: v for k, v in by_strain.items() if len(v) > 1
+    }
+    assert len({next(iter(r)) for r in by_strain.values()}) == 256
