@@ -90,11 +90,12 @@ def cluster(
         logger.debug(
             "Clustering precluster %d with indices %s", precluster_id, original_indices
         )
+        adj = _adjacency(local_cache, len(local_units))
         reps, calculated = _find_precluster_cluster_representatives(
-            clusterer, local_cache, local_units, skip_clusterer
+            clusterer, local_cache, local_units, skip_clusterer, adj
         )
         clusters = _find_precluster_cluster_memberships(
-            clusterer, reps, local_cache, local_units, calculated
+            clusterer, reps, local_cache, local_units, calculated, adj
         )
         for c in clusters:
             all_clusters.append([original_indices[w] for w in c])
@@ -142,6 +143,7 @@ def _find_precluster_cluster_representatives(
     precl_cache: SortedPairDistanceCache,
     genomes: Sequence[str],
     skip_clusterer: bool,
+    adj: Optional[List[List[int]]] = None,
 ) -> Tuple[List[int], SortedPairDistanceCache]:
     """Greedy scan in genome-priority order (src/clusterer.rs:182-259).
 
@@ -155,8 +157,11 @@ def _find_precluster_cluster_representatives(
     # instead of every rep: O(E) total, not O(m^2) — the difference
     # between seconds and hours in a 100k-genome precluster. Ascending
     # neighbor order keeps iteration-order parity with the reference's
-    # scan over the rep BTreeSet (src/clusterer.rs:194-204).
-    adj = _adjacency(precl_cache, len(genomes))
+    # scan over the rep BTreeSet (src/clusterer.rs:194-204). The caller
+    # passes the adjacency it already built (shared with membership
+    # assignment — one O(E log E) build per precluster, not two).
+    if adj is None:
+        adj = _adjacency(precl_cache, len(genomes))
 
     for i in range(len(genomes)):
         # All current reps within precluster distance of genome i,
@@ -208,6 +213,7 @@ def _find_precluster_cluster_memberships(
     precl_cache: SortedPairDistanceCache,
     genomes: Sequence[str],
     calculated: SortedPairDistanceCache,
+    adj: Optional[List[List[int]]] = None,
 ) -> List[List[int]]:
     """Assign each non-rep genome to its best-ANI representative
     (src/clusterer.rs:350-449)."""
@@ -217,8 +223,10 @@ def _find_precluster_cluster_memberships(
     # Only cache neighbors can carry an ANI to a rep (every `calculated`
     # entry is a precl_cache pair by construction), so scan adjacency
     # instead of every rep — O(E), ascending order for tie parity with
-    # the reference's scan over the rep set (src/clusterer.rs:408-444).
-    adj = _adjacency(precl_cache, len(genomes))
+    # the reference's scan over the rep set (src/clusterer.rs:408-444);
+    # shared with the representative scan when the caller provides it.
+    if adj is None:
+        adj = _adjacency(precl_cache, len(genomes))
 
     # Compute all missing rep<->genome ANIs in one device batch
     # (the reference computes them per genome in parallel,

@@ -438,22 +438,27 @@ def device_sketch_files(
     """
     from galah_tpu.io.fasta import read_fasta_sequences
 
-    seq_lists = [read_fasta_sequences(p) for p in paths]
     out: List[Optional[NativeSketch]] = [None] * len(paths)
 
-    # Bucket by padded concatenated length (contigs + separators).
+    # Pass 1 — bucket by padded concatenated length (contigs +
+    # separators), reading one genome at a time and discarding it:
+    # host memory stays O(batch), not O(corpus) (a 100k-genome corpus
+    # would otherwise hold every uncompressed sequence at once).
     buckets = {}
-    for i, seqs in enumerate(seq_lists):
+    for i, p in enumerate(paths):
+        seqs = read_fasta_sequences(p)
         total = sum(len(s) for s in seqs) + max(0, len(seqs) - 1)
         P = _next_pow2(max(total, params.k))
         buckets.setdefault(P, []).append(i)
+        del seqs
 
+    # Pass 2 — re-read per dispatched batch.
     for P, idxs in sorted(buckets.items()):
         per = max(1, max_batch_bytes // max(P, 1))
         for start in range(0, len(idxs), per):
             chunk = idxs[start : start + per]
             names = [paths[i] for i in chunk]
-            lists = [seq_lists[i] for i in chunk]
+            lists = [read_fasta_sequences(paths[i]) for i in chunk]
             try:
                 sketches = device_sketch_batch(names, lists, params)
             except DeviceSketchOverflow:

@@ -291,11 +291,13 @@ class FragmentAniEngine:
           source, streams never duplicated across its targets.
         GALAH_TPU_VERIFY=pairtable|grouped forces one.
 
-        Routing is per directed pair: sources whose streams fit the
-        pair-table budget go through the pair-table kernel, the rest
-        through the grouped kernel — one oversized genome in a small-
-        contig corpus no longer forces every pair onto the per-source
-        dispatch path.
+        Routing is per (undirected) pair: a pair goes through the
+        pair-table kernel only when BOTH endpoints' streams fit its
+        budget, else both directions go through the grouped kernel —
+        so max(fwd, rev) never mixes the two kernels' numerics (the
+        pair-table accumulates identities in 2^-14 fixed point, the
+        grouped kernel in f32) for one pair, and one oversized genome
+        in a small-contig corpus only reroutes the pairs it touches.
 
         Returns {(a, b): (ani_pct, af_a_dir, af_b_dir)}."""
         import os
@@ -315,11 +317,17 @@ class FragmentAniEngine:
             small_pairs = sorted(directed_set)
         else:
             thresh = self._pair_table().cfg.max_flat_hashes // 8
-            for d in sorted(directed_set):
-                if len(sketches_by_key[d[0]].frag_buckets) <= thresh:
-                    small_pairs.append(d)
-                else:
-                    large_pairs.append(d)
+            small_d, large_d = set(), set()
+            for a, b in pairs:
+                both_small = (
+                    len(sketches_by_key[a].frag_buckets) <= thresh
+                    and len(sketches_by_key[b].frag_buckets) <= thresh
+                )
+                (small_d if both_small else large_d).update(
+                    ((a, b), (b, a))
+                )
+            small_pairs = sorted(small_d)
+            large_pairs = sorted(large_d)
 
         fwd = {}
         if small_pairs:

@@ -375,9 +375,24 @@ def _rowshard_stage_fn(mesh: Mesh, block: int, cap: int, slots: int,
             valid = (g <= cb) & (g < nblocks_real)
             cnt, ii, jj, vals = jax.lax.cond(valid, compute, skip, s)
             woff = jnp.minimum(off, stage_cap - cap)
-            out_ii = jax.lax.dynamic_update_slice(out_ii, ii, (woff,))
-            out_jj = jax.lax.dynamic_update_slice(out_jj, jj, (woff,))
-            out_vals = jax.lax.dynamic_update_slice(out_vals, vals, (woff,))
+
+            # Write ONLY when this slot stored hits: an empty/skipped
+            # slot's cap-sized zero buffer would otherwise land at the
+            # clamped woff and silently clobber the tail of earlier
+            # segments once off > stage_cap - cap — a clobber the host
+            # replay (which flags only stored>0 clamped writes) cannot
+            # detect.
+            def write(bufs):
+                o_ii, o_jj, o_v = bufs
+                return (
+                    jax.lax.dynamic_update_slice(o_ii, ii, (woff,)),
+                    jax.lax.dynamic_update_slice(o_jj, jj, (woff,)),
+                    jax.lax.dynamic_update_slice(o_v, vals, (woff,)),
+                )
+
+            out_ii, out_jj, out_vals = jax.lax.cond(
+                cnt > 0, write, lambda bufs: bufs, (out_ii, out_jj, out_vals)
+            )
             return (off + jnp.minimum(cnt, cap), out_ii, out_jj, out_vals), cnt
 
         init = _vary(

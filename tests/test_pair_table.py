@@ -136,3 +136,41 @@ def test_pair_table_splits_batches(monkeypatch):
         for (s, t), (ani, af) in res.items():
             assert ani > 93.0, (s, t, ani)
             assert af > 0.5, (s, t, af)
+
+
+def test_mixed_size_pair_routes_one_kernel(monkeypatch):
+    """A (small, large) pair must compute BOTH directions with the
+    same kernel (grouped), never pair-table one way and grouped the
+    other: max(fwd, rev) would mix the pair-table's 2^-14 fixed-point
+    identity sums with the grouped kernel's f32 sums for one pair.
+    Pinned by exact equality of the default routing with the forced-
+    grouped result for every pair touching the large genome."""
+    params = NativeSketchParams()
+    small_a = data("abisko4/73.20120800_S1X.13.fna")
+    small_b = data("abisko4/73.20120600_S2D.19.fna")
+    large = data("set1/1mbp.fna")
+    sketches = {p: sketch_file_native(p, params) for p in (small_a, small_b, large)}
+    pairs = [(small_a, large), (small_a, small_b), (small_b, large)]
+
+    monkeypatch.setenv("GALAH_TPU_VERIFY", "grouped")
+    eng = _engine(params)
+    forced = eng.bidirectional(pairs, sketches)
+
+    monkeypatch.delenv("GALAH_TPU_VERIFY")
+    eng2 = _engine(params)
+    # shrink the pair-table budget so the large genome exceeds it while
+    # the small MAGs fit
+    pt = eng2._pair_table()
+    cut = (len(sketches[large].frag_buckets) - 1) * 8
+
+    class _CfgProxy:
+        def __init__(self, cfg, max_flat_hashes):
+            self._cfg = cfg
+            self.max_flat_hashes = max_flat_hashes
+        def __getattr__(self, name):
+            return getattr(self._cfg, name)
+    pt.cfg = _CfgProxy(pt.cfg, cut)
+    default = eng2.bidirectional(pairs, sketches)
+
+    for pr in (pairs[0], pairs[2]):  # pairs touching the large genome
+        assert default[pr] == forced[pr], (pr, default[pr], forced[pr])

@@ -220,3 +220,31 @@ def test_dryrun_multichip():
 
     g.dryrun_multichip(8)
     g.dryrun_multichip(2)
+
+
+def test_rowsharded_zero_slot_clobber_after_clamp():
+    """Regression: an empty slot scanned AFTER the running offset
+    crossed stage_cap - cap used to write its cap-sized zero buffer at
+    the clamped offset, silently clobbering the tail of the previous
+    segment's real hits (pair lost + spurious (i*block, j*block) pair
+    emitted) — undetected because the host replay only flags stored>0
+    clamped writes. Shapes force: slot0 3 hits, slot1 2 hits (second
+    lands at offset 4 = stage_cap - cap), slot2 0 hits."""
+    from galah_tpu.parallel.distance import sharded_screen_triangle_rowsharded
+
+    n, bits = 16, 1024
+    rng = np.random.default_rng(0)
+    x = (rng.random((n, bits)) < 0.5).astype(np.uint8)
+    x[8] = x[0]; x[9] = x[1]; x[10] = x[2]; x[5] = x[4]; x[11] = x[4]
+    packed = list(
+        np.packbits(x.astype(bool), axis=1, bitorder="little").view(np.uint32)
+    )
+    sizes = x.sum(axis=1)
+    want = sorted([(0, 8), (1, 9), (2, 10), (4, 5), (4, 11), (5, 11)])
+    for ndev in (1, 2, 8):
+        mesh = make_mesh(jax.devices()[:ndev])
+        res = sharded_screen_triangle_rowsharded(
+            packed, sizes, 15, 0.5, bits, mesh=mesh, block=4, cap=4,
+            stage_cap=8,
+        )
+        assert sorted(map(tuple, res.pairs.tolist())) == want, ndev
