@@ -220,35 +220,45 @@ def run_cluster(args: argparse.Namespace) -> None:
 
 class _RecordingPreclusterer:
     """Wraps a preclusterer and saves its sparse result to disk — the
-    phase checkpoint for --output-distance-cache."""
+    phase checkpoint for --output-distance-cache. Records the flags the
+    pairs were filtered under (threshold, min-AF, method, mode) so the
+    resume path can refuse an incompatible run."""
 
-    def __init__(self, inner, out_path: str, threshold: Optional[float] = None) -> None:
+    def __init__(
+        self,
+        inner,
+        out_path: str,
+        threshold: Optional[float] = None,
+        min_af: Optional[float] = None,
+    ) -> None:
         self._inner = inner
         self._out_path = out_path
         self._threshold = threshold
+        self._min_af = min_af
         self.supports_contigs = getattr(inner, "supports_contigs", True)
 
-    def _save(self, cache, names):
+    def _save(self, cache, names, mode):
         from galah_tpu.sketch.store import save_distance_cache
 
         save_distance_cache(
-            cache, self._out_path, names=names, threshold=self._threshold
+            cache, self._out_path, names=names, threshold=self._threshold,
+            min_af=self._min_af, method=self._inner.method_name(), mode=mode,
         )
         logger.info("Saved distance cache (%d pairs) to %s", len(cache), self._out_path)
 
     def distances(self, paths):
         cache = self._inner.distances(paths)
-        self._save(cache, paths)
+        self._save(cache, paths, "triangle")
         return cache
 
     def distances_contigs(self, paths, contig_names):
         cache = self._inner.distances_contigs(paths, contig_names)
-        self._save(cache, contig_names)
+        self._save(cache, contig_names, "contigs")
         return cache
 
     def distances_with_references(self, paths, refs):
         cache = self._inner.distances_with_references(paths, refs)
-        self._save(cache, paths)
+        self._save(cache, paths, "references")
         return cache
 
     def method_name(self):
@@ -262,7 +272,6 @@ class _PrecomputedPreclusterer:
     supports_contigs = True
 
     def __init__(self, cache, names, method_name: str) -> None:
-        self._by_name = {}
         idx = {n: i for i, n in enumerate(names)}
         self._old_index = idx
         self._cache = cache
@@ -336,11 +345,17 @@ def generate_galah_clusterer(
         if native_ctx is None:
             from galah_tpu.engines.native import NativeContext
 
-            # Approximate the largest genome from file sizes (gz files
-            # under-estimate, which only keeps bitmaps at their default
-            # larger width) so bitmap widths fit the dataset.
+            # Approximate the largest genome from file sizes so bitmap
+            # widths fit the dataset; gzip members report their ISIZE
+            # trailer (compressed size would under-estimate ~4x and
+            # shrink bitmaps below what the genomes need).
+            from galah_tpu.io.fasta import decompressed_size_estimate
+
             try:
-                max_len = max(os.path.getsize(p) for p in v2) if v2 else None
+                max_len = (
+                    max(decompressed_size_estimate(p) for p in v2)
+                    if v2 else None
+                )
             except OSError:
                 max_len = None
             native_ctx = NativeContext(
@@ -410,29 +425,56 @@ def generate_galah_clusterer(
     else:
         raise SystemExit(f"Unknown cluster method {args.cluster_method}")
 
+    run_mode = (
+        "references" if reference_genomes is not None
+        else "contigs" if cluster_contigs else "triangle"
+    )
     if getattr(args, "input_distance_cache", None):
         from galah_tpu.sketch.store import load_distance_cache
 
         logger.info("Loading distance cache from %s", args.input_distance_cache)
-        cache, names, saved_threshold = load_distance_cache(
-            args.input_distance_cache
-        )
+        cache, names, meta = load_distance_cache(args.input_distance_cache)
         if names is None:
             raise SystemExit(
                 "The distance cache has no unit names and cannot be remapped"
             )
+        saved_threshold = meta["threshold"]
         if saved_threshold is not None and pre_threshold_pct < saved_threshold - 1e-6:
             raise SystemExit(
                 f"--input-distance-cache was recorded at ANI {saved_threshold:g} "
                 f"but this run needs pairs down to {pre_threshold_pct:g}; "
                 "re-run without the cache to recompute"
             )
+        # A changed AF / method / mode silently changes WHICH pairs the
+        # recording run emitted (the AF filter and pair structure are
+        # baked into the saved list), so any mismatch is refused rather
+        # than serving pairs filtered under different flags. Caches
+        # predating a field (None) skip its check.
+        if meta["min_af"] is not None and abs(meta["min_af"] - min_af) > 1e-9:
+            raise SystemExit(
+                f"--input-distance-cache was recorded at --min-aligned-"
+                f"fraction {meta['min_af']:g} but this run uses {min_af:g}; "
+                "re-run without the cache to recompute"
+            )
+        if meta["method"] is not None and meta["method"] != args.precluster_method:
+            raise SystemExit(
+                f"--input-distance-cache was recorded with precluster "
+                f"method '{meta['method']}' but this run uses "
+                f"'{args.precluster_method}'; re-run without the cache"
+            )
+        if meta["mode"] is not None and meta["mode"] != run_mode:
+            raise SystemExit(
+                f"--input-distance-cache was recorded in {meta['mode']} "
+                f"mode but this run is {run_mode} mode; re-run without "
+                "the cache"
+            )
         preclusterer = _PrecomputedPreclusterer(
             cache, names, args.precluster_method
         )
     elif getattr(args, "output_distance_cache", None):
         preclusterer = _RecordingPreclusterer(
-            preclusterer, args.output_distance_cache, threshold=pre_threshold_pct
+            preclusterer, args.output_distance_cache,
+            threshold=pre_threshold_pct, min_af=min_af,
         )
 
     return {

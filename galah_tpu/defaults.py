@@ -62,6 +62,7 @@ NATIVE_MEMBER_BITS = 1 << 22
 # travel as uint16.
 NATIVE_SMALL_MEMBER_BITS = 1 << 16
 # Screen-stage safety margin: a candidate survives the screen if its
-# containment exceeds margin * min_af * (ani/100)**k.
+# containment exceeds margin * min_af * (ani/100)**k. The prefilter
+# bitmap is widened whenever that cutoff would sit under 4x the
+# collision-noise std (engines/native.py::_widen_for_low_af).
 NATIVE_SCREEN_MARGIN = 0.5
-NATIVE_SCREEN_MIN_AF_FLOOR = 0.05

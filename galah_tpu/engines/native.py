@@ -131,7 +131,15 @@ class NativeContext:
         if params is not None:
             self.params = params
         elif small_genomes:
-            self.params = small_genome_params()
+            # Forward an explicitly requested --fragment-length; the
+            # preset's denser 1000bp default applies otherwise.
+            self.params = small_genome_params(
+                fragment_length=(
+                    fragment_length
+                    if fragment_length != defaults.DEFAULT_FRAGMENT_LENGTH
+                    else None
+                )
+            )
         else:
             self.params = NativeSketchParams(fragment_length=fragment_length)
             if max_genome_length:
@@ -173,14 +181,17 @@ class NativeContext:
 
         Corrected-containment noise between unrelated sketches has
         std ~ 1/sqrt(B) (independent of sketch size), so the bitmap is
-        sized to keep the cutoff >= 4 sigma. If that would need more
-        than 2^26 bits (8MB packed per genome) the flag is refused with
-        a clear error instead of ever silently losing pairs the
+        sized to keep the cutoff >= 4 sigma — for EVERY requested AF,
+        not only tiny ones: at --precluster-ani 85 even the default
+        bitmap leaves an AF-0.05 cutoff at ~1.1 sigma (a borderline
+        pair dropped ~13% of the time). If the width needed exceeds
+        2^26 bits (8MB packed per genome) the flag is refused with a
+        clear error instead of ever silently losing pairs the
         reference would keep (src/skani.rs:144-159)."""
         import dataclasses
         import math as _math
 
-        if min_af <= 0 or min_af >= defaults.NATIVE_SCREEN_MIN_AF_FLOOR:
+        if min_af <= 0:
             return
         ani = screen_ani_pct or defaults.MIN_SUPPORTED_PRECLUSTER_ANI
         cutoff = _screen_min_containment(ani, min_af, self.params.k)
@@ -355,24 +366,46 @@ class _VerifyMixin:
         import time as _time
 
         _t0 = _time.perf_counter()
-        # One global bidirectional batch: both directions grouped by
-        # source genome so every fragment stream/bitmap hits the device
-        # exactly once.
-        sketches_by_key = {}
-        key_pairs = []
-        idx_by_key_pair = {}
+        # One global bidirectional batch (default): both directions
+        # grouped by source genome so every fragment stream/bitmap hits
+        # the device exactly once. In low-memory mode the batch is
+        # chunked so at most ~the disk store's LRU working set of
+        # sketches is pinned in host RAM at a time (a single global
+        # dict of every candidate endpoint would defeat --low-memory
+        # exactly on the large corpora it exists for).
+        keys = (
+            sketches._keys if isinstance(sketches, _LazySketchList) else None
+        )
+        chunk_keys = 64 if ctx.low_memory else None
+
+        def flush(key_pairs, sketches_by_key, idx_by_key_pair):
+            res = ctx.frag_engine.bidirectional(key_pairs, sketches_by_key)
+            for kp, (ani, af_f, af_r) in res.items():
+                # A key pair can map to several index pairs when the
+                # same path is given twice — emit every one, or
+                # duplicates silently fall out of their cluster.
+                for i, j in idx_by_key_pair[kp]:
+                    if max(af_f, af_r) >= min_af and ani >= threshold_pct:
+                        cache.insert((i, j), float(np.float32(ani)))
+
+        sketches_by_key: Dict[str, NativeSketch] = {}
+        key_pairs: List[Tuple[str, str]] = []
+        idx_by_key_pair: Dict[Tuple[str, str], List[Tuple[int, int]]] = {}
         for i, j in pairs:
             i, j = int(i), int(j)
-            ki, kj = ctx.key_for(sketches[i]), ctx.key_for(sketches[j])
-            sketches_by_key[ki] = sketches[i]
-            sketches_by_key[kj] = sketches[j]
+            ki = keys[i] if keys else ctx.key_for(sketches[i])
+            kj = keys[j] if keys else ctx.key_for(sketches[j])
+            if ki not in sketches_by_key:
+                sketches_by_key[ki] = sketches[i]
+            if kj not in sketches_by_key:
+                sketches_by_key[kj] = sketches[j]
             key_pairs.append((ki, kj))
-            idx_by_key_pair[(ki, kj)] = (i, j)
-        res = ctx.frag_engine.bidirectional(key_pairs, sketches_by_key)
-        for kp, (ani, af_f, af_r) in res.items():
-            i, j = idx_by_key_pair[kp]
-            if max(af_f, af_r) >= min_af and ani >= threshold_pct:
-                cache.insert((i, j), float(np.float32(ani)))
+            idx_by_key_pair.setdefault((ki, kj), []).append((i, j))
+            if chunk_keys and len(sketches_by_key) >= chunk_keys:
+                flush(key_pairs, sketches_by_key, idx_by_key_pair)
+                sketches_by_key, key_pairs, idx_by_key_pair = {}, [], {}
+        if key_pairs:
+            flush(key_pairs, sketches_by_key, idx_by_key_pair)
         _dt = _time.perf_counter() - _t0
         m = metrics.current()
         m.phases["verify"] = m.phases.get("verify", 0.0) + _dt

@@ -80,3 +80,22 @@ def contig_names(path: str) -> List[str]:
 def sanitize_header(header: str) -> str:
     """Replace tabs with spaces (reference: src/skani.rs:94-96)."""
     return header.replace("\t", " ")
+
+
+def decompressed_size_estimate(path: str) -> int:
+    """Cheap upper-ish bound on a FASTA file's sequence length without
+    reading it: plain files report their size (headers/newlines only
+    inflate it — safe direction for sizing bitmaps); gzip files report
+    the ISIZE trailer (uncompressed length mod 2^32) instead of the
+    compressed size, which would under-estimate ~4x and silently shrink
+    sketch bitmaps below what the genomes need."""
+    import os
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as fh:
+        if fh.read(2) == b"\x1f\x8b" and size >= 18:
+            fh.seek(-4, 2)
+            isize = int.from_bytes(fh.read(4), "little")
+            if isize:
+                return isize
+    return size

@@ -145,7 +145,7 @@ def screen_triangle_popcount(
                 )
             )
             if bi == bj:
-                cont[np.tril_indices(cont.shape[0])] = 0.0
+                cont[np.tril_indices(cont.shape[0])] = -1.0  # -1: a cutoff of 0 must still drop self/reversed pairs
             hit = np.argwhere(cont >= min_containment)
             if hit.size:
                 pairs.append(

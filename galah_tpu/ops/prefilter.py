@@ -262,7 +262,7 @@ def screen_triangle(
                 _block_containment_u8(si, sj, ai, aj, float(bits))
             ).astype(np.float32)
             if bi == bj:
-                cont[np.tril_indices(cont.shape[0])] = 0.0
+                cont[np.tril_indices(cont.shape[0])] = -1.0  # -1: a cutoff of 0 must still drop self/reversed pairs
             hit = np.argwhere(cont >= min_containment)
             if hit.size:
                 gi = hit[:, 0] + bi * block
@@ -351,7 +351,7 @@ def screen_triangle_packed(
                 _block_containment_packed(si, sj, ai, aj, float(bits))
             ).astype(np.float32)
             if bi == bj:
-                cont[np.tril_indices(cont.shape[0])] = 0.0
+                cont[np.tril_indices(cont.shape[0])] = -1.0  # -1: a cutoff of 0 must still drop self/reversed pairs
             hit = np.argwhere(cont >= min_containment)
             gi = hit[:, 0] + bi * block
             gj = hit[:, 1] + bj * block

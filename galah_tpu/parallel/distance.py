@@ -243,7 +243,7 @@ def sharded_screen_triangle_packed(
                     )
                 ).astype(np.float32)
                 if bi == bj:
-                    cont[np.tril_indices(cont.shape[0])] = 0.0
+                    cont[np.tril_indices(cont.shape[0])] = -1.0  # -1: a cutoff of 0 must still drop self/reversed pairs
                 hit = np.argwhere(cont >= min_containment)
                 gi = hit[:, 0] + lo_i
                 gj = hit[:, 1] + lo_j
@@ -443,7 +443,7 @@ def _dense_tile_hits(
         _block_containment_packed(xi, xj, a, b, float(bits))
     ).astype(np.float32)
     if g == cb:
-        cont[np.tril_indices(cont.shape[0])] = 0.0
+        cont[np.tril_indices(cont.shape[0])] = -1.0  # -1: a cutoff of 0 must still drop self/reversed pairs
     hit = np.argwhere(cont >= min_containment)
     gi = hit[:, 0] + g * block
     gj = hit[:, 1] + cb * block

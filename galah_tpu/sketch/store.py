@@ -119,11 +119,16 @@ class DiskSketchStore:
 def save_distance_cache(
     cache: SortedPairDistanceCache, path: str, names=None,
     threshold: Optional[float] = None,
+    min_af: Optional[float] = None,
+    method: Optional[str] = None,
+    mode: Optional[str] = None,
 ) -> None:
     """Persist the sparse above-threshold pair list (the phase-2
-    artifact; pairs whose value is None are kept distinct). `threshold`
-    records the ANI the pairs were filtered at so resume can detect an
-    incompatible (lower) threshold."""
+    artifact; pairs whose value is None are kept distinct). The
+    metadata records the flags the pairs were filtered under —
+    `threshold` (ANI pct), `min_af` (fraction), `method` (preclusterer)
+    and `mode` ('triangle'/'contigs'/'references') — so resume can
+    refuse a run whose flags would silently change which pairs exist."""
     items = list(cache.items())
     ii = np.array([k[0] for k, _ in items], dtype=np.int64)
     jj = np.array([k[1] for k, _ in items], dtype=np.int64)
@@ -136,19 +141,32 @@ def save_distance_cache(
         kwargs["names"] = np.array(list(names))
     if threshold is not None:
         kwargs["threshold"] = np.float64(threshold)
+    if min_af is not None:
+        kwargs["min_af"] = np.float64(min_af)
+    if method is not None:
+        kwargs["method"] = np.array(method)
+    if mode is not None:
+        kwargs["mode"] = np.array(mode)
     with open(path, "wb") as fh:
         _savez(fh, **kwargs)
 
 
 def load_distance_cache(path: str):
-    """Returns (cache, names, threshold-or-None)."""
+    """Returns (cache, names, meta) where meta holds 'threshold',
+    'min_af', 'method' and 'mode' (each None when the cache predates
+    that field)."""
     cache = SortedPairDistanceCache()
     with np.load(path, allow_pickle=False) as z:
         for i, j, v, hv in zip(z["i"], z["j"], z["values"], z["has_value"]):
             cache.insert((int(i), int(j)), float(v) if hv else None)
         names = [str(n) for n in z["names"]] if "names" in z else None
-        threshold = float(z["threshold"]) if "threshold" in z else None
-    return cache, names, threshold
+        meta = {
+            "threshold": float(z["threshold"]) if "threshold" in z else None,
+            "min_af": float(z["min_af"]) if "min_af" in z else None,
+            "method": str(z["method"]) if "method" in z else None,
+            "mode": str(z["mode"]) if "mode" in z else None,
+        }
+    return cache, names, meta
 
 
 def _savez(fh, **kwargs) -> None:

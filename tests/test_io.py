@@ -53,3 +53,22 @@ def test_gzip_magic_sniffing(tmp_path):
     p.write_bytes(gzip.compress(b">c1\nACGTACGT\n"))
     recs = list(read_fasta(str(p)))
     assert recs[0].seq == b"ACGTACGT"
+
+
+def test_decompressed_size_estimate(tmp_path):
+    """Gzip files must report their ISIZE trailer (true uncompressed
+    length), not the ~4x smaller compressed size — sizing sketch
+    bitmaps off the compressed size silently shrinks them below what
+    the genomes need. Plain files report their file size."""
+    from galah_tpu.io.fasta import decompressed_size_estimate
+
+    body = b">c1\n" + b"ACGT" * 100_000 + b"\n"
+    plain = tmp_path / "a.fna"
+    plain.write_bytes(body)
+    assert decompressed_size_estimate(str(plain)) == len(body)
+
+    gz = tmp_path / "a.fna.gz"
+    gz.write_bytes(gzip.compress(body))
+    est = decompressed_size_estimate(str(gz))
+    assert est == len(body)
+    assert gz.stat().st_size < len(body) // 10  # compressed is far smaller

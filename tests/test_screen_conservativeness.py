@@ -93,3 +93,41 @@ def test_zero_af_disables_screen_pruning():
     from galah_tpu.engines.native import _screen_min_containment
 
     assert _screen_min_containment(95.0, 0.0, 15) == 0.0
+
+
+def test_four_sigma_invariant_at_low_precluster_ani():
+    """The 4-sigma cutoff-vs-noise invariant holds for EVERY requested
+    AF, not only sub-5% ones: at --precluster-ani 85 the default 2^17
+    bitmap leaves an AF-0.05 cutoff at ~1.1 sigma, so the context must
+    widen it (regression for the old early-return at the 5% floor)."""
+    from galah_tpu.engines.native import _screen_min_containment
+
+    ctx = NativeContext(threads=1, min_screen_af=0.05, screen_ani_pct=85.0)
+    cutoff = _screen_min_containment(85.0, 0.05, ctx.params.k)
+    sigma = 1.0 / ctx.params.prefilter_bits ** 0.5
+    assert cutoff >= 4.0 * sigma, (cutoff, sigma, ctx.params.prefilter_bits)
+
+
+def test_zero_cutoff_screen_emits_strict_upper_triangle():
+    """With --min-aligned-fraction 0 (cutoff 0.0, 'verify every pair')
+    the screen must still emit each pair once as (i, j) with i < j and
+    never self-pairs — the diagonal used to be masked with 0.0, which a
+    >= 0.0 cutoff let straight through."""
+    from galah_tpu.ops.popcount_screen import pack_indicator
+    from galah_tpu.ops.prefilter import (
+        screen_triangle,
+        screen_triangle_packed,
+    )
+
+    rng = np.random.default_rng(11)
+    n, bits = 12, 1024
+    x = (rng.random((n, bits)) < 0.3).astype(np.uint8)
+    sizes = x.sum(axis=1)
+    packed = [pack_indicator(np.nonzero(r)[0].astype(np.int64), bits) for r in x]
+    want = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    for res in (
+        screen_triangle(list(x), sizes, 15, 0.0),
+        screen_triangle_packed(packed, sizes, 15, 0.0, bits),
+    ):
+        got = sorted(map(tuple, res.pairs.tolist()))
+        assert got == want

@@ -48,10 +48,16 @@ def test_distance_cache_roundtrip(tmp_path):
     cache.insert((0, 3), 97.5)
     cache.insert((1, 2), None)
     p = str(tmp_path / "cache.npz")
-    save_distance_cache(cache, p, names=["a", "b", "c", "d"], threshold=95.0)
-    cache2, names, threshold = load_distance_cache(p)
+    save_distance_cache(
+        cache, p, names=["a", "b", "c", "d"], threshold=95.0,
+        min_af=0.15, method="native", mode="triangle",
+    )
+    cache2, names, meta = load_distance_cache(p)
     assert names == ["a", "b", "c", "d"]
-    assert threshold == 95.0
+    assert meta["threshold"] == 95.0
+    assert meta["min_af"] == 0.15
+    assert meta["method"] == "native"
+    assert meta["mode"] == "triangle"
     assert cache2.get((3, 0)) == (97.5,)
     assert cache2.get((1, 2)) == (None,)
     assert len(cache2) == 2
