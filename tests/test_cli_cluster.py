@@ -426,3 +426,36 @@ def test_genome_info_quality_input(tmp_path):
         f"{data('set1/1mbp.fna')}\t{data('set1/1mbp.fna')}\n"
         f"{data('set1/1mbp.fna')}\t{data('set1/500kb.fna')}\n"
     )
+
+
+def test_fragment_length_flag(tmp_path):
+    """--fragment-length is plumbed through to the verify stage at both
+    granularities and the fraglen_test fixture merges either way
+    (sequence1 is contained in sequence2: every 3000bp fragment has
+    >=83% of its 21-mers in sequence2 at ~99% identity). The
+    reference's own expectation of an AF flip here lives in a
+    commented-OUT test (tests/test_cmdline.rs:631-676) that contradicts
+    that k-mer content, so the merge — not the flip — is pinned."""
+    s1 = data("fraglen_test/sequence1.fna")
+    s2 = data("fraglen_test/sequence2.fna")
+    for extra in ([], ["--fragment-length", "1000"]):
+        out = tmp_path / "reps.txt"
+        run_cli([
+            "cluster", "--genome-fasta-files", s2, s1,
+            "--min-aligned-fraction", "0.8",
+            "--output-representative-list", str(out),
+        ] + extra)
+        assert read(out) == f"{s2}\n", extra
+
+
+def test_small_genomes_forwards_fragment_length():
+    """--small-genomes with an explicit --fragment-length must honor the
+    flag; without one the preset's denser 1000bp default applies
+    (reference: skani's dense preset still accepts fragment flags,
+    src/skani.rs:152-154)."""
+    from galah_tpu.engines.native import NativeContext
+
+    explicit = NativeContext(threads=1, small_genomes=True, fragment_length=700)
+    assert explicit.params.fragment_length == 700
+    preset = NativeContext(threads=1, small_genomes=True)
+    assert preset.params.fragment_length == 1000
