@@ -20,7 +20,7 @@ class ClusterParameters:
     ani: float = defaults.DEFAULT_ANI                       # percent
     precluster_ani: float = defaults.DEFAULT_PRETHRESHOLD_ANI
     min_aligned_fraction: float = defaults.DEFAULT_ALIGNED_FRACTION
-    fragment_length: int = defaults.DEFAULT_FRAGMENT_LENGTH
+    fragment_length: Optional[int] = None  # None: engine default (3000, or 1000 with small_genomes)
     precluster_method: str = defaults.DEFAULT_PRECLUSTER_METHOD
     cluster_method: str = defaults.DEFAULT_CLUSTER_METHOD
     small_genomes: bool = False
@@ -160,7 +160,12 @@ def _build_engines(p: ClusterParameters):
                 fragment_length=p.fragment_length,
                 threads=p.threads,
                 low_memory=p.low_memory,
-                min_screen_af=af_frac,
+                # Screen sizing/refusal only applies when the native
+                # prefilter screen will actually run (the preclusterer);
+                # NativeClusterer only verifies pairs handed to it.
+                min_screen_af=(
+                    af_frac if p.precluster_method == "native" else None
+                ),
                 screen_ani_pct=pre_pct,
             )
         return native_ctx
@@ -193,7 +198,11 @@ def _build_engines(p: ClusterParameters):
     elif p.cluster_method == "fastani":
         from galah_tpu.engines.subprocess_backends import FastaniClusterer
 
-        clu = FastaniClusterer(ani_frac * 100.0, af_frac, p.fragment_length)
+        clu = FastaniClusterer(
+            ani_frac * 100.0,
+            af_frac,
+            p.fragment_length or defaults.DEFAULT_FRAGMENT_LENGTH,
+        )
     else:
         raise ValueError(f"Unknown cluster method {p.cluster_method}")
 

@@ -62,8 +62,11 @@ def add_cluster_arguments(sub: argparse.ArgumentParser) -> None:
                             help=f"Min aligned fraction of two genomes for clustering [default: {defaults.DEFAULT_ALIGNED_FRACTION:g}]")
     clustering.add_argument("--small-genomes", action="store_true",
                             help="Use small-genomes settings. Recommended for sequences < 20kb")
+    # default=None distinguishes "not given" from "explicitly 3000" so
+    # --small-genomes --fragment-length 3000 is honored, not replaced by
+    # the preset's 1000bp default.
     clustering.add_argument("--fragment-length", type=int,
-                            default=defaults.DEFAULT_FRAGMENT_LENGTH, metavar="FLOAT",
+                            default=None, metavar="FLOAT",
                             help=f"Length of fragment used in ANI calculation [default: {defaults.DEFAULT_FRAGMENT_LENGTH}]")
     clustering.add_argument("--quality-formula", default=defaults.DEFAULT_QUALITY_FORMULA,
                             choices=["Parks2020_reduced", "completeness-4contamination",
@@ -364,7 +367,13 @@ def generate_galah_clusterer(
                 threads=args.threads,
                 low_memory=args.low_memory,
                 max_genome_length=max_len,
-                min_screen_af=min_af,
+                # Screen sizing/refusal only applies when the native
+                # prefilter screen will actually run (precluster stage);
+                # e.g. --precluster-method skani --cluster-method native
+                # never evaluates the prefilter cutoff.
+                min_screen_af=(
+                    min_af if args.precluster_method == "native" else None
+                ),
                 screen_ani_pct=pre_threshold_pct,
             )
         return native_ctx
@@ -420,7 +429,9 @@ def generate_galah_clusterer(
         clusterer = FastaniClusterer(
             threshold=ani * 100.0,
             min_aligned_threshold=min_af,
-            fraglen=args.fragment_length,
+            fraglen=(args.fragment_length
+                     if args.fragment_length is not None
+                     else defaults.DEFAULT_FRAGMENT_LENGTH),
         )
     else:
         raise SystemExit(f"Unknown cluster method {args.cluster_method}")

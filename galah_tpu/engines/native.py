@@ -120,7 +120,7 @@ class NativeContext:
     def __init__(
         self,
         small_genomes: bool = False,
-        fragment_length: int = defaults.DEFAULT_FRAGMENT_LENGTH,
+        fragment_length: Optional[int] = None,
         threads: int = 4,
         low_memory: bool = False,
         params: Optional[NativeSketchParams] = None,
@@ -131,17 +131,16 @@ class NativeContext:
         if params is not None:
             self.params = params
         elif small_genomes:
-            # Forward an explicitly requested --fragment-length; the
-            # preset's denser 1000bp default applies otherwise.
-            self.params = small_genome_params(
-                fragment_length=(
-                    fragment_length
-                    if fragment_length != defaults.DEFAULT_FRAGMENT_LENGTH
-                    else None
-                )
-            )
+            # None means "flag not given": the preset's denser 1000bp
+            # default applies; an explicit value (even 3000, the global
+            # default) is always honored.
+            self.params = small_genome_params(fragment_length=fragment_length)
         else:
-            self.params = NativeSketchParams(fragment_length=fragment_length)
+            self.params = NativeSketchParams(
+                fragment_length=fragment_length
+                if fragment_length is not None
+                else defaults.DEFAULT_FRAGMENT_LENGTH
+            )
             if max_genome_length:
                 self.params = _shrink_bits(self.params, max_genome_length)
         if min_screen_af is not None:

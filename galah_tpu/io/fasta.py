@@ -86,9 +86,13 @@ def decompressed_size_estimate(path: str) -> int:
     """Cheap upper-ish bound on a FASTA file's sequence length without
     reading it: plain files report their size (headers/newlines only
     inflate it — safe direction for sizing bitmaps); gzip files report
-    the ISIZE trailer (uncompressed length mod 2^32) instead of the
-    compressed size, which would under-estimate ~4x and silently shrink
-    sketch bitmaps below what the genomes need."""
+    the ISIZE trailer (uncompressed length mod 2^32), floored at
+    3x the compressed size.  The floor matters because ISIZE alone
+    lies low in two real cases — multi-member files (``cat a.gz b.gz``
+    stores only b's length) and >4GiB genomes (mod-2^32 wrap) — and
+    under-estimating silently shrinks sketch bitmaps below what the
+    genomes need, while over-estimating merely pads them (DNA gzips
+    ~3-4x, so 3x compressed is still a lower bound on the truth)."""
     import os
 
     size = os.path.getsize(path)
@@ -96,6 +100,5 @@ def decompressed_size_estimate(path: str) -> int:
         if fh.read(2) == b"\x1f\x8b" and size >= 18:
             fh.seek(-4, 2)
             isize = int.from_bytes(fh.read(4), "little")
-            if isize:
-                return isize
+            return max(isize, size * 3)
     return size

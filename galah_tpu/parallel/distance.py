@@ -244,7 +244,9 @@ def sharded_screen_triangle_packed(
                 ).astype(np.float32)
                 if bi == bj:
                     cont[np.tril_indices(cont.shape[0])] = -1.0  # -1: a cutoff of 0 must still drop self/reversed pairs
-                hit = np.argwhere(cont >= min_containment)
+                # Same f32-rounded cutoff as the on-device sparse path, so the
+                # surviving pair set does not depend on whether a tile overflowed.
+                hit = np.argwhere(cont >= min_cont_static)
                 gi = hit[:, 0] + lo_i
                 gj = hit[:, 1] + lo_j
                 v = cont[hit[:, 0], hit[:, 1]]

@@ -459,3 +459,32 @@ def test_small_genomes_forwards_fragment_length():
     assert explicit.params.fragment_length == 700
     preset = NativeContext(threads=1, small_genomes=True)
     assert preset.params.fragment_length == 1000
+    # Explicitly requesting the GLOBAL default (3000) must also be
+    # honored — None, not a sentinel value, encodes "flag not given".
+    explicit_default = NativeContext(
+        threads=1, small_genomes=True, fragment_length=3000
+    )
+    assert explicit_default.params.fragment_length == 3000
+
+
+def test_low_af_refusal_only_when_native_screen_used():
+    """An extreme --min-aligned-fraction is refused only when the native
+    prefilter screen will actually run; with --precluster-method skani
+    the screening is skani's job and the native clusterer (which only
+    verifies pairs handed to it) must not abort the run."""
+    import pytest
+
+    from galah_tpu.api import ClusterParameters, _build_engines
+
+    # Native preclusterer screens: the impossible AF must refuse.
+    with pytest.raises(ValueError, match="min-aligned-fraction"):
+        _build_engines(ClusterParameters(
+            min_aligned_fraction=0.0005, precluster_ani=85.0,
+            precluster_method="native", cluster_method="native",
+        ))
+    # skani preclusterer + native clusterer: no native screen, no refusal.
+    pre, clu = _build_engines(ClusterParameters(
+        min_aligned_fraction=0.0005, precluster_ani=85.0,
+        precluster_method="skani", cluster_method="native",
+    ))
+    assert clu.method_name() == "native"

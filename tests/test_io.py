@@ -72,3 +72,13 @@ def test_decompressed_size_estimate(tmp_path):
     est = decompressed_size_estimate(str(gz))
     assert est == len(body)
     assert gz.stat().st_size < len(body) // 10  # compressed is far smaller
+
+    # Multi-member gzip (cat a.gz b.gz): ISIZE is only the LAST member's
+    # length; the 3x-compressed floor must keep the estimate from
+    # collapsing to the small tail member.
+    tiny = b">t\nACGT\n"
+    multi = tmp_path / "m.fna.gz"
+    multi.write_bytes(gzip.compress(body) + gzip.compress(tiny))
+    est_multi = decompressed_size_estimate(str(multi))
+    assert est_multi >= 3 * multi.stat().st_size
+    assert est_multi > len(tiny)  # not fooled by the last member's ISIZE
