@@ -217,3 +217,50 @@ def test_check_for_binary_missing(tmp_path, monkeypatch):
     monkeypatch.setenv("PATH", str(tmp_path))
     with pytest.raises(SystemExit, match="skani"):
         check_for_binary("skani")
+
+
+def test_cli_cluster_skani_skani(shim_env, tmp_path):
+    """CLI-level skani/skani clustering through the passthrough engines
+    (reference tests/test_cmdline.rs:305-385 test_skani_clusterer /
+    test_skani_skani_clusterer, shim-backed): the triangle output joins
+    a-b at 97.5 ANI and leaves c alone at 91."""
+    from galah_tpu.cli.main import main
+
+    genomes, _ = shim_env
+    out = tmp_path / "clusters.tsv"
+    main([
+        "cluster", "--genome-fasta-files", *genomes,
+        "--precluster-method", "skani", "--cluster-method", "skani",
+        "--output-cluster-definition", str(out), "-q",
+    ])
+    a, b, c = genomes
+    assert out.read_text() == f"{a}\t{a}\n{a}\t{b}\n{c}\t{c}\n"
+
+
+def test_cli_skani_precluster_native_cluster_low_af(shim_env, tmp_path):
+    """Mixed methods end-to-end: skani preclusters (shim triangle), the
+    native engine verifies. --min-aligned-fraction 0.001 must be
+    accepted here — the native prefilter screen never runs with a skani
+    preclusterer, so its bitmap-width refusal must not trigger
+    (reference passes --min-af through verbatim, src/skani.rs:144-159)."""
+    import shutil
+
+    from conftest import data
+    from galah_tpu.cli.main import main
+
+    # Real MAGs so the native verify stage has actual fragments; copied
+    # next to each other so the shim's triangle list is just these two.
+    g1 = tmp_path / "S1D.21.fna"
+    g2 = tmp_path / "S2M.16.fna"
+    shutil.copy(data("abisko4/73.20120800_S1D.21.fna"), g1)
+    shutil.copy(data("abisko4/73.20110800_S2M.16.fna"), g2)
+    out = tmp_path / "clusters.tsv"
+    main([
+        "cluster", "--genome-fasta-files", str(g1), str(g2),
+        "--precluster-method", "skani", "--cluster-method", "native",
+        "--min-aligned-fraction", "0.001",
+        "--output-cluster-definition", str(out), "-q",
+    ])
+    # shim joins the pair at 97.5; native verify confirms (these MAGs
+    # are >=95 ANI); no quality info -> first input is representative.
+    assert out.read_text() == f"{g1}\t{g1}\n{g1}\t{g2}\n"
