@@ -18,7 +18,10 @@ jax.distributed.initialize(
 import numpy as np  # noqa: E402
 from jax.sharding import Mesh  # noqa: E402
 
-from galah_tpu.parallel.distance import sharded_screen_triangle_packed  # noqa: E402
+from galah_tpu.parallel.distance import (  # noqa: E402
+    sharded_screen_triangle_packed,
+    sharded_screen_triangle_rowsharded,
+)
 
 rng = np.random.default_rng(0)
 n, w = 3000, 16
@@ -27,10 +30,20 @@ for t in range(50):
     x[2 * t + 1] = x[2 * t]
 sizes = np.unpackbits(x.view(np.uint8), axis=1).sum(axis=1)
 mesh = Mesh(np.array(jax.devices()), ("rows",))
+want = sorted((2 * t, 2 * t + 1) for t in range(50))
+
 res = sharded_screen_triangle_packed(
     list(x), sizes, 15, 0.5, w * 32, mesh=mesh, block=512
 )
 got = sorted(map(tuple, res.pairs.tolist()))
-want = sorted((2 * t, 2 * t + 1) for t in range(50))
-assert got == want, f"proc {pid}: pair mismatch ({len(got)} pairs)"
+assert got == want, f"proc {pid}: tiled pair mismatch ({len(got)} pairs)"
+
+# The >HBM-budget row-sharded sweep over the same processes must agree.
+res_rs = sharded_screen_triangle_rowsharded(
+    list(x), sizes, 15, 0.5, w * 32, mesh=mesh, block=512
+)
+got_rs = sorted(map(tuple, res_rs.pairs.tolist()))
+assert got_rs == want, (
+    f"proc {pid}: rowsharded pair mismatch ({len(got_rs)} pairs)"
+)
 print(f"MP_OK proc={pid} pairs={len(got)} devices={jax.device_count()}")

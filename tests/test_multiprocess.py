@@ -19,7 +19,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_sharded_screen():
+def _run_workers(nprocs: int) -> None:
     worker = os.path.join(os.path.dirname(__file__), "mp_screen_worker.py")
     port = str(_free_port())
     env = {
@@ -29,18 +29,28 @@ def test_two_process_sharded_screen():
     }
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(pid), "2", port],
+            [sys.executable, worker, str(pid), str(nprocs), port],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
             env=env,
         )
-        for pid in range(2)
+        for pid in range(nprocs)
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=240)
+        out, _ = p.communicate(timeout=300)
         outs.append(out)
         assert p.returncode == 0, f"worker failed:\n{out}"
-    assert any("MP_OK proc=0" in o for o in outs)
-    assert any("MP_OK proc=1" in o for o in outs)
+    for pid in range(nprocs):
+        assert any(f"MP_OK proc={pid}" in o for o in outs)
+
+
+def test_two_process_sharded_screen():
+    _run_workers(2)
+
+
+def test_four_process_sharded_screen():
+    """The >=4-host north-star shape (BASELINE.md config #5): 4 JAX
+    processes x 2 devices, both the tiled and the row-sharded sweeps."""
+    _run_workers(4)
