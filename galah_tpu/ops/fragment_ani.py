@@ -140,19 +140,37 @@ class FragmentAniEngine:
         self._bitmap_cache.clear()
         self._query_cache.clear()
 
-    def _bitmap(self, key, sk: NativeSketch) -> Tuple[jax.Array, float]:
+    def _verify_devices(self):
+        """Local devices the grouped verify fans out over (one source
+        group per device, round-robin). Multi-process runs use local
+        devices only — every process verifies the full pair list today,
+        exactly as before. GALAH_TPU_VERIFY_DEVICES caps the fan-out
+        (1 restores the single-device behavior)."""
+        import os
+
+        devs = jax.local_devices(backend=jax.default_backend())
+        cap = os.environ.get("GALAH_TPU_VERIFY_DEVICES")
+        if cap is not None:
+            devs = devs[: max(1, int(cap))]
+        return devs
+
+    def _bitmap(self, key, sk: NativeSketch, device=None) -> Tuple[jax.Array, float]:
+        key = (key, device.id if device is not None else -1)
         if key in self._bitmap_cache:
             self._bitmap_cache.move_to_end(key)
         else:
+            words = sk.member_bitmap_words()
             self._bitmap_cache[key] = (
-                jnp.asarray(sk.member_bitmap_words()),
+                jax.device_put(words, device) if device is not None
+                else jnp.asarray(words),
                 float(sk.member_popcount),
             )
             while len(self._bitmap_cache) > self.cfg.max_cached_bitmaps:
                 self._bitmap_cache.popitem(last=False)
         return self._bitmap_cache[key]
 
-    def _query_arrays(self, key, sk: NativeSketch):
+    def _query_arrays(self, key, sk: NativeSketch, device=None):
+        key = (key, device.id if device is not None else -1)
         if key in self._query_cache:
             self._query_cache.move_to_end(key)
         else:
@@ -166,12 +184,20 @@ class FragmentAniEngine:
             buckets[:n] = sk.frag_buckets
             offsets = np.full(fpad + 1, n, dtype=np.int32)
             offsets[: f + 1] = sk.frag_offsets
-            self._query_cache[key] = (
-                jnp.asarray(buckets),
-                jnp.asarray(offsets),
-                jnp.int32(n),
-                fpad,
-            )
+            if device is not None:
+                self._query_cache[key] = (
+                    jax.device_put(buckets, device),
+                    jax.device_put(offsets, device),
+                    jax.device_put(np.int32(n), device),
+                    fpad,
+                )
+            else:
+                self._query_cache[key] = (
+                    jnp.asarray(buckets),
+                    jnp.asarray(offsets),
+                    jnp.int32(n),
+                    fpad,
+                )
         return self._query_cache[key]
 
     def one_to_many_async(
@@ -180,43 +206,64 @@ class FragmentAniEngine:
         query_key,
         refs: Sequence[NativeSketch],
         ref_keys: Sequence,
+        device=None,
     ) -> List[Tuple]:
         """Issue ANI/AF dispatches of `query`'s fragments against each
         ref's bitmap without blocking. Returns a list of
         (ani_dev, af_dev, chunk_len) — convert after issuing everything
-        so device round trips pipeline instead of serializing."""
+        so device round trips pipeline instead of serializing.
+
+        `device` places the whole group (inputs and execution) on one
+        local device so independent source groups run on different
+        chips concurrently."""
         cfg = self.cfg
-        buckets, offsets, n, fpad = self._query_arrays(query_key, query)
+        buckets, offsets, n, fpad = self._query_arrays(
+            query_key, query, device
+        )
         # Bound the (R, N) gather/cumsum intermediates to ~256MB: very
         # long streams get fewer refs per dispatch.
         npad = int(buckets.shape[0])
         r_chunk = max(8, min(cfg.max_refs_per_dispatch, (64 << 20) // npad))
+        import contextlib
+
+        placed = (
+            jax.default_device(device)
+            if device is not None
+            else contextlib.nullcontext()
+        )
         out = []
         for lo in range(0, len(refs), r_chunk):
             chunk = refs[lo : lo + r_chunk]
             keys = ref_keys[lo : lo + r_chunk]
-            pairs_bm = [self._bitmap(k_, s) for k_, s in zip(keys, chunk)]
+            pairs_bm = [
+                self._bitmap(k_, s, device) for k_, s in zip(keys, chunk)
+            ]
             # Bucket the ref-count axis to powers of two (floor 8) so
             # the kernel compiles for a handful of shapes, not every
             # chunk length.
             rpad = max(8, 1 << (len(chunk) - 1).bit_length())
             W = cfg.member_bits // 32
-            bm = jnp.zeros((rpad, W), dtype=jnp.uint32)
-            bm = bm.at[: len(chunk)].set(jnp.stack([b for b, _ in pairs_bm]))
-            pc = jnp.zeros((rpad,), dtype=jnp.float32)
-            pc = pc.at[: len(chunk)].set(jnp.asarray([p for _, p in pairs_bm]))
-            ani, af = _forward_kernel(
-                bm,
-                pc,
-                buckets,
-                offsets,
-                n,
-                num_frags=fpad,
-                bits=cfg.member_bits,
-                k=cfg.k,
-                min_hashes=cfg.min_fragment_hashes,
-                min_ident=cfg.min_fragment_identity,
-            )
+            with placed:
+                bm = jnp.zeros((rpad, W), dtype=jnp.uint32)
+                bm = bm.at[: len(chunk)].set(
+                    jnp.stack([b for b, _ in pairs_bm])
+                )
+                pc = jnp.zeros((rpad,), dtype=jnp.float32)
+                pc = pc.at[: len(chunk)].set(
+                    jnp.asarray([p for _, p in pairs_bm])
+                )
+                ani, af = _forward_kernel(
+                    bm,
+                    pc,
+                    buckets,
+                    offsets,
+                    n,
+                    num_frags=fpad,
+                    bits=cfg.member_bits,
+                    k=cfg.k,
+                    min_hashes=cfg.min_fragment_hashes,
+                    min_ident=cfg.min_fragment_identity,
+                )
             out.append((ani, af, len(chunk)))
         return out
 
@@ -288,7 +335,10 @@ class FragmentAniEngine:
           directed pairs per fixed-shape dispatch — dispatch count is
           O(total hashes / budget), not O(genomes);
         - grouped forward kernel (large streams): one dispatch per
-          source, streams never duplicated across its targets.
+          source, streams never duplicated across its targets; source
+          groups round-robin over all local devices so verify scales
+          with chips like the screen does (GALAH_TPU_VERIFY_DEVICES=1
+          pins it to one).
         GALAH_TPU_VERIFY=pairtable|grouped forces one.
 
         Routing is per (undirected) pair: a pair goes through the
@@ -338,15 +388,20 @@ class FragmentAniEngine:
                 directed[a].add(b)
             # Issue every dispatch first (async), then collect: round
             # trips pipeline instead of paying dispatch latency per
-            # group.
+            # group. Source groups are independent, so they round-robin
+            # over the local devices (stable assignment -> deterministic
+            # caching; identical f32 math on every device of a platform
+            # -> identical results at any device count).
+            devs = self._verify_devices()
             issued = []
-            for src in sorted(directed):
+            for i, src in enumerate(sorted(directed)):
                 targets = sorted(directed[src])
                 chunks = self.one_to_many_async(
                     sketches_by_key[src],
                     src,
                     [sketches_by_key[t] for t in targets],
                     targets,
+                    device=devs[i % len(devs)] if len(devs) > 1 else None,
                 )
                 issued.append((src, targets, chunks))
             for src, targets, chunks in issued:

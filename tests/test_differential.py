@@ -32,6 +32,8 @@ CONFIGS = [
     ("rowsharded-mesh", {"GALAH_TPU_ROWSHARD": "1"}, {}),
     ("verify-pairtable", {"GALAH_TPU_VERIFY": "pairtable"}, {}),
     ("verify-grouped", {"GALAH_TPU_VERIFY": "grouped"}, {}),
+    ("verify-1dev", {"GALAH_TPU_VERIFY": "grouped",
+                     "GALAH_TPU_VERIFY_DEVICES": "1"}, {}),
     ("low-memory", {}, {"low_memory": True}),
     ("finch-precluster", {}, {"precluster_method": "finch"}),
 ]

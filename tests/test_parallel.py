@@ -248,3 +248,40 @@ def test_rowsharded_zero_slot_clobber_after_clamp():
             stage_cap=8,
         )
         assert sorted(map(tuple, res.pairs.tolist())) == want, ndev
+
+
+def test_verify_multidevice_matches_single(tmp_path, monkeypatch):
+    """The grouped verify fans source groups out over every local
+    device; results must equal the single-device run exactly, and the
+    fan-out must actually place work on more than one device."""
+    from galah_tpu.engines.native import NativeContext
+    from galah_tpu.ops.fragment_ani import FragmentAniConfig, FragmentAniEngine
+    from galah_tpu.utils.synth import make_families
+
+    paths, _ = make_families(
+        str(tmp_path), n_families=3, members_per_family=3,
+        genome_length=30_000, within_ani=0.97, seed=5,
+    )
+    ctx = NativeContext(threads=1)
+    sketches = ctx.sketch_many(paths)
+    by_key = {s.name: s for s in sketches}
+    keys = [s.name for s in sketches]
+    pairs = [(keys[i], keys[j]) for i in range(len(keys))
+             for j in range(i + 1, len(keys))]
+    monkeypatch.setenv("GALAH_TPU_VERIFY", "grouped")
+
+    def run(n_devices):
+        monkeypatch.setenv("GALAH_TPU_VERIFY_DEVICES", str(n_devices))
+        eng = FragmentAniEngine(FragmentAniConfig(
+            k=ctx.params.k, member_bits=ctx.params.member_bits,
+            min_fragment_hashes=ctx.params.min_fragment_hashes,
+        ))
+        res = eng.bidirectional(pairs, by_key)
+        dev_ids = {k[1] for k in eng._bitmap_cache}
+        return res, dev_ids
+
+    single, ids1 = run(1)
+    multi, ids8 = run(8)
+    assert single == multi
+    assert len(ids1) == 1
+    assert len(ids8) > 1, "fan-out never left the first device"
