@@ -55,6 +55,21 @@ def _round_up(x: int, m: int) -> int:
     return max(m, ((x + m - 1) // m) * m)
 
 
+def verify_devices():
+    """Local devices the verify stage fans independent dispatches over
+    (round-robin). Multi-process runs use local devices only — every
+    process verifies the full pair list today, exactly as before.
+    GALAH_TPU_VERIFY_DEVICES caps the fan-out (1 restores the
+    single-device behavior)."""
+    import os
+
+    devs = jax.local_devices(backend=jax.default_backend())
+    cap = os.environ.get("GALAH_TPU_VERIFY_DEVICES")
+    if cap is not None:
+        devs = devs[: max(1, int(cap))]
+    return devs
+
+
 def _ani_af_from_counts(m, M, popcount, bits, k, min_hashes, min_ident):
     """m: (..., F) hit counts; M: (..., F) fragment hash counts;
     popcount: (...,) ref bitmap popcount. Returns (ani_pct, af)."""
@@ -141,18 +156,7 @@ class FragmentAniEngine:
         self._query_cache.clear()
 
     def _verify_devices(self):
-        """Local devices the grouped verify fans out over (one source
-        group per device, round-robin). Multi-process runs use local
-        devices only — every process verifies the full pair list today,
-        exactly as before. GALAH_TPU_VERIFY_DEVICES caps the fan-out
-        (1 restores the single-device behavior)."""
-        import os
-
-        devs = jax.local_devices(backend=jax.default_backend())
-        cap = os.environ.get("GALAH_TPU_VERIFY_DEVICES")
-        if cap is not None:
-            devs = devs[: max(1, int(cap))]
-        return devs
+        return verify_devices()
 
     def _bitmap(self, key, sk: NativeSketch, device=None) -> Tuple[jax.Array, float]:
         key = (key, device.id if device is not None else -1)

@@ -205,7 +205,8 @@ class PairTableVerifier:
     """Host-side batcher for the pair-table kernel."""
 
     def __init__(self, cfg: PairTableConfig, bitmap_fn) -> None:
-        """bitmap_fn(key, sketch) -> (device bitmap (W,), popcount)."""
+        """bitmap_fn(key, sketch, device=None) -> (device bitmap (W,),
+        popcount)."""
         self.cfg = cfg
         self._bitmap_fn = bitmap_fn
 
@@ -234,10 +235,18 @@ class PairTableVerifier:
         for s, t in directed_pairs:
             by_src[s].append(t)
 
+        # Dispatches are independent fixed-shape programs: round-robin
+        # them over the local devices like the grouped kernel's source
+        # groups (ops/fragment_ani.py::verify_devices).
+        from galah_tpu.ops.fragment_ani import verify_devices
+
+        devs = verify_devices()
+
         def flush():
             nonlocal batch, usage
             if batch:
-                issued.append(self._dispatch(batch, sketches_by_key))
+                dev = devs[len(issued) % len(devs)] if len(devs) > 1 else None
+                issued.append(self._dispatch(batch, sketches_by_key, dev))
                 batch = []
                 usage = _Usage()
 
@@ -280,7 +289,7 @@ class PairTableVerifier:
                 results[pr] = (float(a[i]), float(f[i]))
         return results
 
-    def _dispatch(self, batch: List[Tuple], sketches_by_key: Dict):
+    def _dispatch(self, batch: List[Tuple], sketches_by_key: Dict, device=None):
         cfg = self.cfg
         W = cfg.member_bits // 32
 
@@ -327,11 +336,21 @@ class PairTableVerifier:
                 tgt_row[t] = len(tgt_order)
                 tgt_order.append(t)
         bms = [
-            self._bitmap_fn(t, sketches_by_key[t]) for t in tgt_order
+            self._bitmap_fn(t, sketches_by_key[t], device) for t in tgt_order
         ]
         G = cfg.max_bitmaps
-        bitmaps = jnp.zeros((G, W), dtype=jnp.uint32)
-        bitmaps = bitmaps.at[: len(bms)].set(jnp.stack([b for b, _ in bms]))
+        import contextlib
+
+        placed = (
+            jax.default_device(device)
+            if device is not None
+            else contextlib.nullcontext()
+        )
+        with placed:
+            bitmaps = jnp.zeros((G, W), dtype=jnp.uint32)
+            bitmaps = bitmaps.at[: len(bms)].set(
+                jnp.stack([b for b, _ in bms])
+            )
         popcounts = np.zeros(G, dtype=np.float32)
         popcounts[: len(bms)] = [p for _, p in bms]
 
@@ -356,25 +375,26 @@ class PairTableVerifier:
         flat_start[len(batch):] = fh
         fragflat_start[len(batch):] = ff
 
-        ani, af = _pair_table_kernel(
-            jnp.asarray(ustream),
-            jnp.asarray(ufrag_offsets),
-            bitmaps,
-            jnp.asarray(popcounts),
-            jnp.asarray(pair_src_start),
-            jnp.asarray(flat_start),
-            jnp.asarray(pair_ufrag_start),
-            jnp.asarray(fragflat_start),
-            jnp.asarray(pair_ref),
-            jnp.int32(fh),
-            jnp.int32(ff),
-            flatn=cfg.max_flat_hashes,
-            flatf=cfg.max_flat_frags,
-            bits=cfg.member_bits,
-            k=cfg.k,
-            min_hashes=cfg.min_fragment_hashes,
-            min_ident=cfg.min_fragment_identity,
-        )
+        with placed:
+            ani, af = _pair_table_kernel(
+                jnp.asarray(ustream),
+                jnp.asarray(ufrag_offsets),
+                bitmaps,
+                jnp.asarray(popcounts),
+                jnp.asarray(pair_src_start),
+                jnp.asarray(flat_start),
+                jnp.asarray(pair_ufrag_start),
+                jnp.asarray(fragflat_start),
+                jnp.asarray(pair_ref),
+                jnp.int32(fh),
+                jnp.int32(ff),
+                flatn=cfg.max_flat_hashes,
+                flatf=cfg.max_flat_frags,
+                bits=cfg.member_bits,
+                k=cfg.k,
+                min_hashes=cfg.min_fragment_hashes,
+                min_ident=cfg.min_fragment_identity,
+            )
         return (list(batch), ani[: len(batch)], af[: len(batch)])
 
 

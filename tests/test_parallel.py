@@ -285,3 +285,46 @@ def test_verify_multidevice_matches_single(tmp_path, monkeypatch):
     assert single == multi
     assert len(ids1) == 1
     assert len(ids8) > 1, "fan-out never left the first device"
+
+
+def test_pairtable_multidevice_matches_single(tmp_path, monkeypatch):
+    """Pair-table dispatches round-robin over local devices; a capped
+    max_pairs forces several dispatches, whose results must equal the
+    single-device run exactly."""
+    from galah_tpu.engines.native import NativeContext
+    from galah_tpu.ops.fragment_ani import FragmentAniConfig, FragmentAniEngine
+    from galah_tpu.ops.pair_table import PairTableConfig, PairTableVerifier
+    from galah_tpu.utils.synth import make_families
+
+    paths, _ = make_families(
+        str(tmp_path), n_families=3, members_per_family=3,
+        genome_length=20_000, within_ani=0.97, seed=9,
+    )
+    ctx = NativeContext(threads=1)
+    sketches = ctx.sketch_many(paths)
+    by_key = {s.name: s for s in sketches}
+    keys = [s.name for s in sketches]
+    directed = [(a, b) for a in keys for b in keys if a != b]
+
+    def run(n_devices):
+        monkeypatch.setenv("GALAH_TPU_VERIFY_DEVICES", str(n_devices))
+        eng = FragmentAniEngine(FragmentAniConfig(
+            k=ctx.params.k, member_bits=ctx.params.member_bits,
+            min_fragment_hashes=ctx.params.min_fragment_hashes,
+        ))
+        ver = PairTableVerifier(
+            PairTableConfig(
+                member_bits=ctx.params.member_bits, k=ctx.params.k,
+                min_fragment_hashes=ctx.params.min_fragment_hashes,
+                min_fragment_identity=0.8, max_pairs=8,
+            ),
+            eng._bitmap,
+        )
+        res = ver.run(directed, by_key)
+        return res, {k[1] for k in eng._bitmap_cache}
+
+    single, ids1 = run(1)
+    multi, ids8 = run(8)
+    assert single == multi
+    assert len(ids1) == 1
+    assert len(ids8) > 1, "pair-table fan-out never left the first device"
