@@ -332,6 +332,49 @@ class FragmentAniEngine:
         return self._pair_table_verifier
 
     def bidirectional(self, pairs, sketches_by_key):
+        """Bidirectional ANI over arbitrary key pairs; in multi-process
+        runs the pair list is partitioned round-robin across processes
+        and the (ani, af, af) results allgathered, so verify throughput
+        scales with hosts like the sharded screen does.
+
+        Lockstep contract (same as the sharded screen's collect path):
+        every process must call this with the IDENTICAL pair list —
+        guaranteed because the host-side clustering is deterministic
+        and runs identically on every process. GALAH_TPU_MP_VERIFY=0
+        restores redundant per-process computation."""
+        import os
+
+        nproc = jax.process_count()
+        if (
+            nproc > 1
+            and len(pairs) > 0
+            and os.environ.get("GALAH_TPU_MP_VERIFY") != "0"
+        ):
+            from jax.experimental import multihost_utils
+
+            pairs_list = list(pairs)
+            me = jax.process_index()
+            mine = pairs_list[me::nproc]
+            local = self._bidirectional_local(mine, sketches_by_key)
+            chunk = (len(pairs_list) + nproc - 1) // nproc
+            vals = np.full((chunk, 3), np.nan, dtype=np.float32)
+            for i, pr in enumerate(mine):
+                vals[i] = local[pr]
+            gathered = np.asarray(
+                multihost_utils.process_allgather(vals, tiled=True)
+            ).reshape(nproc, chunk, 3)
+            out = {}
+            for p in range(nproc):
+                for i in range(chunk):
+                    gidx = p + i * nproc
+                    if gidx >= len(pairs_list):
+                        break
+                    a, ff, fr = gathered[p, i]
+                    out[pairs_list[gidx]] = (float(a), float(ff), float(fr))
+            return out
+        return self._bidirectional_local(pairs, sketches_by_key)
+
+    def _bidirectional_local(self, pairs, sketches_by_key):
         """Bidirectional ANI over arbitrary key pairs.
 
         Two execution strategies, both single-upload per genome:

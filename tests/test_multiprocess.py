@@ -54,3 +54,42 @@ def test_four_process_sharded_screen():
     """The >=4-host north-star shape (BASELINE.md config #5): 4 JAX
     processes x 2 devices, both the tiled and the row-sharded sweeps."""
     _run_workers(4)
+
+
+def test_two_process_end_to_end_dereplication(tmp_path):
+    """Full pipeline across 2 real JAX processes: sharded screen AND
+    the partitioned multi-process verify (each process evaluates half
+    the pair list, results allgathered); both processes must recover
+    the planted families exactly."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from galah_tpu.utils.synth import make_families
+
+    corpus = tmp_path / "corpus"
+    make_families(
+        str(corpus), n_families=3, members_per_family=3,
+        genome_length=30_000, within_ani=0.97, seed=7,
+    )
+    worker = os.path.join(os.path.dirname(__file__), "mp_verify_worker.py")
+    port = str(_free_port())
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", port, str(corpus)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+        assert p.returncode == 0, f"worker failed:\n{out}"
+    for pid in range(2):
+        assert any(f"MP_VERIFY_OK proc={pid}" in o for o in outs)
