@@ -160,13 +160,6 @@ def _build_engines(p: ClusterParameters):
                 fragment_length=p.fragment_length,
                 threads=p.threads,
                 low_memory=p.low_memory,
-                # Screen sizing/refusal only applies when the native
-                # prefilter screen will actually run (the preclusterer);
-                # NativeClusterer only verifies pairs handed to it.
-                min_screen_af=(
-                    af_frac if p.precluster_method == "native" else None
-                ),
-                screen_ani_pct=pre_pct,
             )
         return native_ctx
 
@@ -201,7 +194,9 @@ def _build_engines(p: ClusterParameters):
         clu = FastaniClusterer(
             ani_frac * 100.0,
             af_frac,
-            p.fragment_length or defaults.DEFAULT_FRAGMENT_LENGTH,
+            p.fragment_length
+            if p.fragment_length is not None
+            else defaults.DEFAULT_FRAGMENT_LENGTH,
         )
     else:
         raise ValueError(f"Unknown cluster method {p.cluster_method}")

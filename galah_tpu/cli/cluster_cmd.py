@@ -367,14 +367,6 @@ def generate_galah_clusterer(
                 threads=args.threads,
                 low_memory=args.low_memory,
                 max_genome_length=max_len,
-                # Screen sizing/refusal only applies when the native
-                # prefilter screen will actually run (precluster stage);
-                # e.g. --precluster-method skani --cluster-method native
-                # never evaluates the prefilter cutoff.
-                min_screen_af=(
-                    min_af if args.precluster_method == "native" else None
-                ),
-                screen_ani_pct=pre_threshold_pct,
             )
         return native_ctx
 

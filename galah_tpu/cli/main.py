@@ -104,7 +104,11 @@ def main(argv=None) -> int:
         # GALAH_TPU_DEBUG=1.
         if os.environ.get("GALAH_TPU_DEBUG"):
             raise
-        msg = e.args[0] if e.args else str(e)
+        msg = str(e.args[0] if e.args else e)
+        # Some exceptions carry their own "Error: " prefix (matching the
+        # reference's message style) — don't print it twice.
+        if msg.startswith("Error: "):
+            msg = msg[len("Error: "):]
         print(f"Error: {msg}", file=sys.stderr)
         return 1
     return 0

@@ -440,6 +440,12 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
         self.threshold = threshold
         self.min_aligned_threshold = min_aligned_threshold
         self.ctx = ctx
+        # The preclusterer owns the prefilter screen, so ITS
+        # construction — not the shared context's — sizes the bitmap
+        # for (or refuses) the requested AF: a NativeClusterer-only run
+        # never evaluates the screen cutoff and must not be refused.
+        # Runs before any sketching (bitmap width shapes the sketches).
+        ctx._widen_for_low_af(min_aligned_threshold, threshold)
 
     # -- triangle mode --
     def distances(self, genome_fasta_paths: Sequence[str]) -> SortedPairDistanceCache:

@@ -57,9 +57,9 @@ def _round_up(x: int, m: int) -> int:
 
 def verify_devices():
     """Local devices the verify stage fans independent dispatches over
-    (round-robin). Multi-process runs use local devices only — every
-    process verifies the full pair list today, exactly as before.
-    GALAH_TPU_VERIFY_DEVICES caps the fan-out (1 restores the
+    (round-robin). Across processes the pair list is partitioned
+    separately (see bidirectional); this helper only governs the local
+    fan-out. GALAH_TPU_VERIFY_DEVICES caps it (1 restores the
     single-device behavior)."""
     import os
 
@@ -68,6 +68,18 @@ def verify_devices():
     if cap is not None:
         devs = devs[: max(1, int(cap))]
     return devs
+
+
+def _placed(device):
+    """Context manager placing array creation and jit execution on
+    `device` (no-op for None)."""
+    import contextlib
+
+    return (
+        jax.default_device(device)
+        if device is not None
+        else contextlib.nullcontext()
+    )
 
 
 def _ani_af_from_counts(m, M, popcount, bits, k, min_hashes, min_ident):
@@ -158,18 +170,25 @@ class FragmentAniEngine:
     def _verify_devices(self):
         return verify_devices()
 
+    def _lru_cap(self, per_device_cap: int) -> int:
+        """Cache entries are keyed by (genome, device), so the global
+        LRU bound scales with the fan-out width — the memory each cap
+        describes is per-device."""
+        return per_device_cap * max(1, len(verify_devices()))
+
     def _bitmap(self, key, sk: NativeSketch, device=None) -> Tuple[jax.Array, float]:
         key = (key, device.id if device is not None else -1)
         if key in self._bitmap_cache:
             self._bitmap_cache.move_to_end(key)
         else:
-            words = sk.member_bitmap_words()
+            # device_put(x, None) is uncommitted placement on the
+            # default device, same as jnp.asarray.
             self._bitmap_cache[key] = (
-                jax.device_put(words, device) if device is not None
-                else jnp.asarray(words),
+                jax.device_put(sk.member_bitmap_words(), device),
                 float(sk.member_popcount),
             )
-            while len(self._bitmap_cache) > self.cfg.max_cached_bitmaps:
+            cap = self._lru_cap(self.cfg.max_cached_bitmaps)
+            while len(self._bitmap_cache) > cap:
                 self._bitmap_cache.popitem(last=False)
         return self._bitmap_cache[key]
 
@@ -178,7 +197,8 @@ class FragmentAniEngine:
         if key in self._query_cache:
             self._query_cache.move_to_end(key)
         else:
-            while len(self._query_cache) >= self.cfg.max_cached_queries:
+            cap = self._lru_cap(self.cfg.max_cached_queries)
+            while len(self._query_cache) >= cap:
                 self._query_cache.popitem(last=False)
             n = len(sk.frag_buckets)
             f = sk.n_fragments
@@ -188,20 +208,12 @@ class FragmentAniEngine:
             buckets[:n] = sk.frag_buckets
             offsets = np.full(fpad + 1, n, dtype=np.int32)
             offsets[: f + 1] = sk.frag_offsets
-            if device is not None:
-                self._query_cache[key] = (
-                    jax.device_put(buckets, device),
-                    jax.device_put(offsets, device),
-                    jax.device_put(np.int32(n), device),
-                    fpad,
-                )
-            else:
-                self._query_cache[key] = (
-                    jnp.asarray(buckets),
-                    jnp.asarray(offsets),
-                    jnp.int32(n),
-                    fpad,
-                )
+            self._query_cache[key] = (
+                jax.device_put(buckets, device),
+                jax.device_put(offsets, device),
+                jax.device_put(np.int32(n), device),
+                fpad,
+            )
         return self._query_cache[key]
 
     def one_to_many_async(
@@ -228,13 +240,7 @@ class FragmentAniEngine:
         # long streams get fewer refs per dispatch.
         npad = int(buckets.shape[0])
         r_chunk = max(8, min(cfg.max_refs_per_dispatch, (64 << 20) // npad))
-        import contextlib
-
-        placed = (
-            jax.default_device(device)
-            if device is not None
-            else contextlib.nullcontext()
-        )
+        placed = _placed(device)
         out = []
         for lo in range(0, len(refs), r_chunk):
             chunk = refs[lo : lo + r_chunk]
@@ -345,11 +351,21 @@ class FragmentAniEngine:
         import os
 
         nproc = jax.process_count()
-        if (
-            nproc > 1
-            and len(pairs) > 0
-            and os.environ.get("GALAH_TPU_MP_VERIFY") != "0"
-        ):
+        if nproc > 1 and len(pairs) > 0:
+            from jax.experimental import multihost_utils
+
+            # Process 0's setting governs every process: a per-host env
+            # mismatch must not desynchronize the collective schedule
+            # (one process skipping the allgather = silent deadlock).
+            flag = np.array(
+                [os.environ.get("GALAH_TPU_MP_VERIFY") != "0"], np.bool_
+            )
+            partition = bool(
+                np.asarray(multihost_utils.broadcast_one_to_all(flag))[0]
+            )
+        else:
+            partition = False
+        if partition:
             from jax.experimental import multihost_utils
 
             pairs_list = list(pairs)

@@ -339,13 +339,9 @@ class PairTableVerifier:
             self._bitmap_fn(t, sketches_by_key[t], device) for t in tgt_order
         ]
         G = cfg.max_bitmaps
-        import contextlib
+        from galah_tpu.ops.fragment_ani import _placed
 
-        placed = (
-            jax.default_device(device)
-            if device is not None
-            else contextlib.nullcontext()
-        )
+        placed = _placed(device)
         with placed:
             bitmaps = jnp.zeros((G, W), dtype=jnp.uint32)
             bitmaps = bitmaps.at[: len(bms)].set(
