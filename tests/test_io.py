@@ -82,3 +82,20 @@ def test_decompressed_size_estimate(tmp_path):
     est_multi = decompressed_size_estimate(str(multi))
     assert est_multi >= 3 * multi.stat().st_size
     assert est_multi > len(tiny)  # not fooled by the last member's ISIZE
+
+
+def test_tool_docs_current():
+    """docs/tools/*.md are generated from the live argparse tree; this
+    guards against flag changes drifting from the published docs
+    (regenerate with `python docs/gen_tool_docs.py`)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "docs", "gen_tool_docs.py"),
+         "--check"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
