@@ -234,36 +234,67 @@ class NativeContext:
         if missing:
             logger.info("Sketching %d genomes ..", len(missing))
             with metrics.current().phase("sketch"):
-                if os.environ.get("GALAH_TPU_DEVICE_SKETCH") == "1":
-                    # Opt-in accelerator sketching (ops/device_sketch.py):
-                    # bit-identical to the host path; wins when the
-                    # device link is fast enough to beat host hashing.
-                    from galah_tpu.ops.device_sketch import (
-                        device_sketch_files,
-                    )
+                import jax
 
-                    for p, sk in zip(
-                        missing, device_sketch_files(missing, self.params)
-                    ):
-                        self._store.put(p, sk)
-                elif self.threads > 1 and len(missing) > 1:
-                    with ThreadPoolExecutor(max_workers=self.threads) as ex:
-                        for p, sk in zip(
-                            missing,
-                            ex.map(
-                                lambda p: sketch_file_native(p, self.params),
-                                missing,
-                            ),
-                        ):
-                            self._store.put(p, sk)
+                from galah_tpu.parallel.mp import governed_flag
+
+                nproc = jax.process_count()
+                if (
+                    nproc > 1
+                    and len(missing) > 1
+                    and governed_flag("GALAH_TPU_MP_SKETCH")
+                ):
+                    # Partition sketching across processes and exchange
+                    # the results: sketching is the O(n) phase and was
+                    # the only one every host repeated in full. Sketch
+                    # bytes are ~50x smaller than the FASTA they distill,
+                    # so shipping them over DCN beats re-reading and
+                    # re-hashing the sequence on every host.
+                    from galah_tpu.parallel.mp import exchange_sketches
+
+                    mine = missing[jax.process_index()::nproc]
+                    if mine:
+                        self._sketch_local(mine)
+                    logger.info(
+                        "Sketched %d/%d genomes locally; exchanging "
+                        "across %d processes",
+                        len(mine), len(missing), nproc,
+                    )
+                    exchange_sketches(
+                        missing, self._store.get, self._store.put
+                    )
                 else:
-                    for p in missing:
-                        self._store.put(p, sketch_file_native(p, self.params))
+                    self._sketch_local(missing)
             metrics.current().count("genomes_sketched", len(missing))
             logger.info("Finished sketching genomes")
         if self.low_memory:
             return _LazySketchList(self._store, list(paths))
         return [self._store.get(p) for p in paths]
+
+    def _sketch_local(self, missing: Sequence[str]) -> None:
+        if os.environ.get("GALAH_TPU_DEVICE_SKETCH") == "1":
+            # Opt-in accelerator sketching (ops/device_sketch.py):
+            # bit-identical to the host path; wins when the
+            # device link is fast enough to beat host hashing.
+            from galah_tpu.ops.device_sketch import device_sketch_files
+
+            for p, sk in zip(
+                missing, device_sketch_files(missing, self.params)
+            ):
+                self._store.put(p, sk)
+        elif self.threads > 1 and len(missing) > 1:
+            with ThreadPoolExecutor(max_workers=self.threads) as ex:
+                for p, sk in zip(
+                    missing,
+                    ex.map(
+                        lambda p: sketch_file_native(p, self.params),
+                        missing,
+                    ),
+                ):
+                    self._store.put(p, sk)
+        else:
+            for p in missing:
+                self._store.put(p, sketch_file_native(p, self.params))
 
     def sketch_contigs(self, paths: Sequence[str]) -> List[NativeSketch]:
         """One sketch per contig, across files, in file order (the unit

@@ -348,21 +348,11 @@ class FragmentAniEngine:
         guaranteed because the host-side clustering is deterministic
         and runs identically on every process. GALAH_TPU_MP_VERIFY=0
         restores redundant per-process computation."""
-        import os
-
         nproc = jax.process_count()
         if nproc > 1 and len(pairs) > 0:
-            from jax.experimental import multihost_utils
+            from galah_tpu.parallel.mp import governed_flag
 
-            # Process 0's setting governs every process: a per-host env
-            # mismatch must not desynchronize the collective schedule
-            # (one process skipping the allgather = silent deadlock).
-            flag = np.array(
-                [os.environ.get("GALAH_TPU_MP_VERIFY") != "0"], np.bool_
-            )
-            partition = bool(
-                np.asarray(multihost_utils.broadcast_one_to_all(flag))[0]
-            )
+            partition = governed_flag("GALAH_TPU_MP_VERIFY")
         else:
             partition = False
         if partition:

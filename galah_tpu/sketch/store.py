@@ -36,23 +36,32 @@ _PARAM_FIELDS = (
 )
 
 
-def save_sketch(sketch: NativeSketch, path: str) -> None:
+def dump_sketch(sketch: NativeSketch, fh, compress: bool = True) -> None:
+    """Serialize a sketch to an open binary file handle (or BytesIO).
+    compress=False skips the deflate pass — right for in-memory
+    transport (multi-process sketch exchange) where CPU beats bytes."""
     meta = {f: getattr(sketch.params, f) for f in _PARAM_FIELDS}
+    savez = _savez if compress else np.savez
+    savez(fh,
+          name=np.array(sketch.name),
+          total_len=np.int64(sketch.total_len),
+          prefilter_buckets=sketch.prefilter_buckets,
+          frag_buckets=sketch.frag_buckets,
+          frag_offsets=sketch.frag_offsets,
+          member_buckets=sketch.member_buckets,
+          params_json=np.array(json.dumps(meta)),
+          )
+
+
+def save_sketch(sketch: NativeSketch, path: str) -> None:
     # np.savez appends ".npz" to bare paths; write through a file handle
     # so the file lands exactly where the caller asked.
     with open(path, "wb") as fh:
-        _savez(fh,
-        name=np.array(sketch.name),
-        total_len=np.int64(sketch.total_len),
-        prefilter_buckets=sketch.prefilter_buckets,
-        frag_buckets=sketch.frag_buckets,
-        frag_offsets=sketch.frag_offsets,
-        member_buckets=sketch.member_buckets,
-        params_json=np.array(json.dumps(meta)),
-        )
+        dump_sketch(sketch, fh)
 
 
-def load_sketch(path: str) -> NativeSketch:
+def load_sketch(path) -> NativeSketch:
+    """Load a sketch from a path or an open binary file handle."""
     with np.load(path, allow_pickle=False) as z:
         params = NativeSketchParams(**json.loads(str(z["params_json"])))
         return NativeSketch(

@@ -20,6 +20,10 @@ jax.distributed.initialize(
     coordinator_address=f"localhost:{port}", num_processes=nprocs, process_id=pid
 )
 
+import logging  # noqa: E402
+
+logging.basicConfig(level=logging.INFO)
+
 from galah_tpu.api import ClusterParameters, cluster_genomes  # noqa: E402
 
 paths = sorted(glob.glob(os.path.join(corpus, "*.fna")))

@@ -93,3 +93,9 @@ def test_two_process_end_to_end_dereplication(tmp_path):
         assert p.returncode == 0, f"worker failed:\n{out}"
     for pid in range(2):
         assert any(f"MP_VERIFY_OK proc={pid}" in o for o in outs)
+    # Positive evidence the sketch partition actually engaged (each
+    # process sketched half and exchanged, rather than silently falling
+    # back to sketching everything).
+    assert any("exchanging across 2 processes" in o for o in outs), (
+        "multi-process sketch partition never ran"
+    )
