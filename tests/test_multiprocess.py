@@ -56,10 +56,9 @@ def test_four_process_sharded_screen():
     _run_workers(4)
 
 
-def test_two_process_end_to_end_dereplication(tmp_path):
-    """Full pipeline across 2 real JAX processes: sharded screen AND
-    the partitioned multi-process verify (each process evaluates half
-    the pair list, results allgathered); both processes must recover
+def _run_e2e(tmp_path, nprocs: int) -> None:
+    """Full pipeline across real JAX processes: partitioned sketching,
+    sharded screen, and partitioned verify; every process must recover
     the planted families exactly."""
     sys.path.insert(0, os.path.dirname(__file__))
     from galah_tpu.utils.synth import make_families
@@ -78,24 +77,33 @@ def test_two_process_end_to_end_dereplication(tmp_path):
     }
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(pid), "2", port, str(corpus)],
+            [sys.executable, worker, str(pid), str(nprocs), port, str(corpus)],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
             env=env,
         )
-        for pid in range(2)
+        for pid in range(nprocs)
     ]
     outs = []
     for p in procs:
         out, _ = p.communicate(timeout=300)
         outs.append(out)
         assert p.returncode == 0, f"worker failed:\n{out}"
-    for pid in range(2):
+    for pid in range(nprocs):
         assert any(f"MP_VERIFY_OK proc={pid}" in o for o in outs)
     # Positive evidence the sketch partition actually engaged (each
-    # process sketched half and exchanged, rather than silently falling
-    # back to sketching everything).
-    assert any("exchanging across 2 processes" in o for o in outs), (
-        "multi-process sketch partition never ran"
-    )
+    # process sketched a share and exchanged, rather than silently
+    # falling back to sketching everything).
+    assert any(
+        f"exchanging across {nprocs} processes" in o for o in outs
+    ), "multi-process sketch partition never ran"
+
+
+def test_two_process_end_to_end_dereplication(tmp_path):
+    _run_e2e(tmp_path, 2)
+
+
+def test_four_process_end_to_end_dereplication(tmp_path):
+    """The >=4-host north-star shape with the full pipeline."""
+    _run_e2e(tmp_path, 4)
