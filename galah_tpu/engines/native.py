@@ -125,8 +125,6 @@ class NativeContext:
         low_memory: bool = False,
         params: Optional[NativeSketchParams] = None,
         max_genome_length: Optional[int] = None,
-        min_screen_af: Optional[float] = None,
-        screen_ani_pct: Optional[float] = None,
     ) -> None:
         if params is not None:
             self.params = params
@@ -143,8 +141,9 @@ class NativeContext:
             )
             if max_genome_length:
                 self.params = _shrink_bits(self.params, max_genome_length)
-        if min_screen_af is not None:
-            self._widen_for_low_af(min_screen_af, screen_ani_pct)
+        # Set once the first sketch exists: bitmap widths are frozen
+        # from then on (_widen_for_low_af refuses to change them).
+        self._sketched_any = False
         self.threads = max(1, threads)
         self.low_memory = low_memory
         if low_memory:
@@ -207,6 +206,12 @@ class NativeContext:
             )
         bits = 1 << _math.ceil(_math.log2(need))
         if bits > self.params.prefilter_bits:
+            if self._sketched_any:
+                raise RuntimeError(
+                    "internal: prefilter bitmap widening requested after "
+                    "sketches were already computed at the old width — "
+                    "construct the NativePreclusterer before any sketching"
+                )
             logger.info(
                 "Widening prefilter bitmap to %d bits for "
                 "--min-aligned-fraction %.3g",
@@ -225,6 +230,7 @@ class NativeContext:
     def sketch(self, path: str) -> NativeSketch:
         sk = self._store.get(path)
         if sk is None:
+            self._sketched_any = True
             sk = sketch_file_native(path, self.params)
             self._store.put(path, sk)
         return sk
@@ -233,6 +239,8 @@ class NativeContext:
         missing = [p for p in dict.fromkeys(paths) if p not in self._store]
         if missing:
             logger.info("Sketching %d genomes ..", len(missing))
+            self._sketched_any = True
+            sketched_here = len(missing)
             with metrics.current().phase("sketch"):
                 import jax
 
@@ -253,6 +261,7 @@ class NativeContext:
                     from galah_tpu.parallel.mp import exchange_sketches
 
                     mine = missing[jax.process_index()::nproc]
+                    sketched_here = len(mine)
                     if mine:
                         self._sketch_local(mine)
                     logger.info(
@@ -261,11 +270,14 @@ class NativeContext:
                         len(mine), len(missing), nproc,
                     )
                     exchange_sketches(
-                        missing, self._store.get, self._store.put
+                        missing, self._store.get, self._store.put,
+                        expect_params=self.params,
                     )
                 else:
                     self._sketch_local(missing)
-            metrics.current().count("genomes_sketched", len(missing))
+            # Per-host truth: with the MP partition each host only
+            # sketched its share (throughput math stays honest).
+            metrics.current().count("genomes_sketched", sketched_here)
             logger.info("Finished sketching genomes")
         if self.low_memory:
             return _LazySketchList(self._store, list(paths))
@@ -305,6 +317,7 @@ class NativeContext:
         out: List[NativeSketch] = []
         missing = [p for p in paths if p not in self._contig_store]
         if missing:
+            self._sketched_any = True
             with metrics.current().phase("sketch"):
                 for path in missing:
                     self._contig_store[path] = sketch_contigs_native(

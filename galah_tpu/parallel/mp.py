@@ -18,6 +18,9 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+_governed_cache: Dict[str, bool] = {}
+
+
 def governed_flag(env_name: str) -> bool:
     """True unless process 0 set `env_name=0`.
 
@@ -25,16 +28,23 @@ def governed_flag(env_name: str) -> bool:
     mismatch must not desynchronize the collective schedule (one
     process skipping an allgather = silent deadlock). Call this from
     EVERY process (it is itself a collective when process_count > 1).
+    The broadcast result is memoized per env name — env cannot change
+    mid-run, and hot paths (one bidirectional() per verify flush) must
+    not pay a DCN round trip just to re-read a flag.
     """
     import jax
 
     local = os.environ.get(env_name) != "0"
     if jax.process_count() <= 1:
         return local
-    from jax.experimental import multihost_utils
+    if env_name not in _governed_cache:
+        from jax.experimental import multihost_utils
 
-    flag = np.array([local], np.bool_)
-    return bool(np.asarray(multihost_utils.broadcast_one_to_all(flag))[0])
+        flag = np.array([local], np.bool_)
+        _governed_cache[env_name] = bool(
+            np.asarray(multihost_utils.broadcast_one_to_all(flag))[0]
+        )
+    return _governed_cache[env_name]
 
 
 def exchange_blobs(
@@ -90,11 +100,16 @@ def exchange_sketches(
     paths: Sequence[str],
     get_local,
     put,
+    expect_params=None,
 ) -> None:
     """Share round-robin-partitioned sketches across all processes.
 
     `get_local(path)` returns the locally computed NativeSketch for
     owned paths; `put(path, sketch)` stores a received one.
+    `expect_params` (the local context's NativeSketchParams) rejects
+    peers that sketched at different bitmap widths — mixed widths in
+    one batch crash far away from the cause (screen stacking,
+    pair-table fixed shapes), so fail fast with the culprit named.
     """
     import io
 
@@ -106,6 +121,15 @@ def exchange_sketches(
         return fh.getvalue()
 
     def on_blob(i: int, blob: bytes) -> None:
-        put(paths[i], load_sketch(io.BytesIO(blob)))
+        sk = load_sketch(io.BytesIO(blob))
+        if expect_params is not None and sk.params != expect_params:
+            raise RuntimeError(
+                f"sketch for {paths[i]} arrived from a peer with "
+                f"different sketch parameters ({sk.params} != "
+                f"{expect_params}); hosts must resolve identical "
+                "bitmap widths (check per-host filesystem visibility "
+                "of the genome files)"
+            )
+        put(paths[i], sk)
 
     exchange_blobs(len(paths), my_blob, on_blob)

@@ -66,9 +66,9 @@ def test_low_af_widens_prefilter_and_keeps_pair(tmp_path):
     write_fasta(p1, a, "a")
     write_fasta(p2, b, "b")
 
-    ctx = NativeContext(threads=2, min_screen_af=0.02, screen_ani_pct=95.0)
-    assert ctx.params.prefilter_bits > defaults.NATIVE_PREFILTER_BITS
+    ctx = NativeContext(threads=2)
     pre = NativePreclusterer(threshold=95.0, min_aligned_threshold=0.02, ctx=ctx)
+    assert ctx.params.prefilter_bits > defaults.NATIVE_PREFILTER_BITS
     cache = pre.distances([p1, p2])
     got = cache.get((0, 1))
     assert got is not None, "low-AF pair was screened out"
@@ -78,15 +78,23 @@ def test_low_af_widens_prefilter_and_keeps_pair(tmp_path):
 def test_low_af_above_floor_unchanged():
     from galah_tpu import defaults
 
-    ctx = NativeContext(threads=1, min_screen_af=0.15, screen_ani_pct=95.0)
+    from galah_tpu.engines.native import NativePreclusterer
+
+    ctx = NativeContext(threads=1)
+    NativePreclusterer(threshold=95.0, min_aligned_threshold=0.15, ctx=ctx)
     assert ctx.params.prefilter_bits == defaults.NATIVE_PREFILTER_BITS
 
 
 def test_impossibly_low_af_refused():
     import pytest
 
+    from galah_tpu.engines.native import NativePreclusterer
+
     with pytest.raises(ValueError, match="min-aligned-fraction"):
-        NativeContext(threads=1, min_screen_af=0.0005, screen_ani_pct=85.0)
+        NativePreclusterer(
+            threshold=85.0, min_aligned_threshold=0.0005,
+            ctx=NativeContext(threads=1),
+        )
 
 
 def test_zero_af_disables_screen_pruning():
@@ -102,7 +110,10 @@ def test_four_sigma_invariant_at_low_precluster_ani():
     widen it (regression for the old early-return at the 5% floor)."""
     from galah_tpu.engines.native import _screen_min_containment
 
-    ctx = NativeContext(threads=1, min_screen_af=0.05, screen_ani_pct=85.0)
+    from galah_tpu.engines.native import NativePreclusterer
+
+    ctx = NativeContext(threads=1)
+    NativePreclusterer(threshold=85.0, min_aligned_threshold=0.05, ctx=ctx)
     cutoff = _screen_min_containment(85.0, 0.05, ctx.params.k)
     sigma = 1.0 / ctx.params.prefilter_bits ** 0.5
     assert cutoff >= 4.0 * sigma, (cutoff, sigma, ctx.params.prefilter_bits)
@@ -131,3 +142,19 @@ def test_zero_cutoff_screen_emits_strict_upper_triangle():
     ):
         got = sorted(map(tuple, res.pairs.tolist()))
         assert got == want
+
+
+def test_widen_after_sketch_refused(tmp_path):
+    """Bitmap widths are frozen once any sketch exists: widening later
+    would screen old-width sketches with a new-width cutoff and
+    silently drop pairs, so it must be an internal error instead."""
+    import pytest
+
+    from galah_tpu.engines.native import NativePreclusterer
+
+    p = tmp_path / "g.fna"
+    p.write_text(">g\n" + "ACGT" * 2000 + "\n")
+    ctx = NativeContext(threads=1)
+    ctx.sketch(str(p))
+    with pytest.raises(RuntimeError, match="widening"):
+        NativePreclusterer(threshold=85.0, min_aligned_threshold=0.05, ctx=ctx)
