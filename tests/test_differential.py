@@ -63,3 +63,38 @@ def test_all_strategies_agree(tmp_path, monkeypatch, seed):
         finally:
             for var in env:
                 monkeypatch.delenv(var, raising=False)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("GALAH_TPU_SCALE_TESTS"),
+    reason="set GALAH_TPU_SCALE_TESTS=1 (runs several 512-genome sweeps)",
+)
+def test_screen_strategies_agree_at_scale(tmp_path, monkeypatch):
+    """Same invariant at a size where the sharded sweep spans many
+    tiles and the row-sharded sweep runs multiple stages — the regime
+    where partition/offset bugs live (the round-2 zero-slot clobber was
+    only visible here)."""
+    paths, family_ids = make_families(
+        str(tmp_path), n_families=128, members_per_family=4,
+        genome_length=20_000, within_ani=0.96, seed=2,
+    )
+    want = sorted(
+        sorted(i for i, f in enumerate(family_ids) if f == fam)
+        for fam in range(128)
+    )
+    for var in ("GALAH_TPU_SCREEN", "GALAH_TPU_ROWSHARD"):
+        monkeypatch.delenv(var, raising=False)
+    assert _clusters(paths) == want
+    for name, env in [
+        ("rowsharded", {"GALAH_TPU_ROWSHARD": "1"}),
+        ("packed-1dev", {"GALAH_TPU_SCREEN": "packed"}),
+        ("indicator", {"GALAH_TPU_SCREEN": "indicator"}),
+        ("popcount", {"GALAH_TPU_SCREEN": "popcount"}),
+    ]:
+        for var, val in env.items():
+            monkeypatch.setenv(var, val)
+        try:
+            assert _clusters(paths) == want, f"strategy {name} diverged"
+        finally:
+            for var in env:
+                monkeypatch.delenv(var, raising=False)
