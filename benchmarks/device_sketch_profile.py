@@ -213,6 +213,80 @@ def cumsum_fast_one(x):
     return _fast_cumsum(x)[-1]
 
 
+# ---- candidate-optimization stages (GALAH_PROFILE_ALT=1) ----
+
+KEY_PAD = jnp.uint32(0xFFFFFFFF)
+
+
+def sort_dedup_1key_one(cfrag, cbucket):
+    """Same dedup via a single combined uint32 key: frag*member_bits +
+    bucket (fits exactly when MAX_FRAGS*MEMBER_BITS <= 2^32)."""
+    real = cfrag < BIG
+    key = jnp.where(
+        real,
+        (cfrag.astype(jnp.uint32) << _u32(MEMBER_BITS.bit_length() - 1))
+        | cbucket.astype(jnp.uint32),
+        KEY_PAD,
+    )
+    skey = jax.lax.sort(key)
+    prev = jnp.concatenate([jnp.array([KEY_PAD], jnp.uint32), skey[:-1]])
+    is_real = skey != KEY_PAD
+    first = is_real & (skey != prev)
+    out_pos = jnp.cumsum(first.astype(jnp.int32)) - 1
+    sbucket = (skey & _u32(MEMBER_BITS - 1)).astype(jnp.int32)
+    sfrag = (skey >> _u32(MEMBER_BITS.bit_length() - 1)).astype(jnp.int32)
+    flat = jnp.zeros(SEL, dtype=jnp.int32)
+    flat = flat.at[jnp.where(first, out_pos, SEL)].set(sbucket, mode="drop")
+    counts = jnp.zeros(MAX_FRAGS, dtype=jnp.int32)
+    counts = counts.at[jnp.where(first, sfrag, MAX_FRAGS)].add(
+        1, mode="drop"
+    )
+    return jnp.sum(flat, dtype=jnp.int32) + jnp.sum(counts, dtype=jnp.int32)
+
+
+def fused_sort_n_one(fsel, frag, mbucket):
+    """Skip scatter-compaction: sort the combined key over all N
+    positions directly (padding sorts last), then dedup + compact via
+    the same first-of-run scatters."""
+    stream_sel = fsel & (frag >= 0)
+    key = jnp.where(
+        stream_sel,
+        (frag.astype(jnp.uint32) << _u32(MEMBER_BITS.bit_length() - 1))
+        | mbucket.astype(jnp.uint32),
+        KEY_PAD,
+    )
+    skey = jax.lax.sort(key)
+    prev = jnp.concatenate([jnp.array([KEY_PAD], jnp.uint32), skey[:-1]])
+    is_real = skey != KEY_PAD
+    first = is_real & (skey != prev)
+    out_pos = jnp.cumsum(first.astype(jnp.int32)) - 1
+    sbucket = (skey & _u32(MEMBER_BITS - 1)).astype(jnp.int32)
+    sfrag = (skey >> _u32(MEMBER_BITS.bit_length() - 1)).astype(jnp.int32)
+    flat = jnp.zeros(SEL, dtype=jnp.int32)
+    flat = flat.at[jnp.where(first, out_pos, SEL)].set(sbucket, mode="drop")
+    counts = jnp.zeros(MAX_FRAGS, dtype=jnp.int32)
+    counts = counts.at[
+        jnp.where(first, jnp.minimum(sfrag, MAX_FRAGS), MAX_FRAGS)
+    ].add(1, mode="drop")
+    return jnp.sum(flat, dtype=jnp.int32) + jnp.sum(counts, dtype=jnp.int32)
+
+
+def bitmaps_small_one(cbucket):
+    """Member-bitmap scatter fed from the SEL-compacted stream instead
+    of all N positions (4x fewer updates at these shapes; the prefilter
+    bitmap's gsel stream is ~25x smaller again)."""
+    sel = cbucket < BIG
+    mem_ind = jnp.zeros(MEMBER_BITS, dtype=jnp.uint32)
+    mem_ind = mem_ind.at[jnp.where(sel, cbucket, MEMBER_BITS)].max(
+        jnp.uint32(1), mode="drop"
+    )
+    mw = _pack_indicator_words(mem_ind)
+    return (
+        jnp.sum(mem_ind, dtype=jnp.int32)
+        + jnp.sum(mw, dtype=jnp.uint32).astype(jnp.int32)
+    )
+
+
 def main():
     codes, fsel, gsel, mbucket, frag = make_inputs(jax.random.PRNGKey(0))
     codes.block_until_ready()
@@ -279,6 +353,31 @@ def main():
         lambda v, a: v.at[0, 0].set(a % 2),
     )
     timeit("cumsum_fast (G,N)", fn, x, bases)
+
+    if os.environ.get("GALAH_PROFILE_ALT"):
+        fn = repeat_in_jit(
+            lambda cb: jnp.sum(
+                jax.vmap(sort_dedup_1key_one)(cfrag, cb), dtype=jnp.int32
+            ),
+            lambda cb, a: cb.at[0, 0].set(a % MEMBER_BITS),
+        )
+        timeit("sort_dedup_1key(SEL)", fn, cbucket, G * SEL)
+
+        fn = repeat_in_jit(
+            lambda mb: jnp.sum(
+                jax.vmap(fused_sort_n_one)(fsel, frag, mb), dtype=jnp.int32
+            ),
+            lambda mb, a: mb.at[0, 0].set(a % MEMBER_BITS),
+        )
+        timeit("fused_sort_n(no compaction)", fn, mbucket, bases)
+
+        fn = repeat_in_jit(
+            lambda cb: jnp.sum(
+                jax.vmap(bitmaps_small_one)(cb), dtype=jnp.int32
+            ),
+            lambda cb, a: cb.at[0, 0].set(a % MEMBER_BITS),
+        )
+        timeit("bitmaps_small(scatter SEL->bits)", fn, cbucket, G * SEL)
 
     log("done")
 
