@@ -36,6 +36,20 @@ Layout notes:
 - Per-fragment dedup = lexicographic sort by (fragment, bucket) +
   adjacent-difference compaction, exactly np.unique on
   frag * member_bits + bucket without ever forming the 64-bit key.
+
+Performance shape (why the stages look the way they do): everything
+that is not elementwise — scatters, prefix sums, the sort — dominates
+on TPU, so the kernel pays full-sequence-length (n) cost exactly three
+times (the two compaction scatters and the fragment-bin prefix sum;
+the k-mer/hash math fuses into the same passes). Both genome-level
+bitmaps are built from the SEL-compacted stream (~fragment_scale x
+shorter than n) rather than scattering all n positions, prefix sums
+use the hierarchical 2D scan (XLA's long-axis cumsum is ~30x slower on
+TPU, see ops/pair_table.py::_fast_cumsum), and the dedup sort runs on
+a single combined uint32 key (frag << bucket_bits | bucket) whenever
+max_frags * member_bits fits in 31 bits — always true for contig /
+small-genome sketches — falling back to the two-key sort for large
+multi-Mb genomes.
 """
 
 from __future__ import annotations
@@ -50,6 +64,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from galah_tpu.ops.pair_table import _fast_cumsum
 from galah_tpu.sketch.fracminhash import (
     NativeSketch,
     NativeSketchParams,
@@ -120,10 +135,12 @@ def _lt64(hi, lo, t: int):
 
 
 def _pack_indicator_words(ind):
-    """(bits,) 0/1 uint32 indicator -> (bits//32,) uint32 words, bit
-    (bucket & 31) of word (bucket >> 5) — host pack_indicator layout."""
+    """(bits,) 0/1 uint8 indicator -> (bits//32,) uint32 words, bit
+    (bucket & 31) of word (bucket >> 5) — host pack_indicator layout.
+    The indicator stays uint8 in HBM (4x less traffic than uint32 for
+    the multi-MB member bitmaps); widening happens in-register here."""
     bits = ind.shape[0]
-    w = ind.reshape(bits // 32, 32)
+    w = ind.reshape(bits // 32, 32).astype(jnp.uint32)
     return jnp.sum(w << jnp.arange(32, dtype=jnp.uint32)[None, :],
                    axis=1, dtype=jnp.uint32)
 
@@ -162,54 +179,87 @@ def _sketch_one(
     fsel = kvalid & _lt64(hi, lo, fthresh)
     gsel = kvalid & _lt64(hi, lo, gthresh)
     mbucket = (lo & _u32(member_bits - 1)).astype(jnp.int32)
-    pbucket = (lo & _u32(prefilter_bits - 1)).astype(jnp.int32)
-
-    # Genome-level sets as bitmaps (scatter-max of ones, dedup free).
-    mem_ind = jnp.zeros(member_bits, dtype=jnp.uint32)
-    mem_ind = mem_ind.at[jnp.where(fsel, mbucket, member_bits)].max(
-        jnp.uint32(1), mode="drop"
-    )
-    pref_ind = jnp.zeros(prefilter_bits, dtype=jnp.uint32)
-    pref_ind = pref_ind.at[jnp.where(gsel, pbucket, prefilter_bits)].max(
-        jnp.uint32(1), mode="drop"
-    )
-    member_words = _pack_indicator_words(mem_ind)
-    pref_words = _pack_indicator_words(pref_ind)
-    member_pop = jnp.sum(mem_ind, dtype=jnp.int32)
-    n_pref = jnp.sum(pref_ind, dtype=jnp.int32)
 
     # Fragment of each position: count of boundaries <= pos, minus 1,
     # mapped through bin2frag. Scatter + prefix sum instead of
     # searchsorted (which lowers to serial gather passes on TPU).
     marks = jnp.zeros(n, dtype=jnp.int32)
     marks = marks.at[bounds].add(1, mode="drop")
-    pos_bin = jnp.cumsum(marks) - 1
+    pos_bin = _fast_cumsum(marks) - 1
     # Boundaries at positions >= n (possible when the last fragment end
     # lands inside the final k-1 bases) were dropped by the scatter;
     # they only delimit regions with no valid k-mer start anyway.
     frag = bin2frag[jnp.clip(pos_bin, 0, bin2frag.shape[0] - 1)]
-    stream_sel = fsel & (frag >= 0)
 
-    # Compact (frag, bucket) pairs of selected in-fragment positions.
-    sel_pos = jnp.cumsum(stream_sel.astype(jnp.int32)) - 1
+    # Compact ALL selected hashes once (fsel ⊇ gsel since
+    # genome_scale >= fragment_scale — asserted by the batch entry);
+    # every later stage runs over SEL slots instead of n positions.
+    # The payload carries the member bucket plus a gsel flag one bit
+    # above it; out-of-fragment positions get frag=BIG so they feed the
+    # genome-level bitmaps but never the per-fragment stream.
+    BIG = jnp.int32(2**30)
+    sel_pos = _fast_cumsum(fsel.astype(jnp.int32)) - 1
     n_sel = sel_pos[-1] + 1
     overflow = n_sel > max_sel
-    scatter_to = jnp.where(stream_sel, sel_pos, max_sel)
-    BIG = jnp.int32(2**30)
+    scatter_to = jnp.where(fsel, sel_pos, max_sel)
     cfrag = jnp.full(max_sel, BIG, dtype=jnp.int32)
-    cfrag = cfrag.at[scatter_to].set(frag, mode="drop")
-    cbucket = jnp.full(max_sel, BIG, dtype=jnp.int32)
-    cbucket = cbucket.at[scatter_to].set(mbucket, mode="drop")
+    cfrag = cfrag.at[scatter_to].set(
+        jnp.where(frag >= 0, frag, BIG), mode="drop"
+    )
+    pay = mbucket | jnp.where(gsel, jnp.int32(member_bits), 0)
+    cpay = jnp.full(max_sel, BIG, dtype=jnp.int32)
+    cpay = cpay.at[scatter_to].set(pay, mode="drop")
 
-    # Sort lexicographically by (frag, bucket); padding sorts last.
-    sfrag, sbucket = jax.lax.sort((cfrag, cbucket), num_keys=2)
+    # Genome-level sets as bitmaps (scatter-max of ones, dedup free),
+    # fed from the compacted stream: ~fragment_scale x fewer updates
+    # than scattering all n positions.
+    real = cpay < BIG
+    cbucket = jnp.where(real, cpay & jnp.int32(member_bits - 1), BIG)
+    mem_ind = jnp.zeros(member_bits, dtype=jnp.uint8)
+    mem_ind = mem_ind.at[jnp.where(real, cbucket, member_bits)].max(
+        jnp.uint8(1), mode="drop"
+    )
+    gflag = real & ((cpay & jnp.int32(member_bits)) != 0)
+    pref_ind = jnp.zeros(prefilter_bits, dtype=jnp.uint8)
+    pref_ind = pref_ind.at[
+        jnp.where(gflag, cpay & jnp.int32(prefilter_bits - 1),
+                  prefilter_bits)
+    ].max(jnp.uint8(1), mode="drop")
+    member_words = _pack_indicator_words(mem_ind)
+    pref_words = _pack_indicator_words(pref_ind)
+    member_pop = jnp.sum(mem_ind, dtype=jnp.int32)
+    n_pref = jnp.sum(pref_ind, dtype=jnp.int32)
 
-    # Unique within fragment: keep first of each (frag, bucket) run.
-    prev_f = jnp.concatenate([jnp.array([-1], jnp.int32), sfrag[:-1]])
-    prev_b = jnp.concatenate([jnp.array([-1], jnp.int32), sbucket[:-1]])
-    is_real = sfrag < BIG
-    first = is_real & ((sfrag != prev_f) | (sbucket != prev_b))
-    out_pos = jnp.cumsum(first.astype(jnp.int32)) - 1
+    # Sort by (frag, bucket) with padding last, then keep the first of
+    # each run — np.unique on frag * member_bits + bucket. One combined
+    # uint32 key when it fits in 31 bits (the padding key 0xFFFFFFFF
+    # stays distinct); two-key sort otherwise (multi-Mb genomes).
+    bucket_bits = member_bits.bit_length() - 1
+    if max_frags * member_bits <= 2**31:
+        KEY_PAD = jnp.uint32(0xFFFFFFFF)
+        key = jnp.where(
+            cfrag < BIG,
+            (cfrag.astype(jnp.uint32) << _u32(bucket_bits))
+            | cbucket.astype(jnp.uint32),
+            KEY_PAD,
+        )
+        skey = jax.lax.sort(key)
+        prev = jnp.concatenate(
+            [jnp.array([KEY_PAD], jnp.uint32), skey[:-1]]
+        )
+        first = (skey != KEY_PAD) & (skey != prev)
+        sfrag = (skey >> _u32(bucket_bits)).astype(jnp.int32)
+        sbucket = (skey & _u32(member_bits - 1)).astype(jnp.int32)
+    else:
+        sort_frag = jnp.where(cfrag < BIG, cfrag, BIG)
+        sort_bucket = jnp.where(cfrag < BIG, cbucket, BIG)
+        sfrag, sbucket = jax.lax.sort(
+            (sort_frag, sort_bucket), num_keys=2
+        )
+        prev_f = jnp.concatenate([jnp.array([-1], jnp.int32), sfrag[:-1]])
+        prev_b = jnp.concatenate([jnp.array([-1], jnp.int32), sbucket[:-1]])
+        first = (sfrag < BIG) & ((sfrag != prev_f) | (sbucket != prev_b))
+    out_pos = _fast_cumsum(first.astype(jnp.int32)) - 1
     n_unique = out_pos[-1] + 1
     flat = jnp.zeros(max_sel, dtype=jnp.int32)
     flat = flat.at[jnp.where(first, out_pos, max_sel)].set(
@@ -340,6 +390,16 @@ def device_sketch_batch(
     the host path for that batch.
     """
     assert params.k <= 15, "device sketch packs k-mers in 30 bits"
+    assert params.member_bits <= 1 << 28, (
+        "device sketch packs bucket + gsel flag below the int32 pad"
+    )
+    assert params.prefilter_bits <= params.member_bits, (
+        "device sketch derives prefilter buckets by masking member buckets"
+    )
+    assert params.genome_threshold <= params.fragment_threshold, (
+        "device sketch compacts gsel as a subset of fsel "
+        "(genome_scale must be >= fragment_scale)"
+    )
     plans = [_plan_genome(s, params) for s in seq_lists]
     G = len(plans)
     max_len = max((p.codes.shape[0] for p in plans), default=1)

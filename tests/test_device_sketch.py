@@ -136,6 +136,27 @@ def test_small_genome_params_parity():
         _assert_sketch_equal(d, h)
 
 
+def test_two_key_sort_path_parity():
+    """Genomes with enough fragments that max_frags * member_bits
+    overflows the combined 31-bit dedup sort key must take the two-key
+    lax.sort fallback and still match the host sketcher exactly."""
+    rng = np.random.default_rng(61)
+    params = NativeSketchParams(
+        genome_scale=50,
+        fragment_scale=4,
+        fragment_length=700,
+        prefilter_bits=1 << 12,
+        member_bits=1 << 22,
+        min_fragment_hashes=4,
+        min_fragment_length=100,
+    )
+    seqs = [_random_seq(rng, 450_000, n_prob=0.001)]
+    host = sketch_sequences_native("g", seqs, params)
+    assert host.n_fragments > 512  # 1024 * 2^22 > 2^31: two-key path
+    (dev,) = device_sketch_batch(["g"], [seqs], params)
+    _assert_sketch_equal(dev, host)
+
+
 def test_batch_mixed_lengths_parity():
     rng = np.random.default_rng(5)
     params = _params_medium()
