@@ -308,16 +308,21 @@ def bench_device_sketch(jax, jnp):
 
     @jax.jit
     def make_codes(key):
-        return jax.random.randint(key, (G, P), 0, 4, dtype=jnp.uint8)
+        # 2-bit packed bases (4/byte), the kernel's wire format.
+        return jax.random.randint(
+            key, (G, P // 4), 0, 256, dtype=jnp.int32
+        ).astype(jnp.uint8)
 
     codes = make_codes(jax.random.PRNGKey(3))
     codes.block_until_ready()
     bounds = jnp.asarray(bounds_np)
     bin2frag = jnp.asarray(bin2frag_np)
+    inv_idx = jnp.full((G, 1), P, jnp.int32)
+    lengths = jnp.full((G,), P, jnp.int32)
 
     def body(c):
         out = _sketch_batch_kernel(
-            c, bounds, bin2frag,
+            c, inv_idx, lengths, bounds, bin2frag,
             k=params.k, member_bits=params.member_bits,
             prefilter_bits=params.prefilter_bits,
             gthresh=int(params.genome_threshold),

@@ -146,7 +146,11 @@ def _pack_indicator_words(ind):
 
 
 def _sketch_one(
-    codes,        # (P,) uint8; 0..3 bases, >=4 invalid/separator/padding
+    packed,       # (P//4,) uint8; 4 x 2-bit base codes per byte,
+                  #  little-endian within the byte (pos 4i+j at bits 2j)
+    inv_idx,      # (NI,) int32 positions of non-ACGT bases/separators
+                  #  within [0, length); padding = P (dropped)
+    length,       # () int32 live length; positions >= length are invalid
     bounds,       # (NB,) int32 sorted fragment-bin boundaries (global
                   #  concatenated coordinates); padding = P (out of range)
     bin2frag,     # (NB,) int32 fragment id per bin, -1 = not a fragment
@@ -159,10 +163,17 @@ def _sketch_one(
     max_frags: int,
     max_sel: int,
 ):
-    P = codes.shape[0]
+    P = packed.shape[0] * 4
     n = P - k + 1
-    c32 = (codes & jnp.uint8(3)).astype(jnp.uint32)
-    invalid = codes >= jnp.uint8(4)
+    # Unpack 2-bit codes (the host uploads 0.25 bytes/base + a sparse
+    # invalid list instead of 1 byte/base).
+    c32 = jnp.stack(
+        [(packed >> jnp.uint8(2 * j)) & jnp.uint8(3) for j in range(4)],
+        axis=1,
+    ).reshape(P).astype(jnp.uint32)
+    invalid = jnp.zeros(P, dtype=bool)
+    invalid = invalid.at[inv_idx].set(True, mode="drop")
+    invalid = invalid | (jnp.arange(P, dtype=jnp.int32) >= length)
 
     fwd = jnp.zeros(n, dtype=jnp.uint32)
     rev = jnp.zeros(n, dtype=jnp.uint32)
@@ -286,17 +297,17 @@ def _sketch_one(
     ),
 )
 def _sketch_batch_kernel(
-    codes, bounds, bin2frag, *,
+    packed, inv_idx, lengths, bounds, bin2frag, *,
     k, member_bits, prefilter_bits, gthresh, fthresh, max_frags, max_sel,
 ):
     return jax.vmap(
-        lambda c, b, m: _sketch_one(
-            c, b, m,
+        lambda c, iv, ln, b, m: _sketch_one(
+            c, iv, ln, b, m,
             k=k, member_bits=member_bits, prefilter_bits=prefilter_bits,
             gthresh=gthresh, fthresh=fthresh,
             max_frags=max_frags, max_sel=max_sel,
         )
-    )(codes, bounds, bin2frag)
+    )(packed, inv_idx, lengths, bounds, bin2frag)
 
 
 def _next_pow2(x: int) -> int:
@@ -403,7 +414,7 @@ def device_sketch_batch(
     plans = [_plan_genome(s, params) for s in seq_lists]
     G = len(plans)
     max_len = max((p.codes.shape[0] for p in plans), default=1)
-    P = _next_pow2(max(max_len, params.k))
+    P = _next_pow2(max(max_len, params.k, 4))
     NB = _next_pow2(max(max(p.bounds.shape[0] for p in plans), 2))
     F = _next_pow2(max(max(p.n_frags for p in plans), 1))
     SEL = _sel_capacity(P - params.k + 1, params)
@@ -411,13 +422,33 @@ def device_sketch_batch(
     codes = np.full((G, P), 255, dtype=np.uint8)
     bounds = np.full((G, NB), P, dtype=np.int32)
     bin2frag = np.full((G, NB), -1, dtype=np.int32)
+    lengths = np.zeros(G, dtype=np.int32)
+    inv_lists: List[np.ndarray] = []
     for i, p in enumerate(plans):
-        codes[i, : p.codes.shape[0]] = p.codes
+        L = p.codes.shape[0]
+        codes[i, :L] = p.codes
         bounds[i, : p.bounds.shape[0]] = p.bounds
         bin2frag[i, : p.bin2frag.shape[0]] = p.bin2frag
+        lengths[i] = L
+        inv_lists.append(np.nonzero(p.codes >= 4)[0].astype(np.int32))
+
+    # 2-bit pack: 0.25 bytes/base over the wire; non-ACGT positions go
+    # as a sparse index list (padding tail is masked by `lengths`).
+    c2 = np.where(codes < 4, codes, 0).astype(np.uint8)
+    packed = (
+        c2[:, 0::4]
+        | (c2[:, 1::4] << 2)
+        | (c2[:, 2::4] << 4)
+        | (c2[:, 3::4] << 6)
+    )
+    NI = _next_pow2(max(max(v.shape[0] for v in inv_lists), 1))
+    inv_idx = np.full((G, NI), P, dtype=np.int32)
+    for i, v in enumerate(inv_lists):
+        inv_idx[i, : v.shape[0]] = v
 
     out = _sketch_batch_kernel(
-        jnp.asarray(codes), jnp.asarray(bounds), jnp.asarray(bin2frag),
+        jnp.asarray(packed), jnp.asarray(inv_idx), jnp.asarray(lengths),
+        jnp.asarray(bounds), jnp.asarray(bin2frag),
         k=params.k,
         member_bits=params.member_bits,
         prefilter_bits=params.prefilter_bits,
