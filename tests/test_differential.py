@@ -36,6 +36,7 @@ CONFIGS = [
                      "GALAH_TPU_VERIFY_DEVICES": "1"}, {}),
     ("low-memory", {}, {"low_memory": True}),
     ("finch-precluster", {}, {"precluster_method": "finch"}),
+    ("device-sketch", {"GALAH_TPU_DEVICE_SKETCH": "1"}, {}),
 ]
 
 
@@ -49,7 +50,8 @@ def test_all_strategies_agree(tmp_path, monkeypatch, seed):
         sorted(i for i, f in enumerate(family_ids) if f == fam)
         for fam in range(4)
     )
-    for var in ("GALAH_TPU_SCREEN", "GALAH_TPU_VERIFY", "GALAH_TPU_ROWSHARD"):
+    for var in ("GALAH_TPU_SCREEN", "GALAH_TPU_VERIFY",
+                "GALAH_TPU_ROWSHARD", "GALAH_TPU_DEVICE_SKETCH"):
         monkeypatch.delenv(var, raising=False)
     # The default path (8-device sharded tile sweep under the virtual
     # mesh) must recover the planted families exactly...
