@@ -319,10 +319,21 @@ class NativeContext:
         if missing:
             self._sketched_any = True
             with metrics.current().phase("sketch"):
-                for path in missing:
-                    self._contig_store[path] = sketch_contigs_native(
-                        path, self.params, threads=self.threads
+                if os.environ.get("GALAH_TPU_DEVICE_SKETCH") == "1":
+                    from galah_tpu.ops.device_sketch import (
+                        device_sketch_contig_files,
                     )
+
+                    for path, sks in zip(
+                        missing,
+                        device_sketch_contig_files(missing, self.params),
+                    ):
+                        self._contig_store[path] = sks
+                else:
+                    for path in missing:
+                        self._contig_store[path] = sketch_contigs_native(
+                            path, self.params, threads=self.threads
+                        )
         for path in paths:
             out.extend(self._contig_store[path])
         n_contigs = sum(len(self._contig_store[p]) for p in missing)

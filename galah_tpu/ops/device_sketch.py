@@ -499,6 +499,58 @@ def device_sketch_batch(
     return sketches
 
 
+def device_sketch_contig_files(
+    paths: Sequence[str],
+    params: NativeSketchParams,
+    *,
+    max_batch_bytes: int = 256 << 20,
+) -> List[List[NativeSketch]]:
+    """One sketch per contig, per file, in file order — the device
+    analog of sketch_contigs_native for --cluster-contigs (reference
+    runs `skani triangle -i`, src/skani.rs:379-498; contig names follow
+    the tab-split rule via FastaRecord.contig_name).
+
+    Contigs are bucketed by padded length across each file so one
+    compiled program serves each bucket; a 100k-contig corpus is a few
+    dozen dispatches. Overflowing batches fall back to the host sketcher
+    (bit-identical either way)."""
+    from galah_tpu.io.fasta import read_fasta
+    from galah_tpu.sketch.fracminhash import sketch_sequences_native
+
+    out: List[List[NativeSketch]] = []
+    for path in paths:
+        recs = list(read_fasta(path))
+        names = [r.contig_name for r in recs]
+        seqs = [r.seq for r in recs]
+        sketches: List[Optional[NativeSketch]] = [None] * len(recs)
+        buckets = {}
+        for i, s in enumerate(seqs):
+            P = _next_pow2(max(len(s), params.k, 4))
+            buckets.setdefault(P, []).append(i)
+        for P, idxs in sorted(buckets.items()):
+            per = max(1, max_batch_bytes // max(P, 1))
+            for start in range(0, len(idxs), per):
+                chunk = idxs[start : start + per]
+                cnames = [names[i] for i in chunk]
+                clists = [[seqs[i]] for i in chunk]
+                try:
+                    got = device_sketch_batch(cnames, clists, params)
+                except DeviceSketchOverflow:
+                    logger.warning(
+                        "device sketch overflow for a %d-contig batch; "
+                        "falling back to host sketching",
+                        len(chunk),
+                    )
+                    got = [
+                        sketch_sequences_native(n, s, params)
+                        for n, s in zip(cnames, clists)
+                    ]
+                for i, sk in zip(chunk, got):
+                    sketches[i] = sk
+        out.append(sketches)  # type: ignore[arg-type]
+    return out
+
+
 def _words_to_buckets(words: np.ndarray) -> np.ndarray:
     """(W,) uint32 packed words -> sorted int32 bucket indices."""
     bits = np.unpackbits(

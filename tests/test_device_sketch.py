@@ -218,6 +218,61 @@ def test_device_sketch_files_matches_host(tmp_path, monkeypatch):
         _assert_sketch_equal(d, h)
 
 
+def test_device_sketch_contig_files_matches_host(tmp_path):
+    """The contig-mode device path (one sketch per contig, file order,
+    tab-split names) must match sketch_contigs_native exactly."""
+    from galah_tpu.ops.device_sketch import device_sketch_contig_files
+    from galah_tpu.sketch.fracminhash import sketch_contigs_native
+
+    rng = np.random.default_rng(9)
+    params = small_genome_params(fragment_length=1000)
+    import dataclasses
+
+    params = dataclasses.replace(
+        params, prefilter_bits=1 << 12, member_bits=1 << 14
+    )
+    paths = []
+    for i, lens in enumerate([(3000, 900, 5100), (2100,)]):
+        p = tmp_path / f"c{i}.fna"
+        with open(p, "w") as f:
+            for j, ln in enumerate(lens):
+                f.write(f">f{i}_c{j}\textra tab comment\n")
+                f.write(_random_seq(rng, ln, n_prob=0.002).decode() + "\n")
+        paths.append(str(p))
+    hosts = [sketch_contigs_native(p, params) for p in paths]
+    devs = device_sketch_contig_files(paths, params)
+    for hlist, dlist in zip(hosts, devs):
+        assert len(hlist) == len(dlist)
+        for d, h in zip(dlist, hlist):
+            assert d.name == h.name
+            _assert_sketch_equal(d, h)
+
+
+def test_cli_contig_cluster_with_device_sketch(tmp_path, monkeypatch):
+    """Contig-mode CLI golden under GALAH_TPU_DEVICE_SKETCH=1: the
+    crafted 96/94-ANI contig fixtures must cluster exactly as the host
+    path (reference golden, tests/test_cmdline.rs:496-545)."""
+    from conftest import data
+
+    from galah_tpu.cli.main import main
+
+    monkeypatch.setenv("GALAH_TPU_DEVICE_SKETCH", "1")
+    out = tmp_path / "c.tsv"
+    main([
+        "cluster", "--cluster-contigs", "--small-contigs",
+        "--genome-fasta-files", data("contigs/contigs_specific.fna"),
+        "--output-cluster-definition", str(out),
+    ])
+    with open(out) as f:
+        lines = f.read().splitlines()
+    rep = "73.20110600_S2D.10_contig_13024"
+    joined = {l.split("\t")[1] for l in lines if l.split("\t")[0] == rep}
+    assert "96ANI_80refAF_80queryAF" in joined
+    assert "94ANI_80refAF_80queryAF" not in joined
+    assert any(l == "94ANI_80refAF_80queryAF\t94ANI_80refAF_80queryAF"
+               for l in lines)
+
+
 def test_cli_cluster_with_device_sketch(tmp_path, monkeypatch):
     """GALAH_TPU_DEVICE_SKETCH=1 end-to-end: same cluster golden as the
     host path (tests/test_cli_cluster.py) on the abisko4 fixtures."""
