@@ -354,6 +354,55 @@ def main():
     )
     timeit("cumsum_fast (G,N)", fn, x, bases)
 
+    # 0. full production kernel (current ops/device_sketch.py), at the
+    # same logical shape — packed 2-bit input, default MAG params.
+    from galah_tpu.ops.device_sketch import _sketch_batch_kernel
+    from galah_tpu.sketch.fracminhash import NativeSketchParams
+
+    params = NativeSketchParams()
+    if not SMALL:
+        nfrag = P // params.fragment_length
+        NB2 = 1 << int(nfrag + 1).bit_length()
+        bounds_np = jnp.asarray(
+            jnp.minimum(
+                jnp.arange(NB2, dtype=jnp.int32) * params.fragment_length,
+                P,
+            )
+        )
+        b2f = jnp.where(
+            jnp.arange(NB2, dtype=jnp.int32) < nfrag,
+            jnp.arange(NB2, dtype=jnp.int32),
+            -1,
+        )
+        packed_codes = jax.jit(
+            lambda key: jax.random.randint(
+                key, (G, P // 4), 0, 256, jnp.int32
+            ).astype(jnp.uint8)
+        )(jax.random.PRNGKey(9))
+        packed_codes.block_until_ready()
+        bounds_b = jnp.broadcast_to(bounds_np[None], (G, NB2))
+        b2f_b = jnp.broadcast_to(b2f[None], (G, NB2))
+        inv1 = jnp.full((G, 1), P, jnp.int32)
+        lens = jnp.full((G,), P, jnp.int32)
+        SELP = 1 << int(2 * P // params.fragment_scale + 1024).bit_length()
+
+        def prod_body(c):
+            out = _sketch_batch_kernel(
+                c, inv1, lens, bounds_b, b2f_b,
+                k=params.k, member_bits=params.member_bits,
+                prefilter_bits=params.prefilter_bits,
+                gthresh=int(params.genome_threshold),
+                fthresh=int(params.fragment_threshold),
+                max_frags=nfrag, max_sel=SELP,
+            )
+            return jnp.sum(out[1], dtype=jnp.int32)
+
+        fn = repeat_in_jit(
+            prod_body, lambda c, a: c.at[0, 0].set((a % 256).astype(jnp.uint8))
+        )
+        dt = timeit("production_kernel", fn, packed_codes, bases)
+        log(f"production kernel = {bases / dt / 1e6:.0f}M bases/s")
+
     if os.environ.get("GALAH_PROFILE_ALT"):
         fn = repeat_in_jit(
             lambda cb: jnp.sum(
