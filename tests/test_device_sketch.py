@@ -299,6 +299,27 @@ def test_cli_cluster_with_device_sketch(tmp_path, monkeypatch):
     )
 
 
+def test_device_sketch_gz_and_tab_fixtures():
+    """Device sketching inherits the reference's input traps: gzip
+    files (tests/test_cmdline.rs:612-629) and tab-containing headers
+    (abisko_tabs fixtures) must sketch identically to the host path."""
+    from conftest import data
+
+    from galah_tpu.ops.device_sketch import device_sketch_files
+    from galah_tpu.sketch.fracminhash import sketch_file_native
+
+    params = _params_medium()
+    paths = [
+        data("abisko4/73.20110800_S2M.16.fna.gz"),
+        data("abisko_tabs/73.20120800_S1D.21.fna"),
+    ]
+    hosts = [sketch_file_native(p, params) for p in paths]
+    devs = device_sketch_files(paths, params)
+    for d, h in zip(devs, hosts):
+        assert h.total_len > 100_000
+        _assert_sketch_equal(d, h)
+
+
 def test_device_arrays_match_host_derivation():
     """return_device arrays must be the packed forms of the sketch."""
     rng = np.random.default_rng(7)
