@@ -595,13 +595,30 @@ def device_sketch_files(
         buckets.setdefault(P, []).append(i)
         del seqs
 
-    # Pass 2 — re-read per dispatched batch.
+    # Pass 2 — re-read per dispatched batch, prefetching the next
+    # batch's FASTA on a reader thread while the device computes the
+    # current one (read time rivals hash time on production hosts).
+    chunks: List[List[int]] = []
     for P, idxs in sorted(buckets.items()):
         per = max(1, max_batch_bytes // max(P, 1))
         for start in range(0, len(idxs), per):
-            chunk = idxs[start : start + per]
+            chunks.append(idxs[start : start + per])
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _read_chunk(chunk):
+        return [read_fasta_sequences(paths[i]) for i in chunk]
+
+    with ThreadPoolExecutor(max_workers=1) as reader:
+        pending = reader.submit(_read_chunk, chunks[0]) if chunks else None
+        for ci, chunk in enumerate(chunks):
+            lists = pending.result()
+            pending = (
+                reader.submit(_read_chunk, chunks[ci + 1])
+                if ci + 1 < len(chunks)
+                else None
+            )
             names = [paths[i] for i in chunk]
-            lists = [read_fasta_sequences(paths[i]) for i in chunk]
             try:
                 sketches = device_sketch_batch(names, lists, params)
             except DeviceSketchOverflow:
