@@ -290,7 +290,7 @@ def bench_device_sketch(jax, jnp):
     batch kernel (ops/device_sketch.py) at a 32 x 1Mb-genome shape."""
     import numpy as np
 
-    from galah_tpu.ops.device_sketch import _sketch_batch_kernel
+    from galah_tpu.ops.device_sketch import _sel_capacity, _sketch_batch_kernel
     from galah_tpu.sketch.fracminhash import NativeSketchParams
 
     G = 4 if _small() else 32
@@ -299,7 +299,7 @@ def bench_device_sketch(jax, jnp):
     frag_len = params.fragment_length
     nfrag = P // frag_len
     NB = 1 << int(nfrag + 1).bit_length()
-    SEL = 1 << int(2 * P // params.fragment_scale + 1024).bit_length()
+    SEL = _sel_capacity(P - params.k + 1, params)  # production sizing
 
     bounds_np = np.full((G, NB), P, np.int32)
     bin2frag_np = np.full((G, NB), -1, np.int32)
@@ -329,7 +329,22 @@ def bench_device_sketch(jax, jnp):
             fthresh=int(params.fragment_threshold),
             max_frags=nfrag, max_sel=SEL,
         )
-        return out[1].astype(jnp.float32)[0]  # n_pref of genome 0
+        # Consume EVERY output (pref/member words, flat, offsets,
+        # counters): summing only one would let XLA dead-code-eliminate
+        # the dedup sort and bitmap packing out of the measurement.
+        acc = (
+            jnp.sum(out[0], dtype=jnp.uint32)
+            + jnp.sum(out[2], dtype=jnp.uint32)
+        ).astype(jnp.int32)
+        acc = (
+            acc
+            + jnp.sum(out[1], dtype=jnp.int32)
+            + jnp.sum(out[3], dtype=jnp.int32)
+            + jnp.sum(out[4], dtype=jnp.int32)
+            + jnp.sum(out[5], dtype=jnp.int32)
+            + jnp.sum(out[6], dtype=jnp.int32)
+        )
+        return acc.astype(jnp.float32)
 
     run = _repeat_in_jit(
         jax, jnp, body,

@@ -218,14 +218,21 @@ def cumsum_fast_one(x):
 KEY_PAD = jnp.uint32(0xFFFFFFFF)
 
 
+_FIT_BITS = min(
+    MEMBER_BITS.bit_length() - 1, 31 - (MAX_FRAGS - 1).bit_length()
+)
+
+
 def sort_dedup_1key_one(cfrag, cbucket):
-    """Same dedup via a single combined uint32 key: frag*member_bits +
-    bucket (fits exactly when MAX_FRAGS*MEMBER_BITS <= 2^32)."""
+    """Same dedup via a single combined uint32 key. Production requires
+    max_frags * member_bits <= 2^31 so the pad key stays distinct; for
+    timing at shapes past that bound the bucket is masked to _FIT_BITS
+    (identical sort cost, slightly different dedup counts)."""
     real = cfrag < BIG
     key = jnp.where(
         real,
-        (cfrag.astype(jnp.uint32) << _u32(MEMBER_BITS.bit_length() - 1))
-        | cbucket.astype(jnp.uint32),
+        (cfrag.astype(jnp.uint32) << _u32(_FIT_BITS))
+        | (cbucket.astype(jnp.uint32) & _u32((1 << _FIT_BITS) - 1)),
         KEY_PAD,
     )
     skey = jax.lax.sort(key)
@@ -233,8 +240,8 @@ def sort_dedup_1key_one(cfrag, cbucket):
     is_real = skey != KEY_PAD
     first = is_real & (skey != prev)
     out_pos = jnp.cumsum(first.astype(jnp.int32)) - 1
-    sbucket = (skey & _u32(MEMBER_BITS - 1)).astype(jnp.int32)
-    sfrag = (skey >> _u32(MEMBER_BITS.bit_length() - 1)).astype(jnp.int32)
+    sbucket = (skey & _u32((1 << _FIT_BITS) - 1)).astype(jnp.int32)
+    sfrag = (skey >> _u32(_FIT_BITS)).astype(jnp.int32)
     flat = jnp.zeros(SEL, dtype=jnp.int32)
     flat = flat.at[jnp.where(first, out_pos, SEL)].set(sbucket, mode="drop")
     counts = jnp.zeros(MAX_FRAGS, dtype=jnp.int32)
@@ -251,8 +258,8 @@ def fused_sort_n_one(fsel, frag, mbucket):
     stream_sel = fsel & (frag >= 0)
     key = jnp.where(
         stream_sel,
-        (frag.astype(jnp.uint32) << _u32(MEMBER_BITS.bit_length() - 1))
-        | mbucket.astype(jnp.uint32),
+        (frag.astype(jnp.uint32) << _u32(_FIT_BITS))
+        | (mbucket.astype(jnp.uint32) & _u32((1 << _FIT_BITS) - 1)),
         KEY_PAD,
     )
     skey = jax.lax.sort(key)
@@ -260,8 +267,8 @@ def fused_sort_n_one(fsel, frag, mbucket):
     is_real = skey != KEY_PAD
     first = is_real & (skey != prev)
     out_pos = jnp.cumsum(first.astype(jnp.int32)) - 1
-    sbucket = (skey & _u32(MEMBER_BITS - 1)).astype(jnp.int32)
-    sfrag = (skey >> _u32(MEMBER_BITS.bit_length() - 1)).astype(jnp.int32)
+    sbucket = (skey & _u32((1 << _FIT_BITS) - 1)).astype(jnp.int32)
+    sfrag = (skey >> _u32(_FIT_BITS)).astype(jnp.int32)
     flat = jnp.zeros(SEL, dtype=jnp.int32)
     flat = flat.at[jnp.where(first, out_pos, SEL)].set(sbucket, mode="drop")
     counts = jnp.zeros(MAX_FRAGS, dtype=jnp.int32)
@@ -384,7 +391,9 @@ def main():
         b2f_b = jnp.broadcast_to(b2f[None], (G, NB2))
         inv1 = jnp.full((G, 1), P, jnp.int32)
         lens = jnp.full((G,), P, jnp.int32)
-        SELP = 1 << int(2 * P // params.fragment_scale + 1024).bit_length()
+        from galah_tpu.ops.device_sketch import _sel_capacity
+
+        SELP = _sel_capacity(P - params.k + 1, params)  # production sizing
 
         def prod_body(c):
             out = _sketch_batch_kernel(
@@ -395,7 +404,20 @@ def main():
                 fthresh=int(params.fragment_threshold),
                 max_frags=nfrag, max_sel=SELP,
             )
-            return jnp.sum(out[1], dtype=jnp.int32)
+            # Consume every output, or XLA dead-code-eliminates the
+            # dedup sort / bitmap packing out of the measurement.
+            acc = (
+                jnp.sum(out[0], dtype=jnp.uint32)
+                + jnp.sum(out[2], dtype=jnp.uint32)
+            ).astype(jnp.int32)
+            return (
+                acc
+                + jnp.sum(out[1], dtype=jnp.int32)
+                + jnp.sum(out[3], dtype=jnp.int32)
+                + jnp.sum(out[4], dtype=jnp.int32)
+                + jnp.sum(out[5], dtype=jnp.int32)
+                + jnp.sum(out[6], dtype=jnp.int32)
+            )
 
         fn = repeat_in_jit(
             prod_body, lambda c, a: c.at[0, 0].set((a % 256).astype(jnp.uint8))

@@ -499,6 +499,28 @@ def device_sketch_batch(
     return sketches
 
 
+def _batch_genome_cap(P: int, params: NativeSketchParams) -> int:
+    """Max genomes/contigs per kernel dispatch so the batch's fixed
+    per-genome device buffers (bitmap indicators + packed words, padded
+    sequence intermediates, SEL-sized compaction/sort arrays) stay
+    inside the device budget. Without this, many-short-contig batches
+    sized only by sequence bytes would OOM: at P=8k and default
+    member_bits=2^22 the bitmaps alone are ~4.7MB per contig."""
+    from galah_tpu.ops.prefilter import _device_resident_budget
+
+    sel = _sel_capacity(P - params.k + 1, params)
+    per_genome = (
+        # uint8 indicators + packed words for both bitmaps
+        (params.member_bits + params.prefilter_bits) * 9 // 8
+        # sequence-length intermediates (codes, hash lanes, frag ids,
+        # prefix sums; XLA fuses some — this is a deliberate overcount)
+        + 40 * P
+        # compaction/sort/output arrays over SEL slots
+        + 32 * sel
+    )
+    return max(1, _device_resident_budget() // max(per_genome, 1))
+
+
 def device_sketch_contig_files(
     paths: Sequence[str],
     params: NativeSketchParams,
@@ -510,45 +532,72 @@ def device_sketch_contig_files(
     runs `skani triangle -i`, src/skani.rs:379-498; contig names follow
     the tab-split rule via FastaRecord.contig_name).
 
-    Contigs are bucketed by padded length across each file so one
-    compiled program serves each bucket; a 100k-contig corpus is a few
-    dozen dispatches. Overflowing batches fall back to the host sketcher
-    (bit-identical either way)."""
+    Contigs are bucketed by padded length ACROSS the whole corpus so
+    one compiled program serves each bucket regardless of how contigs
+    spread over files; host memory stays O(batch) (pass 1 records only
+    lengths, pass 2 re-reads each touched file per batch, stopping at
+    the last wanted record). Batches are capped by both sequence bytes
+    and the per-contig fixed device buffers (_batch_genome_cap).
+    Overflowing batches fall back to the host sketcher (bit-identical
+    either way)."""
     from galah_tpu.io.fasta import read_fasta
     from galah_tpu.sketch.fracminhash import sketch_sequences_native
 
-    out: List[List[NativeSketch]] = []
-    for path in paths:
-        recs = list(read_fasta(path))
-        names = [r.contig_name for r in recs]
-        seqs = [r.seq for r in recs]
-        sketches: List[Optional[NativeSketch]] = [None] * len(recs)
-        buckets = {}
-        for i, s in enumerate(seqs):
-            P = _next_pow2(max(len(s), params.k, 4))
-            buckets.setdefault(P, []).append(i)
-        for P, idxs in sorted(buckets.items()):
-            per = max(1, max_batch_bytes // max(P, 1))
-            for start in range(0, len(idxs), per):
-                chunk = idxs[start : start + per]
-                cnames = [names[i] for i in chunk]
-                clists = [[seqs[i]] for i in chunk]
-                try:
-                    got = device_sketch_batch(cnames, clists, params)
-                except DeviceSketchOverflow:
-                    logger.warning(
-                        "device sketch overflow for a %d-contig batch; "
-                        "falling back to host sketching",
-                        len(chunk),
-                    )
-                    got = [
-                        sketch_sequences_native(n, s, params)
-                        for n, s in zip(cnames, clists)
-                    ]
-                for i, sk in zip(chunk, got):
-                    sketches[i] = sk
-        out.append(sketches)  # type: ignore[arg-type]
-    return out
+    # Pass 1 — contig lengths only.
+    buckets: dict = {}
+    n_contigs: List[int] = []
+    for pi, path in enumerate(paths):
+        nc = 0
+        for rec in read_fasta(path):
+            P = _next_pow2(max(len(rec.seq), params.k, 4))
+            buckets.setdefault(P, []).append((pi, nc))
+            nc += 1
+        n_contigs.append(nc)
+    out: List[List[Optional[NativeSketch]]] = [
+        [None] * nc for nc in n_contigs
+    ]
+
+    # Pass 2 — dispatch per bucket chunk; entries within a bucket are
+    # in (file, contig) order, so each chunk touches a contiguous run
+    # of files and each (chunk, file) pair is read once.
+    for P, items in sorted(buckets.items()):
+        per = max(
+            1,
+            min(max_batch_bytes // max(P, 1), _batch_genome_cap(P, params)),
+        )
+        for start in range(0, len(items), per):
+            chunk = items[start : start + per]
+            wanted: dict = {}
+            for pi, ci in chunk:
+                wanted.setdefault(pi, set()).add(ci)
+            recs: dict = {}
+            for pi, want in wanted.items():
+                last = max(want)
+                got = {}
+                for idx, rec in enumerate(read_fasta(paths[pi])):
+                    if idx in want:
+                        got[idx] = (rec.contig_name, rec.seq)
+                    if idx >= last:
+                        break
+                recs[pi] = got
+            cnames = [recs[pi][ci][0] for pi, ci in chunk]
+            clists = [[recs[pi][ci][1]] for pi, ci in chunk]
+            del recs
+            try:
+                got_sk = device_sketch_batch(cnames, clists, params)
+            except DeviceSketchOverflow:
+                logger.warning(
+                    "device sketch overflow for a %d-contig batch; "
+                    "falling back to host sketching",
+                    len(chunk),
+                )
+                got_sk = [
+                    sketch_sequences_native(n, s, params)
+                    for n, s in zip(cnames, clists)
+                ]
+            for (pi, ci), sk in zip(chunk, got_sk):
+                out[pi][ci] = sk
+    return out  # type: ignore[return-value]
 
 
 def _words_to_buckets(words: np.ndarray) -> np.ndarray:
@@ -600,7 +649,10 @@ def device_sketch_files(
     # current one (read time rivals hash time on production hosts).
     chunks: List[List[int]] = []
     for P, idxs in sorted(buckets.items()):
-        per = max(1, max_batch_bytes // max(P, 1))
+        per = max(
+            1,
+            min(max_batch_bytes // max(P, 1), _batch_genome_cap(P, params)),
+        )
         for start in range(0, len(idxs), per):
             chunks.append(idxs[start : start + per])
 
