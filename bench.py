@@ -292,7 +292,11 @@ def bench_device_sketch(jax, jnp):
     batch kernel (ops/device_sketch.py) at a 32 x 1Mb-genome shape."""
     import numpy as np
 
-    from galah_tpu.ops.device_sketch import _sel_capacity, _sketch_batch_kernel
+    from galah_tpu.ops.device_sketch import (
+        _frag_capacity,
+        _sel_capacity,
+        _sketch_batch_kernel,
+    )
     from galah_tpu.sketch.fracminhash import NativeSketchParams
 
     G = 4 if _small() else 32
@@ -330,6 +334,7 @@ def bench_device_sketch(jax, jnp):
             gthresh=int(params.genome_threshold),
             fthresh=int(params.fragment_threshold),
             max_frags=nfrag, max_sel=SEL,
+            frag_cap=_frag_capacity(params),
         )
         # Consume EVERY output (pref/member words, flat, offsets,
         # counters): summing only one would let XLA dead-code-eliminate

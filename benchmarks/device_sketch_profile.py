@@ -391,39 +391,51 @@ def main():
         b2f_b = jnp.broadcast_to(b2f[None], (G, NB2))
         inv1 = jnp.full((G, 1), P, jnp.int32)
         lens = jnp.full((G,), P, jnp.int32)
-        from galah_tpu.ops.device_sketch import _sel_capacity
+        from galah_tpu.ops.device_sketch import (
+            _frag_capacity,
+            _sel_capacity,
+        )
 
         SELP = _sel_capacity(P - params.k + 1, params)  # production sizing
 
-        def prod_body(c):
-            out = _sketch_batch_kernel(
-                c, inv1, lens, bounds_b, b2f_b,
-                k=params.k, member_bits=params.member_bits,
-                prefilter_bits=params.prefilter_bits,
-                gthresh=int(params.genome_threshold),
-                fthresh=int(params.fragment_threshold),
-                max_frags=nfrag, max_sel=SELP,
-            )
-            # Consume every output, or XLA dead-code-eliminates the
-            # dedup sort / bitmap packing out of the measurement.
-            acc = (
-                jnp.sum(out[0], dtype=jnp.uint32)
-                + jnp.sum(out[2], dtype=jnp.uint32)
-            ).astype(jnp.int32)
-            return (
-                acc
-                + jnp.sum(out[1], dtype=jnp.int32)
-                + jnp.sum(out[3], dtype=jnp.int32)
-                + jnp.sum(out[4], dtype=jnp.int32)
-                + jnp.sum(out[5], dtype=jnp.int32)
-                + jnp.sum(out[6], dtype=jnp.int32)
-            )
+        def make_prod_body(cap):
+            def prod_body(c):
+                out = _sketch_batch_kernel(
+                    c, inv1, lens, bounds_b, b2f_b,
+                    k=params.k, member_bits=params.member_bits,
+                    prefilter_bits=params.prefilter_bits,
+                    gthresh=int(params.genome_threshold),
+                    fthresh=int(params.fragment_threshold),
+                    max_frags=nfrag, max_sel=SELP,
+                    frag_cap=cap,
+                )
+                # Consume every output, or XLA dead-code-eliminates
+                # the dedup sort / bitmap packing from the measurement.
+                acc = (
+                    jnp.sum(out[0], dtype=jnp.uint32)
+                    + jnp.sum(out[2], dtype=jnp.uint32)
+                ).astype(jnp.int32)
+                return (
+                    acc
+                    + jnp.sum(out[1], dtype=jnp.int32)
+                    + jnp.sum(out[3], dtype=jnp.int32)
+                    + jnp.sum(out[4], dtype=jnp.int32)
+                    + jnp.sum(out[5], dtype=jnp.int32)
+                    + jnp.sum(out[6], dtype=jnp.int32)
+                )
 
-        fn = repeat_in_jit(
-            prod_body, lambda c, a: c.at[0, 0].set((a % 256).astype(jnp.uint8))
-        )
-        dt = timeit("production_kernel", fn, packed_codes, bases)
-        log(f"production kernel = {bases / dt / 1e6:.0f}M bases/s")
+            return prod_body
+
+        for label, cap in (
+            ("production_kernel[segmented]", _frag_capacity(params)),
+            ("production_kernel[globalsort]", 0),
+        ):
+            fn = repeat_in_jit(
+                make_prod_body(cap),
+                lambda c, a: c.at[0, 0].set((a % 256).astype(jnp.uint8)),
+            )
+            dt = timeit(label, fn, packed_codes, bases)
+            log(f"{label} = {bases / dt / 1e6:.0f}M bases/s")
 
     if os.environ.get("GALAH_PROFILE_ALT"):
         fn = repeat_in_jit(

@@ -80,7 +80,9 @@ def test_single_contig_parity():
     _assert_sketch_equal(dev, host)
 
 
-def test_ns_lowercase_and_multicontig_parity():
+@pytest.mark.parametrize("dedup", ["segmented", "sort"])
+def test_ns_lowercase_and_multicontig_parity(monkeypatch, dedup):
+    monkeypatch.setenv("GALAH_TPU_SKETCH_DEDUP", dedup)
     rng = np.random.default_rng(2)
     params = _params_medium()
     seqs = [
@@ -93,9 +95,11 @@ def test_ns_lowercase_and_multicontig_parity():
     _assert_sketch_equal(dev, host)
 
 
-def test_edge_contigs_parity():
+@pytest.mark.parametrize("dedup", ["segmented", "sort"])
+def test_edge_contigs_parity(monkeypatch, dedup):
     """Short contigs: below k, below min_fragment_length, one-fragment
     remainder rules, and an empty contig."""
+    monkeypatch.setenv("GALAH_TPU_SKETCH_DEDUP", dedup)
     rng = np.random.default_rng(3)
     params = _params_medium()
     cases = [
@@ -136,10 +140,14 @@ def test_small_genome_params_parity():
         _assert_sketch_equal(d, h)
 
 
-def test_two_key_sort_path_parity():
+def test_two_key_sort_path_parity(monkeypatch):
     """Genomes with enough fragments that max_frags * member_bits
     overflows the combined 31-bit dedup sort key must take the two-key
-    lax.sort fallback and still match the host sketcher exactly."""
+    lax.sort fallback and still match the host sketcher exactly. A
+    poly-A run floods one fragment past the segmented grid's row
+    capacity, forcing the global-sort re-dispatch (mix64(0) == 0, so
+    homopolymer-A k-mers are always selected)."""
+    monkeypatch.setenv("GALAH_TPU_SKETCH_DEDUP", "segmented")
     rng = np.random.default_rng(61)
     params = NativeSketchParams(
         genome_scale=50,
@@ -150,9 +158,25 @@ def test_two_key_sort_path_parity():
         min_fragment_hashes=4,
         min_fragment_length=100,
     )
-    seqs = [_random_seq(rng, 450_000, n_prob=0.001)]
+    body = bytearray(_random_seq(rng, 450_000, n_prob=0.001))
+    body[100_000:101_000] = b"A" * 1000  # one flooded fragment
+    seqs = [bytes(body)]
     host = sketch_sequences_native("g", seqs, params)
     assert host.n_fragments > 512  # 1024 * 2^22 > 2^31: two-key path
+    (dev,) = device_sketch_batch(["g"], [seqs], params)
+    _assert_sketch_equal(dev, host)
+
+
+def test_segmented_overflow_redispatch_combined_key(monkeypatch):
+    """Same flooded-fragment trigger at small widths: the re-dispatch
+    lands on the combined-key global sort and stays bit-identical."""
+    monkeypatch.setenv("GALAH_TPU_SKETCH_DEDUP", "segmented")
+    rng = np.random.default_rng(62)
+    params = _params_medium()  # frag_cap = 2*700/4 = 384 rounded
+    body = bytearray(_random_seq(rng, 6000))
+    body[1400:2100] = b"A" * 700  # entire fragment is one repeat
+    seqs = [bytes(body)]
+    host = sketch_sequences_native("g", seqs, params)
     (dev,) = device_sketch_batch(["g"], [seqs], params)
     _assert_sketch_equal(dev, host)
 
