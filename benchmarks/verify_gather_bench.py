@@ -149,17 +149,21 @@ def main():
                 dtype=jnp.int32,
             ).astype(jnp.float32)
         ),
+        # Full-kernel variants sum every pair's ANI: consuming only
+        # [0][0] lets XLA narrow the per-ref tail out of the program
+        # (~18% at CPU shapes; bench.py carries the same fix). The raw
+        # gather rows above already reduce over everything.
         "kernel_current": repeat_in_jit(
-            lambda b: _forward_kernel(
+            lambda b: jnp.sum(_forward_kernel(
                 bitmaps, popcounts, b, offsets, jnp.int32(NHASH),
                 num_frags=F, bits=MEMBER_BITS, k=K, min_hashes=8,
                 min_ident=0.8,
-            )[0][0]
+            )[0])
         ),
         "kernel_T": repeat_in_jit(
-            lambda b: _kernel_T_body(
+            lambda b: jnp.sum(_kernel_T_body(
                 bitmaps_T, popcounts, b, offsets, jnp.int32(NHASH)
-            )[0]
+            )[0])
         ),
     }
     for name, fn in variants.items():
