@@ -233,7 +233,29 @@ void sketch_sequences_native_cpp(
   const uint64_t kmask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
   const int shift_hi = 2 * (k - 1);
 
-  std::vector<uint64_t> pref, member, fragkeys;
+  // Genome-level sets as bucket bitmaps, marked directly in the scan
+  // loop (the sets live in [0, mask]; a scan of the bitmap emits them
+  // sorted-unique). The sort+unique over ~len/fragment_scale pushed
+  // hashes this replaces dominated whole-genome sketching. Vectors
+  // remain for wide masks and for sequences so short (contig mode)
+  // that zeroing/scanning the bitmap would cost more than the sort.
+  int64_t total_seq_len = 0;
+  for (const FastaRecordC* rec : seqs) total_seq_len += (int64_t)rec->seq.size();
+  const bool use_bitmaps = (uint64_t)member_mask + 1 <= (1ULL << 26) &&
+                           (uint64_t)pref_mask + 1 <= (1ULL << 26) &&
+                           total_seq_len * 16 >= (int64_t)member_mask + 1;
+  std::vector<uint64_t> member_bm, pref_bm;
+  if (use_bitmaps) {
+    member_bm.assign(((size_t)member_mask + 64) / 64, 0);
+    pref_bm.assign(((size_t)pref_mask + 64) / 64, 0);
+  }
+  std::vector<uint64_t> pref, member;
+  // Fragment stream as uint32 buckets plus (fragment id, start) run
+  // markers: positions ascend, so one fragment's entries are one
+  // contiguous run — half the bytes of packed 64-bit keys, and dedup
+  // sorts each ~frag_len/scale-entry run instead of the whole stream.
+  std::vector<uint32_t> fragbuckets;
+  std::vector<std::pair<int64_t, int64_t>> frag_runs;
   std::vector<int64_t> bounds;
   int64_t frag_base = 0;
 
@@ -261,19 +283,31 @@ void sketch_sequences_native_cpp(
         const uint64_t canon = fwd < rev ? fwd : rev;
         const uint64_t h = mix64(canon);
         if (h < fthresh) {
-          member.push_back(h & member_mask);
+          const uint64_t mb = h & member_mask;
+          if (use_bitmaps)
+            member_bm[mb >> 6] |= 1ULL << (mb & 63);
+          else
+            member.push_back(mb);
           if (nfrag > 0) {
             while (bi + 1 < (int64_t)bounds.size() - 1 && pos >= bounds[bi + 1])
               bi++;
             if (pos >= bounds[bi] && pos < bounds[bi + 1]) {
-              fragkeys.push_back(((uint64_t)(frag_base + bi) << 32) |
-                                 (h & member_mask));
+              const int64_t fid = frag_base + bi;
+              if (frag_runs.empty() || frag_runs.back().first != fid)
+                frag_runs.emplace_back(fid, (int64_t)fragbuckets.size());
+              fragbuckets.push_back((uint32_t)mb);
             }
           }
         }
         // Independent of the fragment threshold: parity with the numpy
         // path when genome_scale < fragment_scale (gthresh > fthresh).
-        if (h < gthresh) pref.push_back(h & pref_mask);
+        if (h < gthresh) {
+          const uint64_t pb = h & pref_mask;
+          if (use_bitmaps)
+            pref_bm[pb >> 6] |= 1ULL << (pb & 63);
+          else
+            pref.push_back(pb);
+        }
       }
     }
     frag_base += nfrag;
@@ -285,18 +319,47 @@ void sketch_sequences_native_cpp(
     v.erase(std::unique(v.begin(), v.end()), v.end());
     dst->assign(v.begin(), v.end());
   };
-  sort_unique_to_i32(pref, &out->prefilter_buckets);
-  sort_unique_to_i32(member, &out->member_buckets);
+  auto bitmap_to_i32 = [](const std::vector<uint64_t>& bm,
+                          std::vector<int32_t>* dst) {
+    size_t count = 0;
+    for (uint64_t w : bm) count += (size_t)__builtin_popcountll(w);
+    dst->clear();
+    dst->reserve(count);
+    for (size_t wi = 0; wi < bm.size(); wi++) {
+      uint64_t w = bm[wi];
+      while (w) {
+        const int bit = __builtin_ctzll(w);
+        dst->push_back((int32_t)(wi * 64 + bit));
+        w &= w - 1;
+      }
+    }
+  };
+  if (use_bitmaps) {
+    bitmap_to_i32(pref_bm, &out->prefilter_buckets);
+    bitmap_to_i32(member_bm, &out->member_buckets);
+  } else {
+    sort_unique_to_i32(pref, &out->prefilter_buckets);
+    sort_unique_to_i32(member, &out->member_buckets);
+  }
 
-  std::sort(fragkeys.begin(), fragkeys.end());
-  fragkeys.erase(std::unique(fragkeys.begin(), fragkeys.end()),
-                 fragkeys.end());
+  // Per-run sort + unique (runs carry nondecreasing fragment ids).
   out->frag_offsets.assign(frag_base + 1, 0);
-  out->frag_buckets.reserve(fragkeys.size());
-  for (uint64_t key : fragkeys) {
-    const int64_t fid = (int64_t)(key >> 32);
-    out->frag_buckets.push_back((int32_t)(key & 0xFFFFFFFFULL));
-    out->frag_offsets[fid + 1]++;
+  out->frag_buckets.reserve(fragbuckets.size());
+  for (size_t r = 0; r < frag_runs.size(); r++) {
+    const int64_t fid = frag_runs[r].first;
+    const int64_t lo = frag_runs[r].second;
+    const int64_t hi = (r + 1 < frag_runs.size())
+                           ? frag_runs[r + 1].second
+                           : (int64_t)fragbuckets.size();
+    std::sort(fragbuckets.begin() + lo, fragbuckets.begin() + hi);
+    int64_t n_unique = 0;
+    for (int64_t i = lo; i < hi; i++) {
+      if (i == lo || fragbuckets[i] != fragbuckets[i - 1]) {
+        out->frag_buckets.push_back((int32_t)fragbuckets[i]);
+        n_unique++;
+      }
+    }
+    out->frag_offsets[fid + 1] = n_unique;
   }
   for (int64_t i = 1; i <= frag_base; i++)
     out->frag_offsets[i] += out->frag_offsets[i - 1];
