@@ -267,46 +267,63 @@ void sketch_sequences_native_cpp(
     const int64_t nfrag = bounds.empty() ? 0 : (int64_t)bounds.size() - 1;
 
     if (len >= k) {
+      // Three-phase block scan. Phase 1 (serial rolling state) writes
+      // canonical k-mers into a block buffer; phase 2 is a plain array
+      // loop over mix64 that the compiler vectorizes (~3x the embedded
+      // scalar rate); phase 3 does the threshold selection. The mix is
+      // computed for invalid windows too (garbage in, discarded by the
+      // valid mask) — selection semantics are untouched.
+      constexpr int64_t BLK = 8192;
+      uint64_t canon_buf[BLK];
+      uint64_t hash_buf[BLK];
+      uint8_t valid_buf[BLK];
       uint64_t fwd = 0, rev = 0;
       int run = 0;
       int64_t bi = 0;  // current fragment search hint
-      for (int64_t i = 0; i < len; i++) {
-        uint8_t c = kCode.lut[(uint8_t)s[i]];
-        if (c == INVALID) {
-          run = 0;
-          continue;
+      for (int64_t blk = 0; blk < len; blk += BLK) {
+        const int64_t hi_i = std::min(blk + BLK, len);
+        const int64_t nblk = hi_i - blk;
+        for (int64_t i = blk; i < hi_i; i++) {
+          const uint8_t c = kCode.lut[(uint8_t)s[i]];
+          const bool ok = c != INVALID;
+          fwd = ((fwd << 2) | (ok ? c : 0)) & kmask;
+          rev = (rev >> 2) | (((uint64_t)(3 - (ok ? c : 0))) << shift_hi);
+          run = ok ? run + 1 : 0;
+          canon_buf[i - blk] = fwd < rev ? fwd : rev;
+          valid_buf[i - blk] = run >= k;
         }
-        fwd = ((fwd << 2) | c) & kmask;
-        rev = (rev >> 2) | (((uint64_t)(3 - c)) << shift_hi);
-        if (++run < k) continue;
-        const int64_t pos = i - k + 1;  // kmer start
-        const uint64_t canon = fwd < rev ? fwd : rev;
-        const uint64_t h = mix64(canon);
-        if (h < fthresh) {
-          const uint64_t mb = h & member_mask;
-          if (use_bitmaps)
-            member_bm[mb >> 6] |= 1ULL << (mb & 63);
-          else
-            member.push_back(mb);
-          if (nfrag > 0) {
-            while (bi + 1 < (int64_t)bounds.size() - 1 && pos >= bounds[bi + 1])
-              bi++;
-            if (pos >= bounds[bi] && pos < bounds[bi + 1]) {
-              const int64_t fid = frag_base + bi;
-              if (frag_runs.empty() || frag_runs.back().first != fid)
-                frag_runs.emplace_back(fid, (int64_t)fragbuckets.size());
-              fragbuckets.push_back((uint32_t)mb);
+        for (int64_t j = 0; j < nblk; j++) hash_buf[j] = mix64(canon_buf[j]);
+        for (int64_t j = 0; j < nblk; j++) {
+          if (!valid_buf[j]) continue;
+          const uint64_t h = hash_buf[j];
+          if (h < fthresh) {
+            const int64_t pos = blk + j - k + 1;  // kmer start
+            const uint64_t mb = h & member_mask;
+            if (use_bitmaps)
+              member_bm[mb >> 6] |= 1ULL << (mb & 63);
+            else
+              member.push_back(mb);
+            if (nfrag > 0) {
+              while (bi + 1 < (int64_t)bounds.size() - 1 &&
+                     pos >= bounds[bi + 1])
+                bi++;
+              if (pos >= bounds[bi] && pos < bounds[bi + 1]) {
+                const int64_t fid = frag_base + bi;
+                if (frag_runs.empty() || frag_runs.back().first != fid)
+                  frag_runs.emplace_back(fid, (int64_t)fragbuckets.size());
+                fragbuckets.push_back((uint32_t)mb);
+              }
             }
           }
-        }
-        // Independent of the fragment threshold: parity with the numpy
-        // path when genome_scale < fragment_scale (gthresh > fthresh).
-        if (h < gthresh) {
-          const uint64_t pb = h & pref_mask;
-          if (use_bitmaps)
-            pref_bm[pb >> 6] |= 1ULL << (pb & 63);
-          else
-            pref.push_back(pb);
+          // Independent of the fragment threshold: parity with the
+          // numpy path when gthresh > fthresh.
+          if (h < gthresh) {
+            const uint64_t pb = h & pref_mask;
+            if (use_bitmaps)
+              pref_bm[pb >> 6] |= 1ULL << (pb & 63);
+            else
+              pref.push_back(pb);
+          }
         }
       }
     }
