@@ -21,6 +21,11 @@
 
 #include <zlib.h>
 
+// Defined by the Makefile when libdeflate compiles AND links.
+#ifdef GT_HAVE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
+
 namespace {
 
 // ----------------------------------------------------------------------
@@ -134,8 +139,111 @@ struct FastaRecordC {
   std::string seq;
 };
 
+// Parse FASTA records out of one decompressed buffer (memchr line
+// scan — also used by the libdeflate fast path below).
+static void parse_fasta_buffer(const char* data, size_t n,
+                               std::vector<FastaRecordC>* out) {
+  FastaRecordC* cur = nullptr;
+  size_t pos = 0;
+  while (pos < n) {
+    const char* nl = (const char*)memchr(data + pos, '\n', n - pos);
+    size_t end = nl ? (size_t)(nl - data) : n;
+    size_t line_end = end;
+    if (line_end > pos && data[line_end - 1] == '\r') line_end--;
+    if (line_end > pos) {
+      if (data[pos] == '>') {
+        out->emplace_back();
+        cur = &out->back();
+        cur->name.assign(data + pos + 1, line_end - pos - 1);
+      } else if (cur != nullptr) {
+        cur->seq.append(data + pos, line_end - pos);
+      }
+    }
+    pos = end + 1;
+  }
+}
+
+#ifdef GT_HAVE_LIBDEFLATE
+// Whole-buffer multi-member gunzip: ~2-3x zlib's streaming inflate.
+static bool gunzip_all(const std::string& comp, std::string* plain,
+                       std::string* err, const char* path) {
+  struct libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+  if (!d) {
+    *err = "libdeflate_alloc_decompressor failed";
+    return false;
+  }
+  size_t off = 0, used = 0;
+  plain->resize(std::max<size_t>(comp.size() * 4, 1 << 20));
+  bool ok = true;
+  while (off + 18 <= comp.size()) {
+    if ((uint8_t)comp[off] != 0x1f || (uint8_t)comp[off + 1] != 0x8b) {
+      // Allow zero padding after the last member; anything else is
+      // corruption (parity with the zlib path's error).
+      bool all_zero = true;
+      for (size_t i = off; i < comp.size(); i++)
+        if (comp[i] != 0) { all_zero = false; break; }
+      if (!all_zero) {
+        *err = std::string("error reading ") + path +
+               ": trailing garbage after gzip stream";
+        ok = false;
+      }
+      break;
+    }
+    size_t in_used = 0, out_used = 0;
+    enum libdeflate_result r = libdeflate_gzip_decompress_ex(
+        d, comp.data() + off, comp.size() - off, &(*plain)[used],
+        plain->size() - used, &in_used, &out_used);
+    if (r == LIBDEFLATE_INSUFFICIENT_SPACE) {
+      plain->resize(plain->size() * 2);
+      continue;
+    }
+    if (r != LIBDEFLATE_SUCCESS) {
+      *err = std::string("error reading ") + path +
+             ": corrupt gzip stream";
+      ok = false;
+      break;
+    }
+    used += out_used;
+    off += in_used;
+  }
+  libdeflate_free_decompressor(d);
+  plain->resize(used);
+  return ok;
+}
+#endif
+
 bool read_fasta_file(const char* path, std::vector<FastaRecordC>* out,
                      std::string* err) {
+#ifdef GT_HAVE_LIBDEFLATE
+  {
+    FILE* rf = fopen(path, "rb");
+    if (!rf) {
+      *err = std::string("failed to open ") + path;
+      return false;
+    }
+    int c0 = fgetc(rf), c1 = fgetc(rf);
+    if (c0 == 0x1f && c1 == 0x8b) {
+      // gzip: slurp + libdeflate + buffer parse.
+      fseek(rf, 0, SEEK_END);
+      const long fsz = ftell(rf);
+      fseek(rf, 0, SEEK_SET);
+      std::string comp(fsz > 0 ? (size_t)fsz : 0, '\0');
+      const size_t got = fsz > 0 ? fread(&comp[0], 1, comp.size(), rf) : 0;
+      fclose(rf);
+      if (got != comp.size()) {
+        *err = std::string("error reading ") + path;
+        return false;
+      }
+      std::string plain;
+      if (!gunzip_all(comp, &plain, err, path)) return false;
+      comp.clear();
+      comp.shrink_to_fit();
+      parse_fasta_buffer(plain.data(), plain.size(), out);
+      return true;
+    }
+    fclose(rf);
+  }
+#endif
   gzFile f = gzopen(path, "rb");
   if (!f) {
     *err = std::string("failed to open ") + path;
