@@ -76,6 +76,44 @@ def test_native_sketch_parity():
         assert np.array_equal(raw["frag_offsets"], ref.frag_offsets)
 
 
+def test_native_sketch_block_boundary_parity(tmp_path):
+    """The C++ scan loop stages k-mers through 8192-position blocks;
+    sequence lengths and N placements straddling block edges must stay
+    bit-identical to the (blockless) numpy reference."""
+    from galah_tpu.sketch.fracminhash import (
+        NativeSketchParams,
+        sketch_sequences_native,
+    )
+
+    rng = np.random.default_rng(77)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    params = NativeSketchParams(
+        genome_scale=20, fragment_scale=2, fragment_length=700,
+        prefilter_bits=1 << 12, member_bits=1 << 14,
+        min_fragment_length=100,
+    )
+    for length, n_at in [
+        (8191, None), (8192, None), (8193, None),
+        (8192 + 14, 8192 - 7),      # N spanning the first block edge
+        (3 * 8192 + 5, 2 * 8192),   # N exactly on a later edge
+        (16384, 8192 + 3),
+    ]:
+        seq = bases[rng.integers(0, 4, size=length)].copy()
+        if n_at is not None:
+            seq[n_at] = ord("N")
+        seqs = [seq.tobytes()]
+        p = tmp_path / f"b{length}_{n_at}.fna"
+        with open(p, "wb") as f:
+            f.write(b">c\n" + seqs[0] + b"\n")
+        ref = sketch_sequences_native(str(p), seqs, params)
+        raw = native_ext.NativeFasta(str(p)).native_sketch(0, params)[0]
+        assert raw["total_len"] == ref.total_len
+        assert np.array_equal(raw["member_buckets"], ref.member_buckets)
+        assert np.array_equal(raw["prefilter_buckets"], ref.prefilter_buckets)
+        assert np.array_equal(raw["frag_buckets"], ref.frag_buckets)
+        assert np.array_equal(raw["frag_offsets"], ref.frag_offsets)
+
+
 def test_native_sketch_contig_mode_parity():
     from galah_tpu.io.fasta import read_fasta
     from galah_tpu.sketch.fracminhash import (
