@@ -293,7 +293,7 @@ def bench_device_sketch(jax, jnp):
     import numpy as np
 
     from galah_tpu.ops.device_sketch import (
-        _frag_capacity,
+        _default_frag_cap,
         _sel_capacity,
         _sketch_batch_kernel,
     )
@@ -334,11 +334,12 @@ def bench_device_sketch(jax, jnp):
             gthresh=int(params.genome_threshold),
             fthresh=int(params.fragment_threshold),
             max_frags=nfrag, max_sel=SEL,
-            frag_cap=_frag_capacity(params),
+            frag_cap=_default_frag_cap(params),  # the production path
         )
         # Consume EVERY output (pref/member words, flat, offsets,
-        # counters): summing only one would let XLA dead-code-eliminate
-        # the dedup sort and bitmap packing out of the measurement.
+        # counters, both overflow flags): summing only one would let
+        # XLA dead-code-eliminate the dedup sort, bitmap packing, or
+        # the segmented path's per-fragment counting.
         acc = (
             jnp.sum(out[0], dtype=jnp.uint32)
             + jnp.sum(out[2], dtype=jnp.uint32)
@@ -350,6 +351,8 @@ def bench_device_sketch(jax, jnp):
             + jnp.sum(out[4], dtype=jnp.int32)
             + jnp.sum(out[5], dtype=jnp.int32)
             + jnp.sum(out[6], dtype=jnp.int32)
+            + jnp.sum(out[7].astype(jnp.int32))
+            + jnp.sum(out[8].astype(jnp.int32))
         )
         return acc.astype(jnp.float32)
 

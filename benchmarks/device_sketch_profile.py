@@ -409,8 +409,9 @@ def main():
                     max_frags=nfrag, max_sel=SELP,
                     frag_cap=cap,
                 )
-                # Consume every output, or XLA dead-code-eliminates
-                # the dedup sort / bitmap packing from the measurement.
+                # Consume every output (incl. both overflow flags), or
+                # XLA dead-code-eliminates the dedup sort / bitmap
+                # packing / per-fragment counting from the measurement.
                 acc = (
                     jnp.sum(out[0], dtype=jnp.uint32)
                     + jnp.sum(out[2], dtype=jnp.uint32)
@@ -422,6 +423,8 @@ def main():
                     + jnp.sum(out[4], dtype=jnp.int32)
                     + jnp.sum(out[5], dtype=jnp.int32)
                     + jnp.sum(out[6], dtype=jnp.int32)
+                    + jnp.sum(out[7].astype(jnp.int32))
+                    + jnp.sum(out[8].astype(jnp.int32))
                 )
 
             return prod_body

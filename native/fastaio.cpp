@@ -21,10 +21,42 @@
 
 #include <zlib.h>
 
-// Defined by the Makefile when libdeflate compiles AND links.
-#ifdef GT_HAVE_LIBDEFLATE
-#include <libdeflate.h>
-#endif
+#include <dlfcn.h>
+#include <sys/stat.h>
+
+// libdeflate (2-3x faster whole-buffer gunzip) resolved at RUNTIME via
+// dlopen so the shared library keeps zero hard dependencies beyond
+// zlib — hosts without libdeflate silently keep the zlib streaming
+// path instead of losing the whole native extension to a missing DSO.
+namespace gzfast {
+typedef void* (*alloc_fn)();
+typedef void (*free_fn)(void*);
+// enum libdeflate_result: 0 SUCCESS, 1 BAD_DATA, 2 SHORT_OUTPUT,
+// 3 INSUFFICIENT_SPACE (stable ABI, /usr/include/libdeflate.h).
+typedef int (*dec_fn)(void*, const void*, size_t, void*, size_t, size_t*,
+                      size_t*);
+constexpr int SUCCESS = 0, INSUFFICIENT_SPACE = 3;
+struct Api {
+  alloc_fn alloc = nullptr;
+  free_fn free_d = nullptr;
+  dec_fn decompress = nullptr;
+  bool ok = false;
+};
+inline const Api& api() {
+  static const Api a = [] {
+    Api r;
+    void* h = dlopen("libdeflate.so.0", RTLD_NOW | RTLD_LOCAL);
+    if (!h) h = dlopen("libdeflate.so", RTLD_NOW | RTLD_LOCAL);
+    if (!h) return r;
+    r.alloc = (alloc_fn)dlsym(h, "libdeflate_alloc_decompressor");
+    r.free_d = (free_fn)dlsym(h, "libdeflate_free_decompressor");
+    r.decompress = (dec_fn)dlsym(h, "libdeflate_gzip_decompress_ex");
+    r.ok = r.alloc && r.free_d && r.decompress;
+    return r;
+  }();
+  return a;
+}
+}  // namespace gzfast
 
 namespace {
 
@@ -163,11 +195,14 @@ static void parse_fasta_buffer(const char* data, size_t n,
   }
 }
 
-#ifdef GT_HAVE_LIBDEFLATE
-// Whole-buffer multi-member gunzip: ~2-3x zlib's streaming inflate.
+// Whole-buffer multi-member gunzip via the runtime libdeflate API:
+// ~2-3x zlib's streaming inflate. Trailing bytes that do not start a
+// new gzip member are ignored (matching zlib's gzread behavior, which
+// the fallback path below keeps); corruption WITHIN a member errors.
 static bool gunzip_all(const std::string& comp, std::string* plain,
                        std::string* err, const char* path) {
-  struct libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+  const gzfast::Api& api = gzfast::api();
+  void* d = api.alloc();
   if (!d) {
     *err = "libdeflate_alloc_decompressor failed";
     return false;
@@ -175,29 +210,18 @@ static bool gunzip_all(const std::string& comp, std::string* plain,
   size_t off = 0, used = 0;
   plain->resize(std::max<size_t>(comp.size() * 4, 1 << 20));
   bool ok = true;
-  while (off + 18 <= comp.size()) {
-    if ((uint8_t)comp[off] != 0x1f || (uint8_t)comp[off + 1] != 0x8b) {
-      // Allow zero padding after the last member; anything else is
-      // corruption (parity with the zlib path's error).
-      bool all_zero = true;
-      for (size_t i = off; i < comp.size(); i++)
-        if (comp[i] != 0) { all_zero = false; break; }
-      if (!all_zero) {
-        *err = std::string("error reading ") + path +
-               ": trailing garbage after gzip stream";
-        ok = false;
-      }
-      break;
-    }
+  while (off + 18 <= comp.size() && (uint8_t)comp[off] == 0x1f &&
+         (uint8_t)comp[off + 1] == 0x8b) {
     size_t in_used = 0, out_used = 0;
-    enum libdeflate_result r = libdeflate_gzip_decompress_ex(
-        d, comp.data() + off, comp.size() - off, &(*plain)[used],
-        plain->size() - used, &in_used, &out_used);
-    if (r == LIBDEFLATE_INSUFFICIENT_SPACE) {
+    const int r =
+        api.decompress(d, comp.data() + off, comp.size() - off,
+                       &(*plain)[used], plain->size() - used, &in_used,
+                       &out_used);
+    if (r == gzfast::INSUFFICIENT_SPACE) {
       plain->resize(plain->size() * 2);
       continue;
     }
-    if (r != LIBDEFLATE_SUCCESS) {
+    if (r != gzfast::SUCCESS) {
       *err = std::string("error reading ") + path +
              ": corrupt gzip stream";
       ok = false;
@@ -206,29 +230,35 @@ static bool gunzip_all(const std::string& comp, std::string* plain,
     used += out_used;
     off += in_used;
   }
-  libdeflate_free_decompressor(d);
+  api.free_d(d);
   plain->resize(used);
   return ok;
 }
-#endif
 
 bool read_fasta_file(const char* path, std::vector<FastaRecordC>* out,
                      std::string* err) {
-#ifdef GT_HAVE_LIBDEFLATE
-  {
+  struct stat st;
+  if (gzfast::api().ok && stat(path, &st) == 0 && S_ISREG(st.st_mode)) {
+    // Fast path for regular gzip files only: pipes/FIFOs (never even
+    // sniffed — a read here would eat their bytes) and plain files
+    // keep the streaming zlib path below.
     FILE* rf = fopen(path, "rb");
     if (!rf) {
       *err = std::string("failed to open ") + path;
       return false;
     }
-    int c0 = fgetc(rf), c1 = fgetc(rf);
-    if (c0 == 0x1f && c1 == 0x8b) {
-      // gzip: slurp + libdeflate + buffer parse.
-      fseek(rf, 0, SEEK_END);
-      const long fsz = ftell(rf);
-      fseek(rf, 0, SEEK_SET);
-      std::string comp(fsz > 0 ? (size_t)fsz : 0, '\0');
-      const size_t got = fsz > 0 ? fread(&comp[0], 1, comp.size(), rf) : 0;
+    const int c0 = fgetc(rf);
+    const int c1 = fgetc(rf);
+    bool take_fast = (c0 == 0x1f && c1 == 0x8b) &&
+                     fseek(rf, 0, SEEK_END) == 0;
+    long fsz = -1;
+    if (take_fast) {
+      fsz = ftell(rf);
+      take_fast = fsz > 0 && fseek(rf, 0, SEEK_SET) == 0;
+    }
+    if (take_fast) {
+      std::string comp((size_t)fsz, '\0');
+      const size_t got = fread(&comp[0], 1, comp.size(), rf);
       fclose(rf);
       if (got != comp.size()) {
         *err = std::string("error reading ") + path;
@@ -241,9 +271,8 @@ bool read_fasta_file(const char* path, std::vector<FastaRecordC>* out,
       parse_fasta_buffer(plain.data(), plain.size(), out);
       return true;
     }
-    fclose(rf);
+    fclose(rf);  // non-gzip, non-seekable, or empty: stream below
   }
-#endif
   gzFile f = gzopen(path, "rb");
   if (!f) {
     *err = std::string("failed to open ") + path;
