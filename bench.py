@@ -370,6 +370,25 @@ def bench_device_sketch(jax, jnp):
 
 
 def main() -> None:
+    import os
+    import threading
+
+    # Fail fast if the accelerator backend is unreachable (a dead
+    # tunnel makes jax.devices() block forever; a clear nonzero exit
+    # beats an indefinite hang for whoever scheduled the bench).
+    init_done = threading.Event()
+    timeout_s = float(os.environ.get("GALAH_BENCH_INIT_TIMEOUT", "900"))
+
+    def _watchdog():
+        if not init_done.wait(timeout_s):
+            _log(
+                f"backend initialization exceeded {timeout_s:.0f}s "
+                "(accelerator tunnel unreachable?) — aborting"
+            )
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import galah_tpu  # noqa: F401  (applies the numpy allocator tuning)
     import jax
     import jax.numpy as jnp
@@ -388,6 +407,7 @@ def main() -> None:
         pass
 
     _log(f"backend={jax.default_backend()}")
+    init_done.set()
     which = os.environ.get("GALAH_BENCH", "all")
 
     pairs_per_s = bench_screen_matmul(jax, jnp)
