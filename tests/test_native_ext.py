@@ -153,6 +153,37 @@ def test_native_sketch_contig_mode_threaded_determinism():
             assert np.array_equal(a[key], b[key]), key
 
 
+def test_gz_buffer_parser_matches_streaming(tmp_path):
+    """The libdeflate fast path parses records from one decompressed
+    buffer; the same content read plain goes through the streaming
+    zlib parser. Both must agree on awkward shapes: CRLF, empty lines,
+    tab headers, a record with no sequence, no trailing newline."""
+    import gzip
+
+    content = (
+        b">c1\tdescription with tabs\r\n"
+        b"ACGT\r\nACG\r\n"
+        b"\r\n"
+        b">empty_record\n"
+        b">c2\n"
+        b"acgtn\n"
+        b"ACGTACGT"  # no trailing newline
+    )
+    plain = tmp_path / "x.fna"
+    plain.write_bytes(content)
+    gz = tmp_path / "x.fna.gz"
+    gz.write_bytes(gzip.compress(content))
+    fp = native_ext.NativeFasta(str(plain))
+    fg = native_ext.NativeFasta(str(gz))
+    assert fp.num_records() == fg.num_records() == 3
+    for i in range(3):
+        assert fp.name(i) == fg.name(i)
+        assert fp.seq(i) == fg.seq(i)
+    assert fp.seq(0) == b"ACGTACG"
+    assert fp.seq(1) == b""
+    assert fp.seq(2) == b"acgtnACGTACGT"
+
+
 def test_corrupt_gzip_errors(tmp_path):
     """A truncated gzip stream must raise, not silently truncate (both
     native and numpy paths)."""
