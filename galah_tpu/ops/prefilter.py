@@ -49,7 +49,7 @@ def _unpack_bits(x_packed: jax.Array, dt) -> jax.Array:
 # program over this rig's remote-compile tunnel.
 @partial(
     jax.jit,
-    static_argnames=("block", "cap", "is_diag"),
+    static_argnames=("block", "cap", "is_diag", "dtname"),
 )
 def _resident_screen_extract(
     x_all: jax.Array,   # (n_pad, W) uint32 — full packed matrix, resident
@@ -62,6 +62,7 @@ def _resident_screen_extract(
     block: int,
     cap: int,
     is_diag: bool,
+    dtname: str = "",
 ):
     """Screen one (block x block) tile out of the resident packed
     matrix (uploaded once for the whole sweep) with on-device sparse
@@ -71,12 +72,10 @@ def _resident_screen_extract(
     sj = jax.lax.dynamic_slice(x_all, (bj * block, 0), (block, w))
     a = jax.lax.dynamic_slice(sizes, (bi * block,), (block,))
     b = jax.lax.dynamic_slice(sizes, (bj * block,), (block,))
-    dt = _screen_dtype()
-    counts = jax.lax.dot_general(
+    dt = _screen_dt(dtname)
+    counts = _screen_matmul(
         _unpack_bits(si, dt),
         _unpack_bits(sj, dt),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
     )
     cont = _containment(counts, a, b, bits_f)
     mask = cont >= min_cont
@@ -92,7 +91,7 @@ def _resident_screen_extract(
     )
 
 
-@partial(jax.jit, static_argnames=("cap", "is_diag"))
+@partial(jax.jit, static_argnames=("cap", "is_diag", "dtname"))
 def _block_screen_extract_packed(
     si_pk: jax.Array,
     sj_pk: jax.Array,
@@ -103,6 +102,7 @@ def _block_screen_extract_packed(
     *,
     cap: int,
     is_diag: bool,
+    dtname: str = "",
 ):
     """Fused screen block with ON-DEVICE sparse extraction: only the
     above-cutoff entries (bounded by `cap`) come back to the host —
@@ -110,12 +110,10 @@ def _block_screen_extract_packed(
     device->host traffic by orders of magnitude. Returns
     (count, rows (cap,), cols (cap,), cont_vals (cap,) bf16); if count
     exceeds cap the caller falls back to a dense pull for the block."""
-    dt = _screen_dtype()
-    counts = jax.lax.dot_general(
+    dt = _screen_dt(dtname)
+    counts = _screen_matmul(
         _unpack_bits(si_pk, dt),
         _unpack_bits(sj_pk, dt),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
     )
     cont = _containment(counts, a, b, bits_f)
     mask = cont >= min_cont
@@ -132,36 +130,28 @@ def _block_screen_extract_packed(
     )
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("dtname",))
 def _block_containment_u8(
-    si_u8: jax.Array, sj_u8: jax.Array, a: jax.Array, b: jax.Array, bits_f
+    si_u8: jax.Array, sj_u8: jax.Array, a: jax.Array, b: jax.Array, bits_f,
+    *, dtname: str = "",
 ) -> jax.Array:
     """Fused screen block: uint8 indicators in (cast to the matmul dtype
     on device), collision-corrected containment out as bf16."""
-    dt = _screen_dtype()
-    counts = jax.lax.dot_general(
-        si_u8.astype(dt),
-        sj_u8.astype(dt),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    dt = _screen_dt(dtname)
+    counts = _screen_matmul(si_u8.astype(dt), sj_u8.astype(dt))
     return _containment(counts, a, b, bits_f).astype(jnp.bfloat16)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("dtname",))
 def _block_containment_packed(
-    si_pk: jax.Array, sj_pk: jax.Array, a: jax.Array, b: jax.Array, bits_f
+    si_pk: jax.Array, sj_pk: jax.Array, a: jax.Array, b: jax.Array, bits_f,
+    *, dtname: str = "",
 ) -> jax.Array:
     """Fused screen block over packed uint32 bitmaps: 32x less
     host->device traffic than uint8 indicators; unpacked to the matmul
     dtype on device so the MXU still does the intersection counts."""
-    dt = _screen_dtype()
-    counts = jax.lax.dot_general(
-        _unpack_bits(si_pk, dt),
-        _unpack_bits(sj_pk, dt),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    dt = _screen_dt(dtname)
+    counts = _screen_matmul(_unpack_bits(si_pk, dt), _unpack_bits(sj_pk, dt))
     return _containment(counts, a, b, bits_f).astype(jnp.bfloat16)
 
 
@@ -199,14 +189,54 @@ def _device_resident_budget() -> int:
 TILE_WINDOW = 16
 
 
-def _screen_dtype():
-    # bf16 feeds the MXU on TPU; CPU emulates bf16 slowly, so use f32
-    # there. Both accumulate in f32 (exact for 0/1 counts).
-    return (
-        jnp.bfloat16
-        if jax.default_backend() not in ("cpu",)
-        else jnp.float32
+_SCREEN_DTYPES = {
+    "int8": jnp.int8,
+    "bf16": jnp.bfloat16,
+    "f32": jnp.float32,
+}
+
+
+def _screen_dtype_name() -> str:
+    """Matmul input dtype for the screen, resolved per call.
+
+    int8 feeds the v5e MXU at 2x the bf16 rate (int8 x int8 -> int32)
+    and is exact for 0/1 indicator counts; CPU keeps f32 (XLA's CPU
+    int8 dot is slower than its f32 GEMM). GALAH_TPU_SCREEN_DTYPE
+    overrides (int8|bf16|f32). The name is threaded into the jitted
+    screen kernels as a STATIC argument so each dtype compiles and
+    caches its own program.
+    """
+    import os
+
+    mode = os.environ.get("GALAH_TPU_SCREEN_DTYPE")
+    if mode in _SCREEN_DTYPES:
+        return mode
+    return "f32" if jax.default_backend() in ("cpu",) else "int8"
+
+
+def _screen_dt(dtname: str):
+    """Static dtype-name -> jnp dtype; "" resolves from the backend at
+    trace time (callers should pass _screen_dtype_name() explicitly —
+    the empty-name path exists only so direct kernel calls in tests
+    keep working)."""
+    if not dtname:
+        dtname = _screen_dtype_name()
+    return _SCREEN_DTYPES[dtname]
+
+
+def _screen_matmul(xu: jax.Array, yu: jax.Array) -> jax.Array:
+    """Pairwise intersection counts between indicator rows as one MXU
+    matmul, returned as f32. int8 inputs accumulate in int32 (exact;
+    counts <= bits < 2^31); float inputs accumulate in f32 (exact for
+    0/1 counts < 2^24)."""
+    acc = jnp.int32 if xu.dtype == jnp.int8 else jnp.float32
+    counts = jax.lax.dot_general(
+        xu,
+        yu,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=acc,
     )
+    return counts.astype(jnp.float32)
 
 
 def screen_triangle(
@@ -235,6 +265,7 @@ def screen_triangle(
 
     sizes_f = sizes.astype(np.float32)
     nblocks = math.ceil(n / block)
+    dtn = _screen_dtype_name()
     dev_blocks = {}
 
     def make_block(bi: int) -> jax.Array:
@@ -259,7 +290,7 @@ def screen_triangle(
                 sj = make_block(bj)
             aj = jnp.asarray(sizes_f[bj * block : bj * block + sj.shape[0]])
             cont = np.array(
-                _block_containment_u8(si, sj, ai, aj, float(bits))
+                _block_containment_u8(si, sj, ai, aj, float(bits), dtname=dtn)
             ).astype(np.float32)
             if bi == bj:
                 cont[np.tril_indices(cont.shape[0])] = -1.0  # -1: a cutoff of 0 must still drop self/reversed pairs
@@ -300,6 +331,7 @@ def screen_triangle_packed(
     w = len(packed[0])
     cap = 16384
     min_cont_f = float(np.float32(min_containment))
+    dtn = _screen_dtype_name()
 
     # Resident mode: one upload of the whole packed matrix, device-side
     # tile slicing (unless it would not fit the device's HBM budget or
@@ -348,7 +380,9 @@ def screen_triangle_packed(
                 si, ai = make_block(bi)
                 sj, aj = (si, ai) if bj == bi else make_block(bj)
             cont = np.array(
-                _block_containment_packed(si, sj, ai, aj, float(bits))
+                _block_containment_packed(
+                    si, sj, ai, aj, float(bits), dtname=dtn
+                )
             ).astype(np.float32)
             if bi == bj:
                 cont[np.tril_indices(cont.shape[0])] = -1.0  # -1: a cutoff of 0 must still drop self/reversed pairs
@@ -380,6 +414,7 @@ def screen_triangle_packed(
                     x_all, s_dev, jnp.int32(bi), jnp.int32(bj),
                     block=block, bits_f=float(bits),
                     min_cont=min_cont_f, cap=cap, is_diag=bj == bi,
+                    dtname=dtn,
                 )
                 pending.append((bi, bj, res))
                 if len(pending) > TILE_WINDOW:
@@ -394,7 +429,7 @@ def screen_triangle_packed(
                     sj, aj = get_block(bj) if cache_blocks else make_block(bj)
                 res = _block_screen_extract_packed(
                     si, sj, ai, aj, float(bits), min_cont_f,
-                    cap=cap, is_diag=bj == bi,
+                    cap=cap, is_diag=bj == bi, dtname=dtn,
                 )
                 # Do NOT keep the device blocks alive in the window — in
                 # streaming (low-memory) mode that would pin every
@@ -432,6 +467,7 @@ def screen_rectangle_packed(
     inv_k = 1.0 / k
     cap = 16384
     min_cont_f = float(np.float32(min_containment))
+    dtn = _screen_dtype_name()
 
     nq_pad = ((nq + block - 1) // block) * block
     nr_pad = ((nr + block - 1) // block) * block
@@ -462,6 +498,7 @@ def screen_rectangle_packed(
                     s_dev[lo_i : lo_i + block],
                     s_dev[lo_j : lo_j + block],
                     float(bits),
+                    dtname=dtn,
                 )
             ).astype(np.float32)
             hit = np.argwhere(cont >= min_containment)
@@ -488,6 +525,7 @@ def screen_rectangle_packed(
                 x_all, s_dev, jnp.int32(bi), jnp.int32(ref_block0 + bj),
                 block=block, bits_f=float(bits),
                 min_cont=min_cont_f, cap=cap, is_diag=False,
+                dtname=dtn,
             )
             pending.append((bi, bj, res))
             if len(pending) > TILE_WINDOW:
@@ -517,6 +555,7 @@ def screen_rectangle(
         return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
     bits = len(query_indicators[0])
     inv_k = 1.0 / k
+    dtn = _screen_dtype_name()
     pairs: List[np.ndarray] = []
     anis: List[np.ndarray] = []
 
@@ -531,7 +570,7 @@ def screen_rectangle(
             )
             ar = jnp.asarray(ref_sizes[rlo:rhi].astype(np.float32))
             cont = np.array(
-                _block_containment_u8(sq, sr, aq, ar, float(bits))
+                _block_containment_u8(sq, sr, aq, ar, float(bits), dtname=dtn)
             ).astype(np.float32)
             hit = np.argwhere(cont >= min_containment)
             if hit.size:

@@ -39,7 +39,9 @@ from galah_tpu.ops.prefilter import (
     _block_containment_packed,
     _containment,
     _device_resident_budget,
-    _screen_dtype,
+    _screen_dt,
+    _screen_dtype_name,
+    _screen_matmul,
     _unpack_bits,
 )
 
@@ -57,7 +59,7 @@ ROWSHARD_STAGE_CAP = 1 << 15
 _TILE_FN_CACHE: dict = {}
 
 
-def _tile_screen_fn(mesh: Mesh, block: int, cap: int):
+def _tile_screen_fn(mesh: Mesh, block: int, cap: int, dtname: str):
     """Build (and cache) the jitted sharded tile sweep for one mesh,
     tile edge, and extraction cap. The bitmap width, containment cutoff
     and tile count are traced, so one compilation serves every run.
@@ -69,7 +71,7 @@ def _tile_screen_fn(mesh: Mesh, block: int, cap: int):
     and batched the dynamic slices into gathers; the scan body compiles
     once and executes per-tile.)
     """
-    key = (mesh, block, cap)
+    key = (mesh, block, cap, dtname)
     fn = _TILE_FN_CACHE.get(key)
     if fn is not None:
         return fn
@@ -83,13 +85,8 @@ def _tile_screen_fn(mesh: Mesh, block: int, cap: int):
         sj = jax.lax.dynamic_slice(x_all, (bj * block, 0), (block, w))
         a = jax.lax.dynamic_slice(sizes, (bi * block,), (block,))
         b = jax.lax.dynamic_slice(sizes, (bj * block,), (block,))
-        dt = _screen_dtype()
-        counts = jax.lax.dot_general(
-            _unpack_bits(si, dt),
-            _unpack_bits(sj, dt),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        dt = _screen_dt(dtname)
+        counts = _screen_matmul(_unpack_bits(si, dt), _unpack_bits(sj, dt))
         cont = _containment(counts, a, b, bits_f)
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
         cols_j = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
@@ -205,7 +202,8 @@ def sharded_screen_triangle_packed(
     s_all = jax.device_put(s_np, rep)
     del x_np
 
-    fn = _tile_screen_fn(mesh, block, cap)
+    dtn = _screen_dtype_name()
+    fn = _tile_screen_fn(mesh, block, cap, dtn)
     bits_dev = jnp.float32(bits)
     min_cont_dev = jnp.float32(min_cont_static)
 
@@ -240,6 +238,7 @@ def sharded_screen_triangle_packed(
                         s_all[lo_i : lo_i + block],
                         s_all[lo_j : lo_j + block],
                         float(bits),
+                        dtname=dtn,
                     )
                 ).astype(np.float32)
                 if bi == bj:
@@ -283,7 +282,7 @@ def sharded_screen_triangle_packed(
 
 
 def _rowshard_stage_fn(mesh: Mesh, block: int, cap: int, slots: int,
-                       stage_cap: int):
+                       stage_cap: int, dtname: str):
     """Build (and cache) the jitted one-column-stage sweep for the
     ROW-SHARDED resident matrix.
 
@@ -307,7 +306,7 @@ def _rowshard_stage_fn(mesh: Mesh, block: int, cap: int, slots: int,
     src/skani.rs:229-377). Column stage index cb and the real block
     count are traced, so one compilation serves every stage and run.
     """
-    key = ("rowshard", mesh, block, cap, slots, stage_cap)
+    key = ("rowshard", mesh, block, cap, slots, stage_cap, dtname)
     fn = _TILE_FN_CACHE.get(key)
     if fn is not None:
         return fn
@@ -328,7 +327,7 @@ def _rowshard_stage_fn(mesh: Mesh, block: int, cap: int, slots: int,
             jnp.where(idx == owner, blk, jnp.zeros_like(blk)), axes
         )
         col_s = jax.lax.psum(jnp.where(idx == owner, sblk, 0.0), axes)
-        dt = _screen_dtype()
+        dt = _screen_dt(dtname)
         col_unpacked = _unpack_bits(col_x, dt)
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
         cols_j = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
@@ -337,12 +336,7 @@ def _rowshard_stage_fn(mesh: Mesh, block: int, cap: int, slots: int,
             si = jax.lax.dynamic_slice(x_local, (s * block, 0), (block, w))
             a = jax.lax.dynamic_slice(s_local, (s * block,), (block,))
             g = idx + s * n_dev
-            counts = jax.lax.dot_general(
-                _unpack_bits(si, dt),
-                col_unpacked,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            counts = _screen_matmul(_unpack_bits(si, dt), col_unpacked)
             cont = _containment(counts, a, col_s, bits_f)
             mask = (cont >= min_cont) & ((g != cb) | (cols_j > rows_i))
             cnt = jnp.sum(mask).astype(jnp.int32)
@@ -433,7 +427,7 @@ def _host_block(packed, n: int, w: int, g: int, block: int) -> np.ndarray:
 
 
 def _dense_tile_hits(
-    packed, sizes_pad, n, w, bits, g, cb, block, min_containment
+    packed, sizes_pad, n, w, bits, g, cb, block, min_containment, dtname=""
 ):
     """Recompute one overflowing tile densely (device matmul on two
     host-assembled blocks) and return its above-cutoff hits."""
@@ -442,7 +436,7 @@ def _dense_tile_hits(
     a = jnp.asarray(sizes_pad[g * block : (g + 1) * block])
     b = jnp.asarray(sizes_pad[cb * block : (cb + 1) * block])
     cont = np.array(
-        _block_containment_packed(xi, xj, a, b, float(bits))
+        _block_containment_packed(xi, xj, a, b, float(bits), dtname=dtname)
     ).astype(np.float32)
     if g == cb:
         cont[np.tril_indices(cont.shape[0])] = -1.0  # -1: a cutoff of 0 must still drop self/reversed pairs
@@ -529,7 +523,8 @@ def sharded_screen_triangle_rowsharded(
     x_all = jax.make_array_from_callback((total, w), x_sh, cb_x)
     s_all = jax.make_array_from_callback((total,), s_sh, cb_s)
 
-    fn = _rowshard_stage_fn(mesh, block, cap, slots, stage_cap)
+    dtn = _screen_dtype_name()
+    fn = _rowshard_stage_fn(mesh, block, cap, slots, stage_cap, dtn)
     bits_dev = jnp.float32(bits)
     min_cont_dev = jnp.float32(min_cont_static)
     nblocks_dev = jnp.int32(nblocks_real)
@@ -589,7 +584,7 @@ def sharded_screen_triangle_rowsharded(
                 if clobbered or c > cap:
                     gi, gj, v = _dense_tile_hits(
                         packed, sizes_pad, n, w, bits, g, cb, block,
-                        min_cont_static,
+                        min_cont_static, dtname=dtn,
                     )
                     emit(gi, gj, v)
                 else:

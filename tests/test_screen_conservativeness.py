@@ -158,3 +158,72 @@ def test_widen_after_sketch_refused(tmp_path):
     ctx.sketch(str(p))
     with pytest.raises(RuntimeError, match="widening"):
         NativePreclusterer(threshold=85.0, min_aligned_threshold=0.05, ctx=ctx)
+
+
+def test_screen_dtype_paths_identical(monkeypatch):
+    """The three screen matmul dtypes (f32, bf16-MXU, int8-MXU) must
+    produce bit-identical screen output: 0/1 indicator intersection
+    counts are exact integers under f32 accumulation (< 2^24) and int32
+    accumulation alike, so the dtype is purely a throughput knob
+    (GALAH_TPU_SCREEN_DTYPE)."""
+    from galah_tpu.ops.prefilter import screen_triangle_packed
+
+    rng = np.random.default_rng(11)
+    n, bits = 257, 2048  # odd n exercises block padding
+    w = bits // 32
+    base = rng.integers(0, 2**32, (n, w), dtype=np.uint32)
+    for t in range(10):  # plant near-duplicate pairs
+        base[2 * t + 1] = base[2 * t]
+        base[2 * t + 1, 0] ^= np.uint32(0xFF)
+    packed = list(base)
+    sizes = np.array(
+        [np.unpackbits(p.view(np.uint8)).sum() for p in packed], np.float32
+    )
+    outs = {}
+    for dtn in ("f32", "bf16", "int8"):
+        monkeypatch.setenv("GALAH_TPU_SCREEN_DTYPE", dtn)
+        res = screen_triangle_packed(
+            packed, sizes, k=15, min_containment=0.5, bits=bits
+        )
+        order = np.lexsort((res.pairs[:, 1], res.pairs[:, 0]))
+        outs[dtn] = (res.pairs[order], res.ani_est[order])
+    assert len(outs["f32"][0]) >= 10
+    for dtn in ("bf16", "int8"):
+        np.testing.assert_array_equal(outs[dtn][0], outs["f32"][0])
+        np.testing.assert_array_equal(outs[dtn][1], outs["f32"][1])
+
+
+def test_sharded_screen_dtype_paths_identical(monkeypatch):
+    """Same dtype invariance for the mesh-sharded tile sweep and the
+    row-sharded resident sweep."""
+    from galah_tpu.parallel.distance import (
+        sharded_screen_triangle_packed,
+        sharded_screen_triangle_rowsharded,
+    )
+    from galah_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(7)
+    n, bits = 130, 1024
+    w = bits // 32
+    base = rng.integers(0, 2**32, (n, w), dtype=np.uint32)
+    for t in range(6):
+        base[2 * t + 1] = base[2 * t]
+        base[2 * t + 1, 0] ^= np.uint32(0xF)
+    packed = list(base)
+    sizes = np.array(
+        [np.unpackbits(p.view(np.uint8)).sum() for p in packed], np.float32
+    )
+    mesh = make_mesh()
+    for fn in (
+        sharded_screen_triangle_packed,
+        sharded_screen_triangle_rowsharded,
+    ):
+        outs = {}
+        for dtn in ("f32", "int8"):
+            monkeypatch.setenv("GALAH_TPU_SCREEN_DTYPE", dtn)
+            res = fn(packed, sizes, 15, 0.5, bits, mesh=mesh)
+            order = np.lexsort((res.pairs[:, 1], res.pairs[:, 0]))
+            outs[dtn] = (res.pairs[order], res.ani_est[order])
+        assert len(outs["f32"][0]) >= 6
+        np.testing.assert_array_equal(outs["int8"][0], outs["f32"][0])
+        np.testing.assert_array_equal(outs["int8"][1], outs["f32"][1])
