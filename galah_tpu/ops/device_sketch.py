@@ -379,20 +379,18 @@ def _frag_capacity(params: NativeSketchParams) -> int:
 
 
 def _default_frag_cap(params: NativeSketchParams) -> int:
-    """Dedup strategy default: the segmented row sort targets the
-    TPU's bitonic-network economics (log2(cap)^2 passes, rows across
-    sublanes) and measured ~1.3x SLOWER than the combined-key global
-    sort on the CPU backend's comparison sort — so segmented on
-    accelerators, global sort on CPU. GALAH_TPU_SKETCH_DEDUP=
-    segmented|sort overrides."""
+    """Dedup strategy default: the combined-key global sort, everywhere.
+
+    Measured on the v5e (benchmarks/device_sketch_profile.py, all
+    outputs consumed, 32 x 1Mb): global sort 1545ms/batch vs segmented
+    row sorts 1896ms — the (max_frags, frag_cap) grid's scatter into
+    row slots costs more than the bitonic economics save — and the CPU
+    comparison sort prefers the global path ~1.3x as well.
+    GALAH_TPU_SKETCH_DEDUP=segmented|sort overrides."""
     mode = os.environ.get("GALAH_TPU_SKETCH_DEDUP")
     if mode == "segmented":
         return _frag_capacity(params)
-    if mode == "sort":
-        return 0
-    if jax.default_backend() == "cpu":
-        return 0
-    return _frag_capacity(params)
+    return 0
 
 
 def _next_pow2(x: int) -> int:
