@@ -79,14 +79,22 @@ def _time_reps(fn, x, name):
     return (time.perf_counter() - t0) / _iters()
 
 
-def bench_screen_matmul(jax, jnp):
-    """Headline: unpack->bf16 MXU matmul screen at production shape."""
+def bench_screen_matmul(jax, jnp, dtname=None):
+    """Headline: MXU matmul screen at production shape, in the screen's
+    default matmul dtype (int8 on TPU — 2x the bf16 MXU rate, exact for
+    0/1 counts; GALAH_TPU_SCREEN_DTYPE / the dtname arg override)."""
     N = 512 if _small() else 8192
     B = 1 << (12 if _small() else 17)
     K = 15
 
-    on_tpu = jax.default_backend() not in ("cpu",)
-    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    if dtname is None:
+        from galah_tpu.ops.prefilter import _screen_dtype_name
+
+        dtname = _screen_dtype_name()
+    dtype = {"int8": jnp.int8, "bf16": jnp.bfloat16, "f32": jnp.float32}[
+        dtname
+    ]
+    acc = jnp.int32 if dtname == "int8" else jnp.float32
 
     @jax.jit
     def make_inputs(key):
@@ -104,8 +112,8 @@ def bench_screen_matmul(jax, jnp):
             xs,
             xs,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            preferred_element_type=acc,
+        ).astype(jnp.float32)
         a = sizes[:, None]
         b = sizes[None, :]
         bits_f = float(B)
@@ -119,9 +127,12 @@ def bench_screen_matmul(jax, jnp):
     run = _repeat_in_jit(
         jax, jnp, screen, lambda xs, bit: xs.at[0, 0].set(bit.astype(dtype))
     )
-    dt = _time_reps(run, x, "screen")
+    dt = _time_reps(run, x, f"screen[{dtname}]")
     pairs_per_s = N * (N - 1) / 2 / dt
-    _log(f"screen_matmul: {pairs_per_s/1e6:.1f}M pairs/s ({dt*1e3:.0f}ms/sweep)")
+    _log(
+        f"screen_matmul[{dtname}]: {pairs_per_s/1e6:.1f}M pairs/s "
+        f"({dt*1e3:.0f}ms/sweep)"
+    )
     return pairs_per_s
 
 
@@ -212,6 +223,67 @@ def bench_verify_grouped(jax, jnp):
         f"verify_grouped: {pairs_per_s:.0f} directed-pairs/s at "
         f"{NHASH//1000}k-hash streams ({hashes_per_s/1e9:.2f}G "
         f"hash-lookups/s, {dt*1e3:.0f}ms/dispatch)"
+    )
+    return pairs_per_s
+
+
+def bench_verify_grouped_bt(jax, jnp):
+    """Verify stage, bit-transposed grouped kernel: same shape as
+    bench_verify_grouped but the bitmap lookups gather one (R//32)-word
+    row per stream position from the bucket-major table — 32x fewer
+    gathered bytes (table build excluded: it is LRU-amortized across
+    queries in production)."""
+    from galah_tpu.ops.fragment_ani import (
+        _bit_transpose_table,
+        _forward_kernel_bt,
+    )
+
+    R = 32 if _small() else 64
+    MEMBER_BITS = 1 << (16 if _small() else 22)
+    W = MEMBER_BITS // 32
+    NHASH = 10_000 if _small() else 375_000
+    NPAD = ((NHASH + (1 << 14) - 1) >> 14) << 14
+    F = 1024
+    K = 15
+
+    @jax.jit
+    def make_inputs(key):
+        k1, k2 = jax.random.split(key)
+        bitmaps = jax.random.randint(
+            k1, (R, W), 0, 2**31 - 1, dtype=jnp.int32
+        ).astype(jnp.uint32)
+        popcounts = jnp.full((R,), MEMBER_BITS * 0.25, jnp.float32)
+        buckets = jax.random.randint(
+            k2, (NPAD,), 0, MEMBER_BITS, dtype=jnp.int32
+        )
+        offsets = jnp.minimum(
+            jnp.arange(F + 1, dtype=jnp.int32) * (NHASH // F), NHASH
+        )
+        return _bit_transpose_table(bitmaps), popcounts, buckets, offsets
+
+    table, popcounts, buckets, offsets = make_inputs(jax.random.PRNGKey(4))
+    table.block_until_ready()
+
+    def body(b):
+        ani, af = _forward_kernel_bt(
+            table, popcounts, b, offsets, jnp.int32(NHASH),
+            num_frags=F, bits=MEMBER_BITS, k=K, min_hashes=8, min_ident=0.8,
+        )
+        return jnp.sum(ani) + jnp.sum(af)
+
+    run = _repeat_in_jit(
+        jax, jnp, body,
+        lambda b, bit: b.at[0].set(
+            jnp.minimum(b[0] + bit.astype(jnp.int32), MEMBER_BITS - 1)
+        ),
+    )
+    dt = _time_reps(run, buckets, "verify_bt")
+    pairs_per_s = R / dt
+    hashes_per_s = R * NHASH / dt
+    _log(
+        f"verify_grouped_bt: {pairs_per_s:.0f} directed-pairs/s at "
+        f"{NHASH//1000}k-hash streams ({hashes_per_s/1e9:.2f}G "
+        f"bit-lookups/s, {dt*1e3:.0f}ms/dispatch)"
     )
     return pairs_per_s
 
@@ -414,8 +486,17 @@ def main() -> None:
 
     if which != "screen":
         for name, fn in (
+            # The other matmul dtype, for the shoot-out record (the
+            # headline above runs the production default).
+            ("screen_alt_dtype", lambda jx, jn: bench_screen_matmul(
+                jx, jn,
+                dtname="bf16"
+                if jx.default_backend() not in ("cpu",)
+                else "f32",
+            )),
             ("popcount", bench_screen_popcount),
             ("verify_grouped", bench_verify_grouped),
+            ("verify_grouped_bt", bench_verify_grouped_bt),
             ("verify_pairtable", bench_verify_pairtable),
             ("device_sketch", bench_device_sketch),
         ):

@@ -169,6 +169,55 @@ def main():
     for name, fn in variants.items():
         timeit(name, fn, buckets, R * NHASH, "directed-pairs/s")
 
+    # --- bit-transposed path stage decomposition ---
+    from galah_tpu.ops.fragment_ani import (
+        _bit_transpose_table,
+        _forward_kernel_bt,
+        _per_fragment_hits,
+    )
+
+    r32 = ((R + 31) // 32) * 32
+    bm32 = jnp.zeros((r32, W), jnp.uint32).at[:R].set(bitmaps)
+    table = jax.jit(_bit_transpose_table)(bm32)
+    pc32 = jnp.zeros((r32,), jnp.float32).at[:R].set(popcounts)
+    bits_hit = jax.jit(
+        lambda key: jax.random.randint(key, (r32, NPAD), 0, 2, jnp.int32)
+    )(jax.random.PRNGKey(7))
+    jax.block_until_ready((table, bits_hit))
+    g32 = r32 // 32
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+
+    def bt_gather(b):
+        rows = jnp.take(table, b, axis=0)
+        return jnp.sum(rows, dtype=jnp.uint32).astype(jnp.float32)
+
+    def bt_expand(b):
+        rows = jnp.take(table, b, axis=0)
+        bits = (
+            (rows.T[:, None, :] >> shifts[None, :, None]) & jnp.uint32(1)
+        ).astype(jnp.int32)
+        return jnp.sum(bits.reshape(g32 * 32, NPAD), dtype=jnp.int32).astype(
+            jnp.float32
+        )
+
+    def seg_tail(b):
+        # tail alone on a resident random hit matrix; perturb via b[0]
+        bh = bits_hit.at[0, 0].set(b[0] % 2)
+        return jnp.sum(_per_fragment_hits(bh, offsets)).astype(jnp.float32)
+
+    bt_variants = {
+        "bt_gather_rows": bt_gather,
+        "bt_gather+expand": bt_expand,
+        "seg_tail_only": seg_tail,
+        "kernel_bt_full": lambda b: jnp.sum(_forward_kernel_bt(
+            table, pc32, b, offsets, jnp.int32(NHASH),
+            num_frags=F, bits=MEMBER_BITS, k=K, min_hashes=8,
+            min_ident=0.8,
+        )[0]),
+    }
+    for name, fn in bt_variants.items():
+        timeit(name, repeat_in_jit(fn), buckets, R * NHASH, "directed-pairs/s")
+
     # Parity check between the two full kernels
     a0, _ = _forward_kernel(
         bitmaps, popcounts, buckets, offsets, jnp.int32(NHASH),

@@ -10,7 +10,7 @@ Public API mirrors the reference's five plugin interfaces
 (reference: src/lib.rs:29-76) as Python ABCs in galah_tpu.engines.
 """
 
-__version__ = "0.2.1"
+__version__ = "0.2.2"
 
 
 def _tune_numpy_allocator() -> None:

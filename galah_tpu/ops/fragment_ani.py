@@ -55,6 +55,29 @@ def _round_up(x: int, m: int) -> int:
     return max(m, ((x + m - 1) // m) * m)
 
 
+def _verify_gather_mode() -> str:
+    """How the grouped kernel tests stream buckets against ref bitmaps:
+
+    - "bt": gather one (R//32)-word row per stream position from a
+      bucket-major bit-transposed table (one gather yields every ref's
+      bit) — 32x fewer gathered bytes than "word"; the table build is
+      5 elementwise butterfly passes, amortized across every query
+      verified against the same ref group (LRU-cached).
+    - "word": gather one bitmap word per (ref, position).
+
+    GALAH_TPU_VERIFY_GATHER overrides; default "bt" on accelerators
+    (XLA's TPU gather lowering is the verify bound —
+    benchmarks/verify_gather_bench.py), "word" on CPU (row gathers
+    there are already memcpy-speed and the transpose is pure
+    overhead)."""
+    import os
+
+    mode = os.environ.get("GALAH_TPU_VERIFY_GATHER")
+    if mode in ("bt", "word"):
+        return mode
+    return "word" if jax.default_backend() in ("cpu",) else "bt"
+
+
 def verify_devices():
     """Local devices the verify stage fans independent dispatches over
     (round-robin). Across processes the pair list is partitioned
@@ -102,6 +125,125 @@ def _ani_af_from_counts(m, M, popcount, bits, k, min_hashes, min_ident):
     return ani * 100.0, af
 
 
+_SEG_LANE = 512
+
+
+def _per_fragment_hits(bits_hit: jax.Array, offsets: jax.Array) -> jax.Array:
+    """Per-fragment hit counts from a (R, NPAD) 0/1 hit matrix and
+    (F+1,) stream offsets (NPAD a multiple of 512), without a full
+    (R, NPAD) prefix scan.
+
+    XLA's minor-axis cumsum over the hit matrix runs at ~19GB/s on the
+    v5e — the grouped kernel's actual bound once gathers are cheap. A
+    prefix is only needed AT THE 2F+2 offset positions, so: 512-lane
+    block sums (one memory-speed reduce), an exclusive cumsum over the
+    tiny (R, NB) block totals, and per-offset intra-block remainders as
+    masked row sums of the gathered boundary blocks. Integer math,
+    bit-identical to the cumsum formulation (pinned by
+    tests/test_pair_table.py::test_bt_kernel_parity_direct)."""
+    npad = bits_hit.shape[1]
+    assert npad % _SEG_LANE == 0, npad
+    nb = npad // _SEG_LANE
+    blocks = bits_hit.reshape(-1, nb, _SEG_LANE)
+    bsum = jnp.sum(blocks, axis=2)                      # (R, NB)
+    bcum_excl = jnp.pad(
+        jnp.cumsum(bsum, axis=1), ((0, 0), (1, 0))
+    )[:, :-1]                                           # (R, NB)
+    ob = offsets // _SEG_LANE                           # (F+1,)
+    orem = offsets % _SEG_LANE
+    # offsets == npad (stream end / padding) would index block nb:
+    # clamp to nb-1 and extend the mask to the full lane width, making
+    # H(npad) the grand total.
+    adj = ob >= nb
+    ob_c = jnp.minimum(ob, nb - 1)
+    orem_adj = jnp.where(adj, _SEG_LANE, orem)
+    lane = jnp.arange(_SEG_LANE, dtype=jnp.int32)
+    mask = (lane[None, :] < orem_adj[:, None]).astype(jnp.int32)  # (F+1, L)
+    gathered = jnp.take(blocks, ob_c, axis=1)           # (R, F+1, L)
+    intra = jnp.einsum(
+        "rjl,jl->rj", gathered, mask, preferred_element_type=jnp.int32
+    )
+    h = jnp.take(bcum_excl, ob_c, axis=1) + intra       # (R, F+1)
+    return h[:, 1:] - h[:, :-1]
+
+
+@jax.jit
+def _bit_transpose_table(bitmaps: jax.Array) -> jax.Array:
+    """(R, W) uint32 ref bitmaps (R a multiple of 32) -> bucket-major
+    bit table T: (W*32, R//32) uint32 with
+
+        (T[b, g] >> r) & 1 == (bitmaps[32*g + r, b >> 5] >> (b & 31)) & 1
+
+    i.e. row b holds ALL refs' membership bits for bucket b. The
+    grouped verify kernel then fetches R bits per stream position with
+    ONE R//32-word row gather instead of R separate word gathers —
+    32x fewer gathered bytes, and XLA's TPU gather lowering is the
+    verify stage's bound (benchmarks/verify_gather_bench.py).
+
+    Construction is a butterfly (SWAR) 32x32 bit-matrix transpose
+    vectorized over bitmap words and ref groups: 5 mask/shift/xor
+    passes, no scatters or sorts.
+    """
+    r, w = bitmaps.shape
+    assert r % 32 == 0, r
+    x = bitmaps.reshape(r // 32, 32, w)
+
+    def transpose32(blk):  # (32, W): out[s] bit r == blk[r] bit s
+        j = 16
+        m = jnp.uint32(0x0000FFFF)
+        while j:
+            xr = blk.reshape(-1, 2, j, w)
+            upper, lower = xr[:, 0], xr[:, 1]
+            t = ((upper >> jnp.uint32(j)) ^ lower) & m
+            lower = lower ^ t
+            upper = upper ^ (t << jnp.uint32(j))
+            blk = jnp.stack([upper, lower], axis=1).reshape(32, w)
+            j >>= 1
+            m = m ^ (m << jnp.uint32(j))
+        return blk
+
+    y = jax.vmap(transpose32)(x)               # (G, 32, W); [g, s, w]
+    # T[32w + s, g] = y[g, s, w]
+    return y.transpose(2, 1, 0).reshape(w * 32, r // 32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_frags", "bits", "k", "min_hashes", "min_ident"),
+)
+def _forward_kernel_bt(
+    table,        # (bits, R//32) uint32 — bucket-major bit table
+    popcounts,    # (R,) f32
+    buckets,      # (N,) int32 (padded; invalid -> 0)
+    offsets,      # (F+1,) int32 fragment offsets, padded by repeating n
+    n,            # () int32 — true hash count
+    num_frags: int,
+    bits: int,
+    k: int,
+    min_hashes: int,
+    min_ident: float,
+):
+    """Bit-transposed variant of _forward_kernel: one row gather per
+    stream position retrieves every ref's membership bit at once."""
+    npad = buckets.shape[0]
+    g32 = table.shape[1]
+    idx = jnp.arange(npad, dtype=jnp.int32)
+    valid = idx < n
+    M = jnp.diff(offsets)
+
+    rows = jnp.take(table, buckets, axis=0)     # (N, G32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits_hit = (
+        (rows.T[:, None, :] >> shifts[None, :, None]) & jnp.uint32(1)
+    ).astype(jnp.int32)                          # (G32, 32, N)
+    bits_hit = bits_hit.reshape(g32 * 32, npad)  # (R, N)
+    bits_hit = jnp.where(valid[None, :], bits_hit, 0)
+    m = _per_fragment_hits(bits_hit, offsets)
+    return _ani_af_from_counts(
+        m, M[None, :], popcounts, float(bits), k, min_hashes, min_ident
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("num_frags", "bits", "k", "min_hashes", "min_ident"),
@@ -124,9 +266,10 @@ def _forward_kernel(
     the compact offsets array — the fragment stream upload is just
     (buckets, offsets), halving host->device traffic.
 
-    Per-fragment hit counts use cumsum + boundary gathers rather than a
-    segment sum: fragments are contiguous stream ranges, and on TPU a
-    prefix scan + two gathers beats XLA's scatter-add lowering."""
+    Per-fragment hit counts use block-segmented prefixes
+    (_per_fragment_hits) rather than a scatter-add segment sum or a
+    full minor-axis cumsum: fragments are contiguous stream ranges and
+    both alternatives lower poorly on TPU."""
     npad = buckets.shape[0]
     idx = jnp.arange(npad, dtype=jnp.int32)
     valid = idx < n
@@ -137,11 +280,7 @@ def _forward_kernel(
     words = jnp.take(bitmaps, word_idx, axis=1)          # (R, N)
     bits_hit = ((words >> bit_idx[None, :]) & jnp.uint32(1)).astype(jnp.int32)
     bits_hit = jnp.where(valid[None, :], bits_hit, 0)
-    # H[:, t] = hits before stream position t; fragment f covers
-    # [offsets[f], offsets[f+1]) so m[:, f] = H[of+1] - H[of].
-    h = jnp.cumsum(bits_hit, axis=1)
-    h = jnp.pad(h, ((0, 0), (1, 0)))
-    m = jnp.take(h, offsets[1:], axis=1) - jnp.take(h, offsets[:-1], axis=1)
+    m = _per_fragment_hits(bits_hit, offsets)
     return _ani_af_from_counts(
         m, M[None, :], popcounts, float(bits), k, min_hashes, min_ident
     )
@@ -162,10 +301,12 @@ class FragmentAniEngine:
             OrderedDict()
         )
         self._query_cache: "OrderedDict[object, Tuple]" = OrderedDict()
+        self._table_cache: "OrderedDict[object, Tuple]" = OrderedDict()
 
     def clear(self) -> None:
         self._bitmap_cache.clear()
         self._query_cache.clear()
+        self._table_cache.clear()
 
     def _verify_devices(self):
         return verify_devices()
@@ -191,6 +332,32 @@ class FragmentAniEngine:
             while len(self._bitmap_cache) > cap:
                 self._bitmap_cache.popitem(last=False)
         return self._bitmap_cache[key]
+
+    def _ref_table(self, keys, chunk, rpad, device=None):
+        """Bit-transposed table (and popcounts) for one ref group,
+        LRU-cached by the ref-key tuple: the greedy clusterer verifies
+        many queries against the same rep sets, so the 5-pass butterfly
+        build amortizes to ~zero."""
+        ck = (keys, rpad, device.id if device is not None else -1)
+        if ck in self._table_cache:
+            self._table_cache.move_to_end(ck)
+            return self._table_cache[ck]
+        W = self.cfg.member_bits // 32
+        table_bytes = rpad * W * 4
+        cap = max(2, (256 << 20) // max(1, table_bytes)) * max(
+            1, len(verify_devices())
+        )
+        while len(self._table_cache) >= cap:
+            self._table_cache.popitem(last=False)
+        pairs_bm = [self._bitmap(k_, s, device) for k_, s in zip(keys, chunk)]
+        with _placed(device):
+            bm = jnp.zeros((rpad, W), dtype=jnp.uint32)
+            bm = bm.at[: len(chunk)].set(jnp.stack([b for b, _ in pairs_bm]))
+            pc = jnp.zeros((rpad,), dtype=jnp.float32)
+            pc = pc.at[: len(chunk)].set(jnp.asarray([p for _, p in pairs_bm]))
+            table = _bit_transpose_table(bm)
+        self._table_cache[ck] = (table, pc)
+        return self._table_cache[ck]
 
     def _query_arrays(self, key, sk: NativeSketch, device=None):
         key = (key, device.id if device is not None else -1)
@@ -241,10 +408,31 @@ class FragmentAniEngine:
         npad = int(buckets.shape[0])
         r_chunk = max(8, min(cfg.max_refs_per_dispatch, (64 << 20) // npad))
         placed = _placed(device)
+        mode = _verify_gather_mode()
         out = []
         for lo in range(0, len(refs), r_chunk):
             chunk = refs[lo : lo + r_chunk]
             keys = ref_keys[lo : lo + r_chunk]
+            kw = dict(
+                num_frags=fpad,
+                bits=cfg.member_bits,
+                k=cfg.k,
+                min_hashes=cfg.min_fragment_hashes,
+                min_ident=cfg.min_fragment_identity,
+            )
+            if mode == "bt":
+                # One row gather per position serves all refs; the ref
+                # axis pads to a 32-bit word multiple.
+                rpad = max(32, 1 << (len(chunk) - 1).bit_length())
+                table, pc = self._ref_table(
+                    tuple(keys), chunk, rpad, device
+                )
+                with placed:
+                    ani, af = _forward_kernel_bt(
+                        table, pc, buckets, offsets, n, **kw
+                    )
+                out.append((ani, af, len(chunk)))
+                continue
             pairs_bm = [
                 self._bitmap(k_, s, device) for k_, s in zip(keys, chunk)
             ]
@@ -268,11 +456,7 @@ class FragmentAniEngine:
                     buckets,
                     offsets,
                     n,
-                    num_frags=fpad,
-                    bits=cfg.member_bits,
-                    k=cfg.k,
-                    min_hashes=cfg.min_fragment_hashes,
-                    min_ident=cfg.min_fragment_identity,
+                    **kw,
                 )
             out.append((ani, af, len(chunk)))
         return out

@@ -174,3 +174,100 @@ def test_mixed_size_pair_routes_one_kernel(monkeypatch):
 
     for pr in (pairs[0], pairs[2]):  # pairs touching the large genome
         assert default[pr] == forced[pr], (pr, default[pr], forced[pr])
+
+
+def test_bt_gather_matches_word_gather(monkeypatch):
+    """The bit-transposed grouped kernel must be BIT-identical to the
+    word-gather kernel: identical membership bits feed identical f32
+    math (the table is a pure re-layout of the same bitmaps)."""
+    params = NativeSketchParams()
+    paths = [
+        data("abisko4/73.20120800_S1X.13.fna"),
+        data("abisko4/73.20120600_S2D.19.fna"),
+        data("abisko4/73.20120700_S3X.12.fna"),
+        data("set1/500kb.fna"),
+        data("set1/1mbp.fna"),
+    ]
+    sketches = {p: sketch_file_native(p, params) for p in paths}
+    pairs = [
+        (paths[0], paths[1]),
+        (paths[0], paths[2]),
+        (paths[3], paths[4]),
+        (paths[0], paths[3]),
+    ]
+    monkeypatch.setenv("GALAH_TPU_VERIFY", "grouped")
+    results = {}
+    for gather in ("word", "bt"):
+        monkeypatch.setenv("GALAH_TPU_VERIFY_GATHER", gather)
+        eng = _engine(params)
+        results[gather] = eng.bidirectional(pairs, sketches)
+    assert results["bt"] == results["word"]
+
+
+def test_bt_kernel_parity_direct():
+    """Kernel-level parity incl. ref padding and the invalid stream
+    tail: _forward_kernel_bt(table(bitmaps)) == _forward_kernel(bitmaps)
+    bit for bit at every ref slot."""
+    import jax.numpy as jnp
+
+    from galah_tpu.ops.fragment_ani import (
+        _bit_transpose_table,
+        _forward_kernel,
+        _forward_kernel_bt,
+    )
+
+    rng = np.random.default_rng(3)
+    R, BITS = 32, 1 << 14
+    W = BITS // 32
+    NPAD, F = 1 << 12, 64
+    n = NPAD - 137  # exercise the invalid tail
+    bitmaps = jnp.asarray(
+        rng.integers(0, 2**32, (R, W), dtype=np.uint32)
+    )
+    popcounts = jnp.asarray(
+        rng.uniform(0.1, 0.4, R).astype(np.float32) * BITS
+    )
+    buckets = jnp.asarray(rng.integers(0, BITS, NPAD, dtype=np.int32))
+    offsets = np.minimum(
+        np.arange(F + 1, dtype=np.int32) * (n // F + 1), n
+    )
+    offsets = jnp.asarray(offsets)
+    kw = dict(num_frags=F, bits=BITS, k=15, min_hashes=4, min_ident=0.8)
+    ani_w, af_w = _forward_kernel(
+        bitmaps, popcounts, buckets, offsets, jnp.int32(n), **kw
+    )
+    table = _bit_transpose_table(bitmaps)
+    ani_b, af_b = _forward_kernel_bt(
+        table, popcounts, buckets, offsets, jnp.int32(n), **kw
+    )
+    np.testing.assert_array_equal(np.asarray(ani_w), np.asarray(ani_b))
+    np.testing.assert_array_equal(np.asarray(af_w), np.asarray(af_b))
+
+
+def test_per_fragment_hits_matches_numpy_cumsum():
+    """The block-segmented prefix tail must equal the straightforward
+    cumsum + boundary-difference oracle for arbitrary offsets,
+    including offsets at 0, mid-block, block edges, and npad."""
+    import jax.numpy as jnp
+
+    from galah_tpu.ops.fragment_ani import _per_fragment_hits
+
+    rng = np.random.default_rng(9)
+    R, NPAD = 5, 4096
+    bits_hit = rng.integers(0, 2, (R, NPAD), dtype=np.int32)
+    offsets = np.unique(
+        np.concatenate(
+            [
+                [0, NPAD, 512, 1024, 511, 513],
+                rng.integers(0, NPAD + 1, 40),
+            ]
+        )
+    ).astype(np.int32)
+    h = np.concatenate(
+        [np.zeros((R, 1), np.int64), np.cumsum(bits_hit, axis=1)], axis=1
+    )
+    want = (h[:, offsets[1:]] - h[:, offsets[:-1]]).astype(np.int32)
+    got = np.asarray(
+        _per_fragment_hits(jnp.asarray(bits_hit), jnp.asarray(offsets))
+    )
+    np.testing.assert_array_equal(got, want)
