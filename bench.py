@@ -174,10 +174,11 @@ def bench_screen_popcount(jax, jnp):
 def bench_verify_grouped(jax, jnp):
     """Verify stage, grouped one-query-many-refs kernel: directed
     pairs/s at a realistic MAG shape (3Mb genome -> ~375k fragment
-    hashes, 64 refs per dispatch)."""
+    hashes) at the production-default 256 refs per dispatch (the
+    per-index gather cost amortizes across the ref axis)."""
     from galah_tpu.ops.fragment_ani import _forward_kernel
 
-    R = 8 if _small() else 64
+    R = 8 if _small() else 256
     MEMBER_BITS = 1 << (16 if _small() else 22)
     W = MEMBER_BITS // 32
     NHASH = 10_000 if _small() else 375_000
@@ -228,11 +229,11 @@ def bench_verify_grouped(jax, jnp):
 
 
 def bench_verify_grouped_bt(jax, jnp):
-    """Verify stage, bit-transposed grouped kernel: same shape as
-    bench_verify_grouped but the bitmap lookups gather one (R//32)-word
-    row per stream position from the bucket-major table — 32x fewer
-    gathered bytes (table build excluded: it is LRU-amortized across
-    queries in production)."""
+    """Verify stage, bit-transposed grouped kernel at the NARROW
+    dispatch shape where it is the production auto-default (rpad <=
+    64): bitmap lookups gather one (R//32)-word row per stream
+    position from the bucket-major table (table build excluded: it is
+    LRU-amortized across queries in production)."""
     from galah_tpu.ops.fragment_ani import (
         _bit_transpose_table,
         _forward_kernel_bt,

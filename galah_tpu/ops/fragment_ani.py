@@ -44,7 +44,12 @@ class FragmentAniConfig:
     member_bits: int = defaults.NATIVE_MEMBER_BITS
     min_fragment_hashes: int = 8
     min_fragment_identity: float = defaults.NATIVE_FRAGMENT_MIN_IDENTITY
-    max_refs_per_dispatch: int = 64
+    # XLA's TPU gather is per-index bound (~60M rows/s on the v5e,
+    # independent of row width — benchmarks/verify_gather_bench.py), so
+    # the per-position cost amortizes over the ref axis: 256 refs per
+    # dispatch measured 24.0K directed-pairs/s vs 8.0K at 64 refs on
+    # 375k-hash MAG streams.
+    max_refs_per_dispatch: int = 256
     # LRU bounds on device-side per-genome caches (bitmaps are
     # member_bits/8 bytes each; query streams scale with genome size).
     max_cached_bitmaps: int = 512
@@ -60,22 +65,26 @@ def _verify_gather_mode() -> str:
 
     - "bt": gather one (R//32)-word row per stream position from a
       bucket-major bit-transposed table (one gather yields every ref's
-      bit) — 32x fewer gathered bytes than "word"; the table build is
-      5 elementwise butterfly passes, amortized across every query
-      verified against the same ref group (LRU-cached).
+      bit); the table build is 5 elementwise butterfly passes,
+      amortized across every query verified against the same ref group
+      (LRU-cached).
     - "word": gather one bitmap word per (ref, position).
+    - "auto": per dispatch — XLA's TPU gather is per-index bound
+      (~60M rows/s regardless of row width), so at wide ref counts the
+      word gather amortizes it across refs and wins (v5e, 375k-hash
+      streams: word 24.0K vs bt 20.2K pairs/s at R=256) while bt wins
+      narrow dispatches (9.5K vs 8.0K at R=64). Accelerators pick bt
+      for rpad <= 64, word above; CPU always picks word (its row
+      gathers are memcpy-speed and the transpose is pure overhead).
 
-    GALAH_TPU_VERIFY_GATHER overrides; default "bt" on accelerators
-    (XLA's TPU gather lowering is the verify bound —
-    benchmarks/verify_gather_bench.py), "word" on CPU (row gathers
-    there are already memcpy-speed and the transpose is pure
-    overhead)."""
+    GALAH_TPU_VERIFY_GATHER=bt|word forces one; results are
+    bit-identical either way."""
     import os
 
     mode = os.environ.get("GALAH_TPU_VERIFY_GATHER")
     if mode in ("bt", "word"):
         return mode
-    return "word" if jax.default_backend() in ("cpu",) else "bt"
+    return "word" if jax.default_backend() in ("cpu",) else "auto"
 
 
 def verify_devices():
@@ -403,10 +412,10 @@ class FragmentAniEngine:
         buckets, offsets, n, fpad = self._query_arrays(
             query_key, query, device
         )
-        # Bound the (R, N) gather/cumsum intermediates to ~256MB: very
-        # long streams get fewer refs per dispatch.
+        # Bound the (R, N) hit-matrix intermediates to ~1GB of int32:
+        # very long streams get fewer refs per dispatch.
         npad = int(buckets.shape[0])
-        r_chunk = max(8, min(cfg.max_refs_per_dispatch, (64 << 20) // npad))
+        r_chunk = max(8, min(cfg.max_refs_per_dispatch, (256 << 20) // npad))
         placed = _placed(device)
         mode = _verify_gather_mode()
         out = []
@@ -420,7 +429,11 @@ class FragmentAniEngine:
                 min_hashes=cfg.min_fragment_hashes,
                 min_ident=cfg.min_fragment_identity,
             )
-            if mode == "bt":
+            use_bt = mode == "bt" or (
+                mode == "auto"
+                and max(32, 1 << (len(chunk) - 1).bit_length()) <= 64
+            )
+            if use_bt:
                 # One row gather per position serves all refs; the ref
                 # axis pads to a 32-bit word multiple.
                 rpad = max(32, 1 << (len(chunk) - 1).bit_length())
