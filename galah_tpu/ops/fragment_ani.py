@@ -429,16 +429,19 @@ class FragmentAniEngine:
                 min_hashes=cfg.min_fragment_hashes,
                 min_ident=cfg.min_fragment_identity,
             )
-            use_bt = mode == "bt" or (
-                mode == "auto"
-                and max(32, 1 << (len(chunk) - 1).bit_length()) <= 64
+            # bt pads the ref axis to a 32-word multiple; respect the
+            # same intermediate budget as r_chunk — for very long
+            # streams (r_chunk < 8 refs of padding headroom) the word
+            # kernel's floor-8 padding is the safe choice.
+            rpad_bt = max(32, 1 << (len(chunk) - 1).bit_length())
+            bt_fits = rpad_bt * npad <= (256 << 20)
+            use_bt = bt_fits and (
+                mode == "bt" or (mode == "auto" and rpad_bt <= 64)
             )
             if use_bt:
-                # One row gather per position serves all refs; the ref
-                # axis pads to a 32-bit word multiple.
-                rpad = max(32, 1 << (len(chunk) - 1).bit_length())
+                # One row gather per position serves all refs.
                 table, pc = self._ref_table(
-                    tuple(keys), chunk, rpad, device
+                    tuple(keys), chunk, rpad_bt, device
                 )
                 with placed:
                     ani, af = _forward_kernel_bt(

@@ -62,7 +62,7 @@ def _resident_screen_extract(
     block: int,
     cap: int,
     is_diag: bool,
-    dtname: str = "",
+    dtname: str,
 ):
     """Screen one (block x block) tile out of the resident packed
     matrix (uploaded once for the whole sweep) with on-device sparse
@@ -102,7 +102,7 @@ def _block_screen_extract_packed(
     *,
     cap: int,
     is_diag: bool,
-    dtname: str = "",
+    dtname: str,
 ):
     """Fused screen block with ON-DEVICE sparse extraction: only the
     above-cutoff entries (bounded by `cap`) come back to the host —
@@ -133,7 +133,7 @@ def _block_screen_extract_packed(
 @partial(jax.jit, static_argnames=("dtname",))
 def _block_containment_u8(
     si_u8: jax.Array, sj_u8: jax.Array, a: jax.Array, b: jax.Array, bits_f,
-    *, dtname: str = "",
+    *, dtname: str,
 ) -> jax.Array:
     """Fused screen block: uint8 indicators in (cast to the matmul dtype
     on device), collision-corrected containment out as bf16."""
@@ -145,7 +145,7 @@ def _block_containment_u8(
 @partial(jax.jit, static_argnames=("dtname",))
 def _block_containment_packed(
     si_pk: jax.Array, sj_pk: jax.Array, a: jax.Array, b: jax.Array, bits_f,
-    *, dtname: str = "",
+    *, dtname: str,
 ) -> jax.Array:
     """Fused screen block over packed uint32 bitmaps: 32x less
     host->device traffic than uint8 indicators; unpacked to the matmul
@@ -215,12 +215,10 @@ def _screen_dtype_name() -> str:
 
 
 def _screen_dt(dtname: str):
-    """Static dtype-name -> jnp dtype; "" resolves from the backend at
-    trace time (callers should pass _screen_dtype_name() explicitly —
-    the empty-name path exists only so direct kernel calls in tests
-    keep working)."""
-    if not dtname:
-        dtname = _screen_dtype_name()
+    """Static dtype-name -> jnp dtype. Callers must pass an explicit
+    name (resolve via _screen_dtype_name() once per sweep): the name is
+    part of the jit cache key, so an env-resolved default baked in at
+    first trace would silently survive later env changes."""
     return _SCREEN_DTYPES[dtname]
 
 

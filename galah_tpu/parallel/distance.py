@@ -427,7 +427,7 @@ def _host_block(packed, n: int, w: int, g: int, block: int) -> np.ndarray:
 
 
 def _dense_tile_hits(
-    packed, sizes_pad, n, w, bits, g, cb, block, min_containment, dtname=""
+    packed, sizes_pad, n, w, bits, g, cb, block, min_containment, dtname
 ):
     """Recompute one overflowing tile densely (device matmul on two
     host-assembled blocks) and return its above-cutoff hits."""

@@ -271,3 +271,40 @@ def test_per_fragment_hits_matches_numpy_cumsum():
         _per_fragment_hits(jnp.asarray(bits_hit), jnp.asarray(offsets))
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_bt_kernel_parity_multigroup():
+    """Multi-group table coverage (R=96 -> 3 output words per row): the
+    transpose group ordering and the g32*32 expansion must agree at
+    every ref slot."""
+    import jax.numpy as jnp
+
+    from galah_tpu.ops.fragment_ani import (
+        _bit_transpose_table,
+        _forward_kernel,
+        _forward_kernel_bt,
+    )
+
+    rng = np.random.default_rng(13)
+    R, BITS = 96, 1 << 13
+    W = BITS // 32
+    NPAD, F = 1 << 11, 32
+    n = NPAD - 73
+    bitmaps = jnp.asarray(rng.integers(0, 2**32, (R, W), dtype=np.uint32))
+    popcounts = jnp.asarray(
+        rng.uniform(0.1, 0.4, R).astype(np.float32) * BITS
+    )
+    buckets = jnp.asarray(rng.integers(0, BITS, NPAD, dtype=np.int32))
+    offsets = jnp.asarray(
+        np.minimum(np.arange(F + 1, dtype=np.int32) * (n // F + 1), n)
+    )
+    kw = dict(num_frags=F, bits=BITS, k=15, min_hashes=4, min_ident=0.8)
+    ani_w, af_w = _forward_kernel(
+        bitmaps, popcounts, buckets, offsets, jnp.int32(n), **kw
+    )
+    ani_b, af_b = _forward_kernel_bt(
+        _bit_transpose_table(bitmaps), popcounts, buckets, offsets,
+        jnp.int32(n), **kw
+    )
+    np.testing.assert_array_equal(np.asarray(ani_w), np.asarray(ani_b))
+    np.testing.assert_array_equal(np.asarray(af_w), np.asarray(af_b))
