@@ -136,6 +136,63 @@ def bench_screen_matmul(jax, jnp, dtname=None):
     return pairs_per_s
 
 
+def bench_screen_production(jax, jnp):
+    """The PRODUCTION screen tile: resident packed matrix -> dynamic
+    tile slice -> on-device unpack -> int8 MXU matmul -> collision
+    correction -> two-level sparse extraction. The headline
+    bench_screen_matmul isolates the matmul+epilogue; this one
+    includes everything a real sweep pays per tile."""
+    from galah_tpu.ops.prefilter import (
+        _resident_screen_extract,
+        _screen_dtype_name,
+    )
+
+    N_PAD = 2048 if _small() else 8192
+    B = 1 << (12 if _small() else 17)
+    W = B // 32
+    BLOCK = 512 if _small() else 1024
+    dtn = _screen_dtype_name()
+
+    @jax.jit
+    def mk(key):
+        x = jax.random.randint(
+            key, (N_PAD, W), 0, 2**31 - 1, jnp.int32
+        ).astype(jnp.uint32)
+        return x, jnp.full((N_PAD,), B * 0.1, jnp.float32)
+
+    x, s = mk(jax.random.PRNGKey(5))
+    x.block_until_ready()
+    tiles = ((0, 1), (2, 3), (4, 5), (6, 7))
+
+    def body(xx):
+        acc = jnp.float32(0.0)
+        for bi, bj in tiles:
+            cnt, ii, jj, vals = _resident_screen_extract(
+                xx, s, jnp.int32(bi), jnp.int32(bj),
+                jnp.float32(B), jnp.float32(0.9),
+                block=BLOCK, cap=1024, is_diag=False, dtname=dtn,
+            )
+            acc = (
+                acc + cnt.astype(jnp.float32)
+                + jnp.sum(ii).astype(jnp.float32)
+                + jnp.sum(jj).astype(jnp.float32)
+                + jnp.sum(vals).astype(jnp.float32)
+            )
+        return acc
+
+    run = _repeat_in_jit(
+        jax, jnp, body,
+        lambda xx, bit: xx.at[0, 0].set(bit.astype(jnp.uint32)),
+    )
+    dt = _time_reps(run, x, "screen_production") / len(tiles)
+    pairs_per_s = BLOCK * BLOCK / dt
+    _log(
+        f"screen_production[{dtn}]: {pairs_per_s/1e6:.1f}M pairs/s "
+        f"({dt*1e3:.2f}ms/tile incl. unpack + sparse extraction)"
+    )
+    return pairs_per_s
+
+
 def bench_screen_popcount(jax, jnp):
     """Shoot-out alternative: packed-bitmap AND+popcount Pallas kernel
     at the same logical shape (N genomes x B bits, packed uint32)."""
@@ -495,6 +552,7 @@ def main() -> None:
                 if jx.default_backend() not in ("cpu",)
                 else "f32",
             )),
+            ("screen_production", bench_screen_production),
             ("popcount", bench_screen_popcount),
             ("verify_grouped", bench_verify_grouped),
             ("verify_grouped_bt", bench_verify_grouped_bt),

@@ -49,7 +49,7 @@ def _unpack_bits(x_packed: jax.Array, dt) -> jax.Array:
 # program over this rig's remote-compile tunnel.
 @partial(
     jax.jit,
-    static_argnames=("block", "cap", "is_diag", "dtname"),
+    static_argnames=("block", "cap", "is_diag", "dtname", "direct"),
 )
 def _resident_screen_extract(
     x_all: jax.Array,   # (n_pad, W) uint32 — full packed matrix, resident
@@ -63,10 +63,12 @@ def _resident_screen_extract(
     cap: int,
     is_diag: bool,
     dtname: str,
+    direct: bool = False,
 ):
     """Screen one (block x block) tile out of the resident packed
     matrix (uploaded once for the whole sweep) with on-device sparse
-    extraction."""
+    extraction (direct=True forces the plain-nonzero extraction — the
+    drain's re-dispatch for row-overflowing tiles)."""
     w = x_all.shape[1]
     si = jax.lax.dynamic_slice(x_all, (bi * block, 0), (block, w))
     sj = jax.lax.dynamic_slice(x_all, (bj * block, 0), (block, w))
@@ -83,12 +85,8 @@ def _resident_screen_extract(
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
         cols_j = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
         mask = mask & (cols_j > rows_i)
-    cnt = jnp.sum(mask)
-    ii, jj = jnp.nonzero(mask, size=cap, fill_value=0)
-    vals = cont[ii, jj]
-    return cnt, ii.astype(jnp.int32), jj.astype(jnp.int32), vals.astype(
-        jnp.bfloat16
-    )
+    cnt, ii, jj, vals = _extract_above_cutoff(cont, mask, cap, direct)
+    return cnt, ii, jj, vals.astype(jnp.bfloat16)
 
 
 @partial(jax.jit, static_argnames=("cap", "is_diag", "dtname"))
@@ -122,12 +120,8 @@ def _block_screen_extract_packed(
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 0)
         cols_j = jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 1)
         mask = mask & (cols_j > rows_i)
-    cnt = jnp.sum(mask)
-    ii, jj = jnp.nonzero(mask, size=cap, fill_value=0)
-    vals = cont[ii, jj]
-    return cnt, ii.astype(jnp.int32), jj.astype(jnp.int32), vals.astype(
-        jnp.bfloat16
-    )
+    cnt, ii, jj, vals = _extract_above_cutoff(cont, mask, cap)
+    return cnt, ii, jj, vals.astype(jnp.bfloat16)
 
 
 @partial(jax.jit, static_argnames=("dtname",))
@@ -187,6 +181,52 @@ def _device_resident_budget() -> int:
 # device->host results bounded (window * cap entries) while still
 # pipelining dispatch latency.
 TILE_WINDOW = 16
+
+# Hit-row capacity of the two-level sparse extraction (see
+# _extract_above_cutoff). Tiles whose hits span more rows take the
+# direct-nonzero branch.
+ROW_SEL = 128
+
+
+def _extract_above_cutoff(cont, mask, cap: int, direct: bool = False):
+    """(cnt, ii, jj, vals) of up-to-cap above-cutoff tile entries.
+
+    XLA lowers `nonzero` at ~85M elements/s on TPU (cumsum+scatter) —
+    7.3ms of a 9.3ms screen tile went to it. Real sweeps are sparse:
+    most tiles have hits in few ROWS, so compact the hit rows first
+    (a nonzero over `rows` elements + a row gather) and run the full
+    nonzero over only (ROW_SEL, cols) — 3.19ms vs 9.30ms per
+    production tile on the v5e. (A lax.cond fallback to the direct
+    nonzero measured as slow as always-direct — the conditional
+    defeats the win — so overflow is signalled instead.)
+
+    Tiles whose hits span more than ROW_SEL rows (e.g. near-duplicate
+    family blocks) return cnt = -(true_cnt + 1); the extracted entries
+    cover only the first ROW_SEL hit rows, and the caller re-extracts
+    that tile with direct=True (a second device dispatch — no dense
+    host pull) or densely. Hits are emitted in row-major order; with
+    a non-negative cnt <= cap the extraction is complete and exact.
+    """
+    rows_n, cols_n = mask.shape
+    cnt = jnp.sum(mask)
+    row_sel = min(ROW_SEL, rows_n)
+
+    if direct or row_sel == rows_n:
+        ii, jj = jnp.nonzero(mask, size=cap, fill_value=0)
+        ii = ii.astype(jnp.int32)
+        jj = jj.astype(jnp.int32)
+        return cnt, ii, jj, cont[ii, jj]
+
+    row_has = jnp.any(mask, axis=1)
+    nrows = jnp.sum(row_has)
+    rows = jnp.nonzero(row_has, size=row_sel, fill_value=0)[0]
+    valid = jnp.arange(row_sel) < jnp.minimum(nrows, row_sel)
+    sub = mask[rows] & valid[:, None]
+    idx = jnp.nonzero(sub.reshape(-1), size=cap, fill_value=0)[0]
+    ii = rows[idx // cols_n].astype(jnp.int32)
+    jj = (idx % cols_n).astype(jnp.int32)
+    cnt_enc = jnp.where(nrows > row_sel, -(cnt + 1), cnt)
+    return cnt_enc, ii, jj, cont[ii, jj]
 
 
 _SCREEN_DTYPES = {
@@ -366,6 +406,22 @@ def screen_triangle_packed(
     def drain(item) -> None:
         bi, bj, (cnt, ii, jj, vals) = item
         cnt = int(cnt)
+        if cnt < 0:
+            # Row-overflow signal from the two-level extraction: the
+            # tile's hits span more than ROW_SEL rows. Re-extract it
+            # with the direct kernel (device-resident, sparse results
+            # only); streaming mode re-pulls densely below instead.
+            true_cnt = -cnt - 1
+            if use_resident and true_cnt <= cap:
+                cnt, ii, jj, vals = _resident_screen_extract(
+                    x_all, s_dev, jnp.int32(bi), jnp.int32(bj),
+                    block=block, bits_f=float(bits),
+                    min_cont=min_cont_f, cap=cap, is_diag=bj == bi,
+                    dtname=dtn, direct=True,
+                )
+                cnt = int(cnt)
+            else:
+                cnt = cap + 1
         if cnt > cap:
             # Rare overflow: pull the whole tile densely.
             if use_resident:
@@ -487,6 +543,18 @@ def screen_rectangle_packed(
     def drain(item) -> None:
         bi, bj, (cnt, ii, jj, vals) = item
         cnt = int(cnt)
+        if cnt < 0:
+            true_cnt = -cnt - 1
+            if true_cnt <= cap:
+                cnt, ii, jj, vals = _resident_screen_extract(
+                    x_all, s_dev, jnp.int32(bi),
+                    jnp.int32(ref_block0 + bj), block=block,
+                    bits_f=float(bits), min_cont=min_cont_f, cap=cap,
+                    is_diag=False, dtname=dtn, direct=True,
+                )
+                cnt = int(cnt)
+            else:
+                cnt = cap + 1
         if cnt > cap:
             lo_i, lo_j = bi * block, nq_pad + bj * block
             cont = np.array(

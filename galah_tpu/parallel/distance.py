@@ -39,6 +39,8 @@ from galah_tpu.ops.prefilter import (
     _block_containment_packed,
     _containment,
     _device_resident_budget,
+    _extract_above_cutoff,
+    _resident_screen_extract,
     _screen_dt,
     _screen_dtype_name,
     _screen_matmul,
@@ -92,13 +94,11 @@ def _tile_screen_fn(mesh: Mesh, block: int, cap: int, dtname: str):
         cols_j = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
         mask = (cont >= min_cont) & ((bi != bj) | (cols_j > rows_i))
         mask = mask & (valid > 0)
-        cnt = jnp.sum(mask)
-        ii, jj = jnp.nonzero(mask, size=cap, fill_value=0)
-        vals = cont[ii, jj]
+        cnt, ii, jj, vals = _extract_above_cutoff(cont, mask, cap)
         return (
             cnt.astype(jnp.int32),
-            ii.astype(jnp.int32),
-            jj.astype(jnp.int32),
+            ii,
+            jj,
             vals.astype(jnp.bfloat16),
         )
 
@@ -228,6 +228,27 @@ def sharded_screen_triangle_packed(
         vals = np.asarray(vals).astype(np.float32)
         for t, (bi, bj) in enumerate(tile_chunk):
             c = int(cnt[t])
+            ii_t, jj_t, vals_t = ii[t], jj[t], vals[t]
+            if c < 0:
+                # Row-overflow signal (two-level extraction): re-run
+                # this tile with the direct extraction — the matrix is
+                # resident, so only sparse results move. Every process
+                # executes the identical re-dispatch (lockstep
+                # contract, as for the dense pull below).
+                true_cnt = -c - 1
+                if true_cnt <= cap:
+                    c2, ii2, jj2, v2 = _resident_screen_extract(
+                        x_all, s_all, jnp.int32(bi), jnp.int32(bj),
+                        block=block, bits_f=float(bits),
+                        min_cont=min_cont_static, cap=cap,
+                        is_diag=bi == bj, dtname=dtn, direct=True,
+                    )
+                    c = int(c2)
+                    ii_t = np.asarray(ii2)
+                    jj_t = np.asarray(jj2)
+                    vals_t = np.asarray(v2).astype(np.float32)
+                else:
+                    c = cap + 1
             if c > cap:
                 # Rare overflow: pull this tile densely (block^2 floats).
                 lo_i, lo_j = bi * block, bj * block
@@ -250,9 +271,9 @@ def sharded_screen_triangle_packed(
                 gj = hit[:, 1] + lo_j
                 v = cont[hit[:, 0], hit[:, 1]]
             else:
-                gi = ii[t, :c] + bi * block
-                gj = jj[t, :c] + bj * block
-                v = vals[t, :c]
+                gi = ii_t[:c] + bi * block
+                gj = jj_t[:c] + bj * block
+                v = vals_t[:c]
             keep = (gi < n) & (gj < n)
             gi, gj, v = gi[keep], gj[keep], v[keep]
             if len(gi):
@@ -339,6 +360,11 @@ def _rowshard_stage_fn(mesh: Mesh, block: int, cap: int, slots: int,
             counts = _screen_matmul(_unpack_bits(si, dt), col_unpacked)
             cont = _containment(counts, a, col_s, bits_f)
             mask = (cont >= min_cont) & ((g != cb) | (cols_j > rows_i))
+            # Direct nonzero here (not the two-level extraction): the
+            # host-side stream replay must agree with the kernel's
+            # stored counts, which the row-overflow sentinel would
+            # complicate; this path's per-stage cost is dominated by
+            # the column psum broadcast anyway.
             cnt = jnp.sum(mask).astype(jnp.int32)
             ii, jj = jnp.nonzero(mask, size=cap, fill_value=0)
             return (

@@ -227,3 +227,78 @@ def test_sharded_screen_dtype_paths_identical(monkeypatch):
         assert len(outs["f32"][0]) >= 6
         np.testing.assert_array_equal(outs["int8"][0], outs["f32"][0])
         np.testing.assert_array_equal(outs["int8"][1], outs["f32"][1])
+
+
+def test_extract_above_cutoff_matches_argwhere():
+    """The two-level extraction must emit exactly np.argwhere's
+    row-major hits for sparse masks; masks whose hits span more than
+    ROW_SEL rows must signal via the negative-count sentinel, and
+    direct=True must always be exact — sparse, dense, empty, and
+    cap-overflow cases."""
+    import jax.numpy as jnp
+
+    from galah_tpu.ops.prefilter import ROW_SEL, _extract_above_cutoff
+
+    rng = np.random.default_rng(21)
+    rows, cols, cap = 256, 256, 512
+    cont = rng.random((rows, cols)).astype(np.float32)
+    cases = {
+        "sparse": rng.random((rows, cols)) < 0.002,
+        "dense_rows": rng.random((rows, cols)) < 0.006,  # hits most rows
+        "empty": np.zeros((rows, cols), bool),
+        "one_row": np.zeros((rows, cols), bool),
+    }
+    cases["one_row"][7, ::3] = True
+    assert (cases["dense_rows"].any(axis=1).sum()) > ROW_SEL
+    for name, mask in cases.items():
+        want = np.argwhere(mask)
+        n_hit_rows = mask.any(axis=1).sum()
+        cnt, ii, jj, vals = _extract_above_cutoff(
+            jnp.asarray(cont), jnp.asarray(mask), cap
+        )
+        cnt = int(cnt)
+        if n_hit_rows > ROW_SEL:
+            # row-overflow sentinel: caller re-extracts directly
+            assert cnt == -(len(want) + 1), name
+            cnt, ii, jj, vals = _extract_above_cutoff(
+                jnp.asarray(cont), jnp.asarray(mask), cap, direct=True
+            )
+            cnt = int(cnt)
+        assert cnt == len(want), name
+        take = min(cnt, cap)
+        got = np.stack([np.asarray(ii)[:take], np.asarray(jj)[:take]], 1)
+        np.testing.assert_array_equal(got, want[:take], err_msg=name)
+        np.testing.assert_array_equal(
+            np.asarray(vals)[:take], cont[want[:take, 0], want[:take, 1]],
+            err_msg=name,
+        )
+
+
+def test_screen_row_overflow_tiles_exact(monkeypatch):
+    """A corpus where EVERY tile row has hits (cutoff 0) exercises the
+    row-overflow re-extraction in all drain paths: results must equal
+    the dense oracle exactly."""
+    from galah_tpu.ops.popcount_screen import pack_indicator
+    from galah_tpu.ops.prefilter import ROW_SEL, screen_triangle_packed
+    from galah_tpu.parallel.distance import sharded_screen_triangle_packed
+    from galah_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(31)
+    n, bits = ROW_SEL + 40, 1024  # > ROW_SEL genomes, all pairwise hits
+    x = (rng.random((n, bits)) < 0.5).astype(np.uint8)
+    sizes = x.sum(axis=1)
+    packed = [
+        pack_indicator(np.nonzero(r)[0].astype(np.int64), bits) for r in x
+    ]
+    want = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    res = screen_triangle_packed(packed, sizes, 15, 0.0, bits)
+    assert sorted(map(tuple, res.pairs.tolist())) == want
+    # streaming (low-memory) drain falls back to the dense pull
+    res = screen_triangle_packed(
+        packed, sizes, 15, 0.0, bits, cache_blocks=False
+    )
+    assert sorted(map(tuple, res.pairs.tolist())) == want
+    res = sharded_screen_triangle_packed(
+        packed, sizes, 15, 0.0, bits, mesh=make_mesh()
+    )
+    assert sorted(map(tuple, res.pairs.tolist())) == want
