@@ -414,8 +414,17 @@ class FragmentAniEngine:
         )
         # Bound the (R, N) hit-matrix intermediates to ~1GB of int32:
         # very long streams get fewer refs per dispatch.
+        # GALAH_TPU_VERIFY_REFS overrides the width cap — wider
+        # dispatches amortize the per-index gather cost further on
+        # hosts whose compile path accepts the larger programs (this
+        # rig's remote-compile relay rejects R=512 bodies).
+        import os as _os
+
+        r_cap = int(
+            _os.environ.get("GALAH_TPU_VERIFY_REFS", 0)
+        ) or cfg.max_refs_per_dispatch
         npad = int(buckets.shape[0])
-        r_chunk = max(8, min(cfg.max_refs_per_dispatch, (256 << 20) // npad))
+        r_chunk = max(8, min(r_cap, (256 << 20) // npad))
         placed = _placed(device)
         mode = _verify_gather_mode()
         out = []
