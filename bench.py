@@ -262,7 +262,7 @@ def bench_verify_grouped(jax, jnp):
     def body(b):
         ani, af = _forward_kernel(
             bitmaps, popcounts, b, offsets, jnp.int32(NHASH),
-            num_frags=F, bits=MEMBER_BITS, k=K, min_hashes=8, min_ident=0.8,
+            bits=MEMBER_BITS, k=K, min_hashes=8, min_ident=0.8,
         )
         # Sum every pair's result so XLA cannot narrow the computation
         # to ref 0 (measured ~18% inflation when consuming only [0]).
@@ -325,7 +325,7 @@ def bench_verify_grouped_bt(jax, jnp):
     def body(b):
         ani, af = _forward_kernel_bt(
             table, popcounts, b, offsets, jnp.int32(NHASH),
-            num_frags=F, bits=MEMBER_BITS, k=K, min_hashes=8, min_ident=0.8,
+            bits=MEMBER_BITS, k=K, min_hashes=8, min_ident=0.8,
         )
         return jnp.sum(ani) + jnp.sum(af)
 

@@ -156,7 +156,7 @@ def main():
         "kernel_current": repeat_in_jit(
             lambda b: jnp.sum(_forward_kernel(
                 bitmaps, popcounts, b, offsets, jnp.int32(NHASH),
-                num_frags=F, bits=MEMBER_BITS, k=K, min_hashes=8,
+                bits=MEMBER_BITS, k=K, min_hashes=8,
                 min_ident=0.8,
             )[0])
         ),
@@ -211,7 +211,7 @@ def main():
         "seg_tail_only": seg_tail,
         "kernel_bt_full": lambda b: jnp.sum(_forward_kernel_bt(
             table, pc32, b, offsets, jnp.int32(NHASH),
-            num_frags=F, bits=MEMBER_BITS, k=K, min_hashes=8,
+            bits=MEMBER_BITS, k=K, min_hashes=8,
             min_ident=0.8,
         )[0]),
     }
@@ -221,7 +221,7 @@ def main():
     # Parity check between the two full kernels
     a0, _ = _forward_kernel(
         bitmaps, popcounts, buckets, offsets, jnp.int32(NHASH),
-        num_frags=F, bits=MEMBER_BITS, k=K, min_hashes=8, min_ident=0.8,
+        bits=MEMBER_BITS, k=K, min_hashes=8, min_ident=0.8,
     )
     a1 = kernel_T(bitmaps_T, popcounts, buckets, offsets, jnp.int32(NHASH))
     import numpy as np

@@ -80,7 +80,12 @@ def analyse(
         else:
             quality_finder.prepare_comp_cont(list(genomes), threads, tmp_path)
             if output_quality_report_path:
-                src = os.path.join(tmp_path, "checkm2", "quality_report.tsv")
+                # Ask the finder where it wrote its report rather than
+                # assuming the CheckM2 layout — any QualityFinder
+                # implementation must work here.
+                src = getattr(
+                    quality_finder, "quality_report_source_path", None
+                ) or os.path.join(tmp_path, "checkm2", "quality_report.tsv")
                 parent = os.path.dirname(output_quality_report_path)
                 if parent:
                     os.makedirs(parent, exist_ok=True)

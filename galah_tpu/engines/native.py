@@ -556,6 +556,7 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
                 self.ctx.params.k,
                 min_cont,
                 bits,
+                cache_blocks=not self.ctx.low_memory,
             )
         if len(res.pairs) == 0:
             return SortedPairDistanceCache()

@@ -120,6 +120,12 @@ class SkaniPreclusterer(PreclusterDistanceFinder):
     def _distances_lowmem(self, paths: Sequence[str]) -> SortedPairDistanceCache:
         """skani sketch to disk, then search the database
         (src/skani.rs:229-377)."""
+        if self.small_genomes:
+            # reference refuses this combination up front (src/skani.rs:243-245)
+            raise ValueError(
+                "Error: skani does not support small genomes with "
+                "low-memory preclustering"
+            )
         with tempfile.TemporaryDirectory() as td:
             sanitized = [_sanitize_fasta_headers(p, td) for p in paths]
             listfile = os.path.join(td, "genomes.txt")
@@ -127,8 +133,6 @@ class SkaniPreclusterer(PreclusterDistanceFinder):
                 f.write("\n".join(sanitized) + "\n")
             db = os.path.join(td, "sketches")
             cmd = ["skani", "sketch", "-t", str(self.threads), "-l", listfile, "-o", db]
-            if self.small_genomes:
-                cmd.append("--small-genomes")
             _run_checked(cmd)
             cmd = [
                 "skani", "search", "-t", str(self.threads),
@@ -159,7 +163,12 @@ class SkaniPreclusterer(PreclusterDistanceFinder):
             if self.small_genomes:
                 cmd.append("--small-genomes")
             proc = _run_checked(cmd)
-            name_index = {n: i for i, n in enumerate(contig_names)}
+            # Match the FULL sanitized contig name (tabs -> spaces) and
+            # treat a miss as fatal, exactly like the reference
+            # (src/skani.rs:455-474 panics "Failed to find contig name").
+            name_index = {
+                n.replace("\t", " "): i for i, n in enumerate(contig_names)
+            }
             cache = SortedPairDistanceCache()
             reader = csv.reader(proc.stdout.splitlines(), delimiter="\t")
             header = next(reader, None)
@@ -167,9 +176,16 @@ class SkaniPreclusterer(PreclusterDistanceFinder):
                 if not row:
                     continue
                 # columns 5/6 are Ref_name / Query_name
-                n1, n2 = row[5].split(" ")[0], row[6].split(" ")[0]
+                n1 = row[5].replace("\t", " ")
+                n2 = row[6].replace("\t", " ")
+                for n_, raw in ((n1, row[5]), (n2, row[6])):
+                    if n_ not in name_index:
+                        raise RuntimeError(
+                            "Failed to find contig name in contig_names: "
+                            f"{raw}"
+                        )
                 ani = float(row[2])
-                if n1 in name_index and n2 in name_index and ani >= self.threshold:
+                if ani >= self.threshold:
                     i, j = name_index[n1], name_index[n2]
                     if i != j:
                         cache.insert((i, j), ani)
@@ -224,8 +240,14 @@ class SkaniPreclusterer(PreclusterDistanceFinder):
             if not row:
                 continue
             p1, p2 = row[0], row[1]
-            if p1 not in index or p2 not in index:
-                continue
+            for p_ in (p1, p2):
+                if p_ not in index:
+                    # reference panics on an unmatched path
+                    # (src/skani.rs:184-201) — corruption must surface,
+                    # not silently drop pairs
+                    raise RuntimeError(
+                        f"Failed to find sanitized genome path: {p_}"
+                    )
             i, j = index[p1], index[p2]
             if skip_self and i == j:
                 continue

@@ -218,7 +218,7 @@ def _bit_transpose_table(bitmaps: jax.Array) -> jax.Array:
 
 @partial(
     jax.jit,
-    static_argnames=("num_frags", "bits", "k", "min_hashes", "min_ident"),
+    static_argnames=("bits", "k", "min_hashes", "min_ident"),
 )
 def _forward_kernel_bt(
     table,        # (bits, R//32) uint32 — bucket-major bit table
@@ -226,7 +226,6 @@ def _forward_kernel_bt(
     buckets,      # (N,) int32 (padded; invalid -> 0)
     offsets,      # (F+1,) int32 fragment offsets, padded by repeating n
     n,            # () int32 — true hash count
-    num_frags: int,
     bits: int,
     k: int,
     min_hashes: int,
@@ -255,7 +254,7 @@ def _forward_kernel_bt(
 
 @partial(
     jax.jit,
-    static_argnames=("num_frags", "bits", "k", "min_hashes", "min_ident"),
+    static_argnames=("bits", "k", "min_hashes", "min_ident"),
 )
 def _forward_kernel(
     bitmaps,      # (R, W) uint32
@@ -263,7 +262,6 @@ def _forward_kernel(
     buckets,      # (N,) int32 (padded; invalid -> 0)
     offsets,      # (F+1,) int32 fragment offsets, padded by repeating n
     n,            # () int32 — true hash count
-    num_frags: int,
     bits: int,
     k: int,
     min_hashes: int,
@@ -425,6 +423,10 @@ class FragmentAniEngine:
         ) or cfg.max_refs_per_dispatch
         npad = int(buckets.shape[0])
         r_chunk = max(8, min(r_cap, (256 << 20) // npad))
+        # Round DOWN to a power of two: the kernels pad the ref axis up
+        # to one, which would otherwise overshoot the budget by up to
+        # 2x right after the division.
+        r_chunk = 1 << (r_chunk.bit_length() - 1)
         placed = _placed(device)
         mode = _verify_gather_mode()
         out = []
@@ -432,7 +434,6 @@ class FragmentAniEngine:
             chunk = refs[lo : lo + r_chunk]
             keys = ref_keys[lo : lo + r_chunk]
             kw = dict(
-                num_frags=fpad,
                 bits=cfg.member_bits,
                 k=cfg.k,
                 min_hashes=cfg.min_fragment_hashes,

@@ -304,6 +304,12 @@ def screen_triangle(
     sizes_f = sizes.astype(np.float32)
     nblocks = math.ceil(n / block)
     dtn = _screen_dtype_name()
+    if cache_blocks and n * bits > _device_resident_budget():
+        logger.info(
+            "Indicator matrix (%d x %d) exceeds the device budget; "
+            "streaming column blocks", n, bits,
+        )
+        cache_blocks = False
     dev_blocks = {}
 
     def make_block(bi: int) -> jax.Array:
@@ -374,7 +380,16 @@ def screen_triangle_packed(
     # Resident mode: one upload of the whole packed matrix, device-side
     # tile slicing (unless it would not fit the device's HBM budget or
     # low-memory streaming was requested).
-    use_resident = cache_blocks and n * w * 4 <= _device_resident_budget()
+    fits = n * w * 4 <= _device_resident_budget()
+    use_resident = cache_blocks and fits
+    if cache_blocks and not fits:
+        # Caching every block would pin the same bytes the resident
+        # check just refused — stream column blocks instead.
+        logger.info(
+            "Packed matrix (%d x %d words) exceeds the device budget; "
+            "streaming column blocks", n, w,
+        )
+        cache_blocks = False
 
     n_pad = ((n + block - 1) // block) * block
     nblocks = n_pad // block
@@ -508,12 +523,15 @@ def screen_rectangle_packed(
     min_containment: float,
     bits: int,
     block: int = 1024,
+    cache_blocks: bool = True,
 ) -> ScreenResult:
     """Cross-group screen over packed bitmaps (reference-genome mode)
     using the resident matrix + on-device sparse extraction: queries and
     refs concatenate into one resident matrix and tiles address
     (query-block, ref-block) index ranges. Returned pairs are
-    (query_idx, ref_idx)."""
+    (query_idx, ref_idx). When the matrix exceeds the device budget or
+    cache_blocks=False (--low-memory), blocks stream from the host
+    instead — same semantics, bounded device memory."""
     nq, nr = len(query_packed), len(ref_packed)
     if nq == 0 or nr == 0:
         return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
@@ -525,6 +543,16 @@ def screen_rectangle_packed(
 
     nq_pad = ((nq + block - 1) // block) * block
     nr_pad = ((nr + block - 1) // block) * block
+    if not cache_blocks or (nq_pad + nr_pad) * w * 4 > _device_resident_budget():
+        if cache_blocks:
+            logger.info(
+                "Rectangle packed matrix (%d rows x %d words) exceeds "
+                "the device budget; streaming blocks", nq_pad + nr_pad, w,
+            )
+        return _screen_rectangle_streaming(
+            query_packed, query_sizes, ref_packed, ref_sizes,
+            k, min_containment, bits, block, cap,
+        )
     x_all_np = np.zeros((nq_pad + nr_pad, w), dtype=np.uint32)
     for t in range(nq):
         x_all_np[t] = query_packed[t]
@@ -592,6 +620,85 @@ def screen_rectangle_packed(
                 block=block, bits_f=float(bits),
                 min_cont=min_cont_f, cap=cap, is_diag=False,
                 dtname=dtn,
+            )
+            pending.append((bi, bj, res))
+            if len(pending) > TILE_WINDOW:
+                drain(pending.popleft())
+    while pending:
+        drain(pending.popleft())
+
+    if pairs:
+        return ScreenResult(np.concatenate(pairs), np.concatenate(anis))
+    return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
+
+
+def _screen_rectangle_streaming(
+    query_packed, query_sizes, ref_packed, ref_sizes,
+    k: int, min_containment: float, bits: int, block: int, cap: int,
+) -> ScreenResult:
+    """Streaming rectangle screen: query and ref blocks materialize
+    from host per tile (the reference-mode analog of the triangle's
+    low-memory streaming; reference src/skani.rs:502-687 likewise
+    streams queries against the on-disk ref sketch DB)."""
+    nq, nr = len(query_packed), len(ref_packed)
+    inv_k = 1.0 / k
+    min_cont_f = float(np.float32(min_containment))
+    dtn = _screen_dtype_name()
+    qs = query_sizes.astype(np.float32)
+    rs = ref_sizes.astype(np.float32)
+
+    def make_q(bi: int):
+        lo, hi = bi * block, min((bi + 1) * block, nq)
+        return (
+            jnp.asarray(np.stack([query_packed[t] for t in range(lo, hi)])),
+            jnp.asarray(qs[lo:hi]),
+        )
+
+    def make_r(bj: int):
+        lo, hi = bj * block, min((bj + 1) * block, nr)
+        return (
+            jnp.asarray(np.stack([ref_packed[t] for t in range(lo, hi)])),
+            jnp.asarray(rs[lo:hi]),
+        )
+
+    pairs: List[np.ndarray] = []
+    anis: List[np.ndarray] = []
+
+    def drain(item) -> None:
+        bi, bj, (cnt, ii, jj, vals) = item
+        cnt = int(cnt)
+        if cnt < 0:
+            cnt = cap + 1  # row overflow: dense re-make below
+        if cnt > cap:
+            si, ai = make_q(bi)
+            sj, aj = make_r(bj)
+            cont = np.array(
+                _block_containment_packed(
+                    si, sj, ai, aj, float(bits), dtname=dtn
+                )
+            ).astype(np.float32)
+            hit = np.argwhere(cont >= min_containment)
+            gi = hit[:, 0] + bi * block
+            gj = hit[:, 1] + bj * block
+            v = cont[hit[:, 0], hit[:, 1]]
+        else:
+            gi = np.asarray(ii[:cnt]) + bi * block
+            gj = np.asarray(jj[:cnt]) + bj * block
+            v = np.asarray(vals[:cnt]).astype(np.float32)
+        if len(gi):
+            pairs.append(np.stack([gi, gj], axis=1).astype(np.int64))
+            anis.append((v ** inv_k * 100.0).astype(np.float32))
+
+    from collections import deque
+
+    pending: deque = deque()
+    for bi in range(math.ceil(nq / block)):
+        si, ai = make_q(bi)
+        for bj in range(math.ceil(nr / block)):
+            sj, aj = make_r(bj)
+            res = _block_screen_extract_packed(
+                si, sj, ai, aj, float(bits), min_cont_f,
+                cap=cap, is_diag=False, dtname=dtn,
             )
             pending.append((bi, bj, res))
             if len(pending) > TILE_WINDOW:

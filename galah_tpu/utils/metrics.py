@@ -20,6 +20,7 @@ class RunMetrics:
     def __init__(self) -> None:
         self.phases: Dict[str, float] = {}
         self.counters: Dict[str, float] = {}
+        self._rate_acc: Dict[str, tuple] = {}
         self._start = time.perf_counter()
 
     @contextmanager
@@ -36,8 +37,16 @@ class RunMetrics:
         self.counters[name] = self.counters.get(name, 0.0) + value
 
     def rate(self, name: str, value: float, seconds: float) -> None:
+        """Record a throughput counter. Repeated calls under the same
+        name accumulate (value, seconds), so runs with several screen/
+        verify passes report the aggregate rate — matching the summed
+        phase timers — not just the last pass's."""
         if seconds > 0:
-            self.counters[name] = value / seconds
+            v, t = self._rate_acc.get(name, (0.0, 0.0))
+            v += value
+            t += seconds
+            self._rate_acc[name] = (v, t)
+            self.counters[name] = v / t
             logger.info("%s: %.4g/s", name, value / seconds)
 
     def to_dict(self) -> dict:

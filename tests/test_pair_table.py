@@ -232,7 +232,7 @@ def test_bt_kernel_parity_direct():
         np.arange(F + 1, dtype=np.int32) * (n // F + 1), n
     )
     offsets = jnp.asarray(offsets)
-    kw = dict(num_frags=F, bits=BITS, k=15, min_hashes=4, min_ident=0.8)
+    kw = dict(bits=BITS, k=15, min_hashes=4, min_ident=0.8)
     ani_w, af_w = _forward_kernel(
         bitmaps, popcounts, buckets, offsets, jnp.int32(n), **kw
     )
@@ -298,7 +298,7 @@ def test_bt_kernel_parity_multigroup():
     offsets = jnp.asarray(
         np.minimum(np.arange(F + 1, dtype=np.int32) * (n // F + 1), n)
     )
-    kw = dict(num_frags=F, bits=BITS, k=15, min_hashes=4, min_ident=0.8)
+    kw = dict(bits=BITS, k=15, min_hashes=4, min_ident=0.8)
     ani_w, af_w = _forward_kernel(
         bitmaps, popcounts, buckets, offsets, jnp.int32(n), **kw
     )

@@ -302,3 +302,35 @@ def test_screen_row_overflow_tiles_exact(monkeypatch):
         packed, sizes, 15, 0.0, bits, mesh=make_mesh()
     )
     assert sorted(map(tuple, res.pairs.tolist())) == want
+
+
+def test_rectangle_streaming_matches_resident():
+    """The streaming rectangle screen (budget-exceeded / --low-memory
+    fallback) must produce exactly the resident path's output."""
+    from galah_tpu.ops.prefilter import screen_rectangle_packed
+
+    rng = np.random.default_rng(51)
+    nq, nr, bits = 150, 90, 1024
+    w = bits // 32
+    queries = [rng.integers(0, 2**32, w, dtype=np.uint32) for _ in range(nq)]
+    refs = [rng.integers(0, 2**32, w, dtype=np.uint32) for _ in range(nr)]
+    for t in range(6):  # plant cross-group near-duplicates
+        refs[t] = queries[t].copy()
+        refs[t][0] ^= np.uint32(0xF)
+    qs = np.array(
+        [np.unpackbits(p.view(np.uint8)).sum() for p in queries], np.float32
+    )
+    rs = np.array(
+        [np.unpackbits(p.view(np.uint8)).sum() for p in refs], np.float32
+    )
+    outs = {}
+    for cache in (True, False):
+        res = screen_rectangle_packed(
+            queries, qs, refs, rs, 15, 0.5, bits,
+            block=64, cache_blocks=cache,
+        )
+        order = np.lexsort((res.pairs[:, 1], res.pairs[:, 0]))
+        outs[cache] = (res.pairs[order], res.ani_est[order])
+    assert len(outs[True][0]) >= 6
+    np.testing.assert_array_equal(outs[False][0], outs[True][0])
+    np.testing.assert_array_equal(outs[False][1], outs[True][1])

@@ -43,13 +43,19 @@ case $sub in
     echo -e "$header"
     if [[ $contig == 1 ]]; then
       names=($(grep -h '^>' "${files[@]}" | sed 's/^>//; s/[ \t].*//'))
-      echo -e "x\ty\t97.5\t85.0\t83.0\t${names[0]} circular\t${names[1]} linear"
+      echo -e "x\ty\t97.5\t85.0\t83.0\t${names[0]}\t${names[1]}"
       echo -e "x\ty\t91.0\t80.0\t80.0\t${names[0]}\t${names[2]}"
-      echo -e "x\ty\t99.0\t80.0\t80.0\tunknown_contig\t${names[1]}"
+      if [[ -n "$SKANI_SHIM_BAD_CONTIG" ]]; then
+        echo -e "x\ty\t99.0\t80.0\t80.0\tunknown_contig\t${names[1]}"
+      fi
     else
       echo -e "${files[0]}\t${files[1]}\t97.5\t85.1\t83.2"
-      echo -e "${files[0]}\t${files[2]}\t91.0\t50.0\t50.0"
-      echo -e "/nonexistent/zzz.fna\t${files[1]}\t99.0\t90.0\t90.0"
+      if [[ -n "${files[2]:-}" ]]; then
+        echo -e "${files[0]}\t${files[2]}\t91.0\t50.0\t50.0"
+      fi
+      if [[ -n "$SKANI_SHIM_BAD_PATH" ]]; then
+        echo -e "/nonexistent/zzz.fna\t${files[1]}\t99.0\t90.0\t90.0"
+      fi
     fi
     ;;
   sketch)
@@ -102,6 +108,8 @@ def shim_env(tmp_path, monkeypatch):
     log = tmp_path / "shim.log"
     monkeypatch.setenv("SKANI_SHIM_LOG", str(log))
     monkeypatch.delenv("SKANI_SHIM_DIST_EMPTY", raising=False)
+    monkeypatch.delenv("SKANI_SHIM_BAD_CONTIG", raising=False)
+    monkeypatch.delenv("SKANI_SHIM_BAD_PATH", raising=False)
     gdir = tmp_path / "genomes"
     gdir.mkdir()
     genomes = []
@@ -118,10 +126,32 @@ def test_skani_triangle_sparse_parse(shim_env):
     genomes, log = shim_env
     pre = SkaniPreclusterer(threshold=95.0, min_aligned_threshold=0.15)
     cache = pre.distances(genomes)
-    # 97.5 row kept; 91.0 below threshold dropped; unknown path dropped
+    # 97.5 row kept; 91.0 below threshold dropped
     assert dict(cache.items()) == {(0, 1): 97.5}
     assert "--min-af 15.0" in log.read_text()
     assert "--sparse" in log.read_text()
+
+
+def test_skani_triangle_unknown_path_fatal(shim_env, monkeypatch):
+    """An output path that matches no input genome signals TSV
+    corruption: fatal, as in the reference (src/skani.rs:184-201) —
+    never a silently dropped pair."""
+    genomes, _ = shim_env
+    monkeypatch.setenv("SKANI_SHIM_BAD_PATH", "1")
+    pre = SkaniPreclusterer(threshold=95.0, min_aligned_threshold=0.15)
+    with pytest.raises(RuntimeError, match="sanitized genome path"):
+        pre.distances(genomes)
+
+
+def test_skani_lowmem_refuses_small_genomes(shim_env):
+    """reference src/skani.rs:243-245"""
+    genomes, _ = shim_env
+    pre = SkaniPreclusterer(
+        threshold=95.0, min_aligned_threshold=0.15,
+        low_memory=True, small_genomes=True,
+    )
+    with pytest.raises(ValueError, match="low-memory"):
+        pre.distances(genomes)
 
 
 def test_skani_triangle_small_genomes_flag(shim_env):
@@ -145,16 +175,29 @@ def test_skani_lowmem_sketch_then_search(shim_env):
 
 
 def test_skani_contig_name_matching(shim_env, tmp_path):
-    """Contig mode matches on the first word of Ref_name/Query_name
-    (columns 5/6), not file paths."""
+    """Contig mode matches the FULL Ref_name/Query_name (columns 5/6)
+    against the contig-name list, not file paths
+    (src/skani.rs:455-474)."""
     genomes, log = shim_env
     contig_names = ["a_contig", "b_contig", "c_contig"]
     pre = SkaniPreclusterer(threshold=95.0, min_aligned_threshold=0.15)
     cache = pre.distances_contigs(genomes, contig_names)
-    # (a_contig, b_contig) 97.5 kept (description split off); 91.0 below
-    # threshold; unknown_contig row ignored
+    # (a_contig, b_contig) 97.5 kept; 91.0 below threshold
     assert dict(cache.items()) == {(0, 1): 97.5}
     assert " -i " in log.read_text()
+
+
+def test_skani_contig_unknown_name_fatal(shim_env, monkeypatch):
+    """A Ref_name that matches no contig is fatal, like the
+    reference's 'Failed to find contig name' panic
+    (src/skani.rs:461-474) — never a silently dropped pair."""
+    genomes, _ = shim_env
+    monkeypatch.setenv("SKANI_SHIM_BAD_CONTIG", "1")
+    pre = SkaniPreclusterer(threshold=95.0, min_aligned_threshold=0.15)
+    with pytest.raises(RuntimeError, match="contig name"):
+        pre.distances_contigs(
+            genomes, ["a_contig", "b_contig", "c_contig"]
+        )
 
 
 def test_skani_reference_mode_search(shim_env):
