@@ -37,6 +37,14 @@ CONFIGS = [
     ("low-memory", {}, {"low_memory": True}),
     ("finch-precluster", {}, {"precluster_method": "finch"}),
     ("device-sketch", {"GALAH_TPU_DEVICE_SKETCH": "1"}, {}),
+    ("screen-int8", {"GALAH_TPU_SCREEN_DTYPE": "int8"}, {}),
+    ("screen-bf16", {"GALAH_TPU_SCREEN_DTYPE": "bf16"}, {}),
+    ("verify-bt", {"GALAH_TPU_VERIFY": "grouped",
+                   "GALAH_TPU_VERIFY_GATHER": "bt"}, {}),
+    ("verify-word", {"GALAH_TPU_VERIFY": "grouped",
+                     "GALAH_TPU_VERIFY_GATHER": "word"}, {}),
+    ("sketch-dedup-segmented", {"GALAH_TPU_DEVICE_SKETCH": "1",
+                                "GALAH_TPU_SKETCH_DEDUP": "segmented"}, {}),
 ]
 
 
@@ -51,7 +59,9 @@ def test_all_strategies_agree(tmp_path, monkeypatch, seed):
         for fam in range(4)
     )
     for var in ("GALAH_TPU_SCREEN", "GALAH_TPU_VERIFY",
-                "GALAH_TPU_ROWSHARD", "GALAH_TPU_DEVICE_SKETCH"):
+                "GALAH_TPU_ROWSHARD", "GALAH_TPU_DEVICE_SKETCH",
+                "GALAH_TPU_SCREEN_DTYPE", "GALAH_TPU_VERIFY_GATHER",
+                "GALAH_TPU_SKETCH_DEDUP"):
         monkeypatch.delenv(var, raising=False)
     # The default path (8-device sharded tile sweep under the virtual
     # mesh) must recover the planted families exactly...
