@@ -147,10 +147,13 @@ def bench_screen_production(jax, jnp):
         _screen_dtype_name,
     )
 
+    from galah_tpu.ops.prefilter import _screen_block_for, _screen_cap_for
+
     N_PAD = 2048 if _small() else 8192
     B = 1 << (12 if _small() else 17)
     W = B // 32
-    BLOCK = 512 if _small() else 1024
+    BLOCK = 512 if _small() else _screen_block_for(N_PAD)
+    CAP = 1024 if _small() else _screen_cap_for(BLOCK)
     dtn = _screen_dtype_name()
 
     @jax.jit
@@ -162,7 +165,10 @@ def bench_screen_production(jax, jnp):
 
     x, s = mk(jax.random.PRNGKey(5))
     x.block_until_ready()
-    tiles = ((0, 1), (2, 3), (4, 5), (6, 7))
+    nblk = max(2, N_PAD // BLOCK)
+    tiles = tuple(
+        (bi, bi + 1) for bi in range(0, nblk - 1, 2)
+    ) or ((0, 1),)
 
     def body(xx):
         acc = jnp.float32(0.0)
@@ -170,7 +176,7 @@ def bench_screen_production(jax, jnp):
             cnt, ii, jj, vals = _resident_screen_extract(
                 xx, s, jnp.int32(bi), jnp.int32(bj),
                 jnp.float32(B), jnp.float32(0.9),
-                block=BLOCK, cap=1024, is_diag=False, dtname=dtn,
+                block=BLOCK, cap=CAP, is_diag=False, dtname=dtn,
             )
             acc = (
                 acc + cnt.astype(jnp.float32)
@@ -187,7 +193,8 @@ def bench_screen_production(jax, jnp):
     dt = _time_reps(run, x, "screen_production") / len(tiles)
     pairs_per_s = BLOCK * BLOCK / dt
     _log(
-        f"screen_production[{dtn}]: {pairs_per_s/1e6:.1f}M pairs/s "
+        f"screen_production[{dtn},block={BLOCK}]: "
+        f"{pairs_per_s/1e6:.1f}M pairs/s "
         f"({dt*1e3:.2f}ms/tile incl. unpack + sparse extraction)"
     )
     return pairs_per_s
