@@ -41,6 +41,8 @@ from galah_tpu.ops.prefilter import (
     _device_resident_budget,
     _extract_above_cutoff,
     _resident_screen_extract,
+    _screen_block_for,
+    _screen_cap_for,
     _screen_dt,
     _screen_dtype_name,
     _screen_matmul,
@@ -136,11 +138,12 @@ def sharded_screen_triangle_packed(
     min_containment: float,
     bits: int,
     mesh: Optional[Mesh] = None,
-    block: int = 1024,
-    cap: int = 16384,
+    block: int = 0,
+    cap: int = 0,
 ) -> ScreenResult:
     """Upper-triangle all-vs-all screen over packed uint32 bitmaps with
-    the tile list sharded across `mesh`.
+    the tile list sharded across `mesh`. block/cap of 0 pick the
+    measured-best tile edge for the backend (_screen_block_for).
 
     packed: list-like of per-genome (W,) uint32 rows (may be lazy —
     rows materialize once while building the resident matrix).
@@ -154,7 +157,8 @@ def sharded_screen_triangle_packed(
     if n == 0:
         return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
     w = len(packed[0])
-    block = _pick_block(n, block)
+    block = _pick_block(n, block or _screen_block_for(n))
+    cap = cap or _screen_cap_for(block)
 
     # Replicating the resident matrix is fastest while it fits; past
     # the per-device HBM budget, row-shard it so capacity scales with
@@ -172,7 +176,11 @@ def sharded_screen_triangle_packed(
             "> per-device budget)", n, w,
         )
         return sharded_screen_triangle_rowsharded(
-            packed, sizes, k, min_containment, bits, mesh=mesh, block=block
+            packed, sizes, k, min_containment, bits, mesh=mesh,
+            # the row-sharded sweep broadcasts one column block per
+            # stage over the mesh — keep its tiles at 1024 so the psum
+            # payload and per-slot stage buffers stay modest
+            block=min(block, 1024),
         )
 
     inv_k = 1.0 / k
