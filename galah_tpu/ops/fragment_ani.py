@@ -176,6 +176,43 @@ def _per_fragment_hits(bits_hit: jax.Array, offsets: jax.Array) -> jax.Array:
     return h[:, 1:] - h[:, :-1]
 
 
+@partial(jax.jit, static_argnames=("words",))
+def _bitmap_from_buckets(buckets: jax.Array, words: int) -> jax.Array:
+    """(M,) int32 distinct bucket indices -> (words,) uint32 packed
+    membership bitmap. Padding slots carry index words*32 (out of
+    range) and are dropped by the scatter. Distinct buckets set
+    distinct bits, so add == bitwise-or: bit-identical to the host
+    packing (NativeSketch.member_bitmap_words)."""
+    word_idx = buckets >> 5
+    val = jnp.uint32(1) << (buckets & 31).astype(jnp.uint32)
+    return (
+        jnp.zeros((words,), jnp.uint32)
+        .at[word_idx]
+        .add(val, mode="drop")
+    )
+
+
+def _bitmap_upload_mode() -> str:
+    """How member bitmaps reach the device:
+
+    - "buckets": upload the sorted distinct bucket list (4 bytes per
+      member hash) and scatter bits on device — smaller than the dense
+      bitmap whenever the genome has fewer members than bits/32 (every
+      sub-Mb genome at the 2^22 default), and the verify stage is
+      upload-bound through a remote-TPU tunnel;
+    - "dense": upload host-packed bitmap words.
+    - "auto": per genome, whichever is fewer bytes; CPU always dense
+      (no transfer cost; the scatter is pure overhead).
+
+    GALAH_TPU_BITMAP_UPLOAD forces one; results are bit-identical."""
+    import os
+
+    mode = os.environ.get("GALAH_TPU_BITMAP_UPLOAD")
+    if mode in ("buckets", "dense"):
+        return mode
+    return "dense" if jax.default_backend() == "cpu" else "auto"
+
+
 @jax.jit
 def _bit_transpose_table(bitmaps: jax.Array) -> jax.Array:
     """(R, W) uint32 ref bitmaps (R a multiple of 32) -> bucket-major
@@ -331,10 +368,21 @@ class FragmentAniEngine:
         else:
             # device_put(x, None) is uncommitted placement on the
             # default device, same as jnp.asarray.
-            self._bitmap_cache[key] = (
-                jax.device_put(sk.member_bitmap_words(), device),
-                float(sk.member_popcount),
-            )
+            words = self.cfg.member_bits // 32
+            mb = sk.member_buckets
+            # Pow2-bucketed pad bounds the scatter's compile shapes.
+            mpad = max(1 << 12, 1 << (max(len(mb), 1) - 1).bit_length())
+            mode = _bitmap_upload_mode()
+            if mode == "buckets" or (mode == "auto" and mpad < words):
+                padded = np.full(mpad, self.cfg.member_bits, dtype=np.int32)
+                padded[: len(mb)] = mb
+                with _placed(device):
+                    bm = _bitmap_from_buckets(
+                        jax.device_put(padded, device), words
+                    )
+            else:
+                bm = jax.device_put(sk.member_bitmap_words(), device)
+            self._bitmap_cache[key] = (bm, float(sk.member_popcount))
             cap = self._lru_cap(self.cfg.max_cached_bitmaps)
             while len(self._bitmap_cache) > cap:
                 self._bitmap_cache.popitem(last=False)

@@ -49,6 +49,21 @@ class PairTableConfig:
     max_bitmaps: int = 256              # distinct target bitmaps
 
 
+def _shape_bucket(n: int, floor: int, cap: int) -> int:
+    """Smallest power-of-FOUR multiple of `floor` >= n, capped at `cap`.
+
+    The unique-stream buffers were fixed at their caps, so every
+    dispatch uploaded the full 8MB ustream even when <15% was filled —
+    on a remote-tunnel TPU the verify stage is upload-bound and that
+    padding WAS the wall. Pow4 buckets bound the compile-shape count at
+    4 per buffer (remote compiles cost minutes each) while capping pad
+    waste at 4x; full dispatches still hit the cap shape."""
+    b = floor
+    while b < n:
+        b <<= 2
+    return min(b, cap)
+
+
 def _fast_cumsum(x):
     """Inclusive prefix sum of a long 1D array via a 2D hierarchical
     scan. XLA's TPU cumsum over one long axis is slow (a 2^21 int32
@@ -321,10 +336,15 @@ class PairTableVerifier:
         # uint16 stream transport when bucket indices fit (small-contig
         # configs): halves the dominant host->device upload.
         stream_dtype = np.uint16 if cfg.member_bits <= (1 << 16) else np.int32
-        ustream = np.zeros(cfg.max_unique_hashes, dtype=stream_dtype)
+        # Upload only the filled prefix, pow4-bucketed: everything past
+        # uh/uf feeds masked lanes only (valid_h/valid_f), so the kernel
+        # result is bit-identical at any buffer length >= the fill.
+        ubkt = _shape_bucket(uh, 1 << 15, cfg.max_unique_hashes)
+        fbkt = _shape_bucket(uf, 1 << 10, cfg.max_unique_frags)
+        ustream = np.zeros(ubkt, dtype=stream_dtype)
         if uh:
             ustream[:uh] = np.concatenate(ustream_parts).astype(stream_dtype)
-        ufrag_offsets = np.full(cfg.max_unique_frags + 1, uh, dtype=np.int32)
+        ufrag_offsets = np.full(fbkt + 1, uh, dtype=np.int32)
         uoff = np.concatenate(uoff_parts)
         ufrag_offsets[: len(uoff)] = uoff
 

@@ -308,3 +308,108 @@ def test_bt_kernel_parity_multigroup():
     )
     np.testing.assert_array_equal(np.asarray(ani_w), np.asarray(ani_b))
     np.testing.assert_array_equal(np.asarray(af_w), np.asarray(af_b))
+
+
+def test_shape_bucket():
+    from galah_tpu.ops.pair_table import _shape_bucket
+
+    assert _shape_bucket(0, 1 << 15, 1 << 21) == 1 << 15
+    assert _shape_bucket(1 << 15, 1 << 15, 1 << 21) == 1 << 15
+    assert _shape_bucket((1 << 15) + 1, 1 << 15, 1 << 21) == 1 << 17
+    assert _shape_bucket(1 << 20, 1 << 15, 1 << 21) == 1 << 21
+    assert _shape_bucket(1 << 21, 1 << 15, 1 << 21) == 1 << 21
+    # caps below the floor still return the cap (tiny-cap test configs)
+    assert _shape_bucket(100, 1 << 15, 1 << 13) == 1 << 13
+
+
+def test_ustream_bucket_boundary(monkeypatch):
+    """Fills just above a pow4 shape bucket edge must produce the same
+    results as one far below it (the kernel masks everything past the
+    true fill, so the buffer length is semantically invisible)."""
+    from galah_tpu.ops.pair_table import (
+        PairTableConfig,
+        PairTableVerifier,
+        _shape_bucket,
+    )
+
+    params = small_genome_params()
+    import tempfile
+
+    from galah_tpu.sketch.fracminhash import sketch_contigs_native
+    from galah_tpu.utils.synth import make_contig_corpus
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "c.fna")
+        names, fams = make_contig_corpus(
+            path, n_families=4, members_per_family=2,
+            contig_length=3000, within_ani=0.97, seed=5,
+        )
+        sketches = {s.name: s for s in sketch_contigs_native(path, params)}
+        directed = []
+        for fam in range(4):
+            a, b = [n for n, f in zip(names, fams) if f == fam]
+            directed += [(a, b), (b, a)]
+        eng = _engine(params)
+
+        def run_with(floor_shift):
+            # Shrink the bucket floor so the same fill crosses an edge.
+            import galah_tpu.ops.pair_table as pt
+
+            orig = pt._shape_bucket
+            monkeypatch.setattr(
+                pt, "_shape_bucket",
+                lambda n, floor, cap: orig(n, 1 << floor_shift, cap),
+            )
+            verifier = PairTableVerifier(
+                PairTableConfig(
+                    member_bits=params.member_bits,
+                    k=params.k,
+                    min_fragment_hashes=params.min_fragment_hashes,
+                    min_fragment_identity=0.8,
+                ),
+                eng._bitmap,
+            )
+            out = verifier.run(directed, sketches)
+            monkeypatch.setattr(pt, "_shape_bucket", orig)
+            return out
+
+        tight = run_with(6)    # buffers hug the fill
+        loose = run_with(15)   # production floor
+        for pr in directed:
+            assert tight[pr] == loose[pr], (pr, tight[pr], loose[pr])
+
+
+def test_bitmap_bucket_upload_parity(monkeypatch):
+    """Bucket-list + device scatter upload is bit-identical to the
+    host-packed dense bitmap, at the kernel and engine level."""
+    import jax.numpy as jnp
+
+    from galah_tpu.ops.fragment_ani import _bitmap_from_buckets
+
+    params = NativeSketchParams()
+    p1, p2 = data("set1/1mbp.fna"), data("set1/500kb.fna")
+    sk1 = sketch_file_native(p1, params)
+    sk2 = sketch_file_native(p2, params)
+
+    # kernel-level: scatter == numpy packing, padding dropped
+    words = params.member_bits // 32
+    mb = sk1.member_buckets
+    mpad = 1 << (max(len(mb), 1) - 1).bit_length()
+    padded = np.full(max(mpad, len(mb)), params.member_bits, dtype=np.int32)
+    padded[: len(mb)] = mb
+    got = np.asarray(_bitmap_from_buckets(jnp.asarray(padded), words))
+    assert np.array_equal(got, sk1.member_bitmap_words())
+
+    # engine-level: forced bucket uploads give identical results
+    sketches = {p1: sk1, p2: sk2}
+    pairs = [(p1, p2)]
+    res = {}
+    for mode in ("dense", "buckets"):
+        monkeypatch.setenv("GALAH_TPU_BITMAP_UPLOAD", mode)
+        for verify in ("grouped", "pairtable"):
+            monkeypatch.setenv("GALAH_TPU_VERIFY", verify)
+            res[(mode, verify)] = _engine(params).bidirectional(
+                pairs, sketches
+            )
+    for verify in ("grouped", "pairtable"):
+        assert res[("dense", verify)] == res[("buckets", verify)]
