@@ -488,3 +488,37 @@ def test_low_af_refusal_only_when_native_screen_used():
         precluster_method="skani", cluster_method="native",
     ))
     assert clu.method_name() == "native"
+
+
+def test_abisko4_full_directory_clustering(tmp_path):
+    """All 18 real abisko4 MAGs (the reference's own fixture set,
+    tests/data/abisko4) at the default 95% ANI: one population, one
+    cluster, quality-ranked representative. No reference golden exists
+    for the full directory; this pins our own deterministic output as
+    a real-data regression (reps + membership + order)."""
+    out = tmp_path / "clusters.tsv"
+    run_cli([
+        "cluster",
+        "--genome-fasta-directory", data("abisko4"),
+        "--genome-fasta-extension", "fna",
+        "--checkm-tab-table", data("abisko4/abisko4.csv"),
+        "--ani", "95",
+        "--output-cluster-definition", str(out),
+    ])
+    lines = read(out).splitlines()
+    got = [
+        tuple(os.path.basename(p) for p in ln.split("\t")) for ln in lines
+    ]
+    rep = "73.20110800_S2M.16.fna"
+    members = [
+        "73.20120800_S1D.21.fna", "73.20120800_S1X.13.fna",
+        "73.20110800_S2D.13.fna", "73.20120800_S2X.9.fna",
+        "73.20120700_S3D.12.fna", "73.20120700_S2X.9.fna",
+        "73.20110700_S2M.14.fna", "73.20110800_S3D.14.fna",
+        "73.20120600_S2D.19.fna", "73.20110800_S1D.9.fna",
+        "73.20120700_S1X.9.fna", "73.20120700_S3X.12.fna",
+        "73.20120700_S1D.20.fna", "73.20110600_S3M.17.fna",
+        "73.20110600_S2D.10.fna", "73.20110700_S2D.12.fna",
+        "73.20120600_E3D.30.fna",
+    ]
+    assert got == [(rep, rep)] + [(rep, m) for m in members]
