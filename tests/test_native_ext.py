@@ -195,3 +195,61 @@ def test_corrupt_gzip_errors(tmp_path):
     with pytest.raises(Exception):
         f = native_ext.NativeFasta(str(bad))
         f.genome_stats()
+
+
+def test_native_sketch_dedup_bin_sort_parity(tmp_path):
+    """The C++ per-fragment dedup uses an MSB bin scatter + insertion
+    sort (std::sort below 64 entries / above 1024-entry bins). Pin
+    bit-identity against the numpy reference across the regimes that
+    pick different paths: long random fragments (bin path), tiny
+    fragments (std::sort path), duplicate-dense homopolymer repeats
+    (equal values flooding one bin), and a skewed repeat that pushes
+    one bin past the fallback threshold."""
+    from galah_tpu.sketch.fracminhash import (
+        NativeSketchParams,
+        sketch_sequences_native,
+    )
+
+    rng = np.random.default_rng(123)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+    def check(seq_bytes, params, name):
+        p = tmp_path / f"{name}.fna"
+        with open(p, "wb") as f:
+            f.write(b">c\n" + seq_bytes + b"\n")
+        ref = sketch_sequences_native(str(p), [seq_bytes], params)
+        raw = native_ext.NativeFasta(str(p)).native_sketch(0, params)[0]
+        assert np.array_equal(raw["frag_buckets"], ref.frag_buckets), name
+        assert np.array_equal(raw["frag_offsets"], ref.frag_offsets), name
+        assert np.array_equal(raw["member_buckets"], ref.member_buckets), name
+
+    # bin path: dense selection -> ~1500-entry runs
+    dense = NativeSketchParams(
+        genome_scale=50, fragment_scale=2, fragment_length=3000,
+        prefilter_bits=1 << 12, member_bits=1 << 14,
+        min_fragment_length=100,
+    )
+    check(bases[rng.integers(0, 4, size=60_000)].tobytes(), dense, "dense")
+
+    # std::sort path: sparse selection -> <64-entry runs
+    sparse = NativeSketchParams(
+        genome_scale=200, fragment_scale=64, fragment_length=3000,
+        prefilter_bits=1 << 12, member_bits=1 << 14,
+        min_fragment_length=100,
+    )
+    check(bases[rng.integers(0, 4, size=60_000)].tobytes(), sparse, "sparse")
+
+    # duplicate-dense: 21bp unit repeated -> the same few k-mers
+    # (hence identical bucket values) fill every fragment
+    unit = bases[rng.integers(0, 4, size=21)]
+    rep = np.tile(unit, 3000)[:60_000].tobytes()
+    check(rep, dense, "repeat")
+
+    # one-bin flood past the 1024 fallback: single fragment, dense
+    # selection, tiny member space so every value lands in few bins
+    flood = NativeSketchParams(
+        genome_scale=50, fragment_scale=1, fragment_length=30_000,
+        prefilter_bits=1 << 12, member_bits=1 << 4,
+        min_fragment_length=100,
+    )
+    check(bases[rng.integers(0, 4, size=30_000)].tobytes(), flood, "flood")
