@@ -174,6 +174,11 @@ class NativeFasta:
             params.prefilter_bits - 1,
             max(1, int(threads)),
         )
+        if n < 0:
+            raise ValueError(
+                "native sketcher requires member_bits and prefilter_bits "
+                "<= 2**31 (int31 bucket storage)"
+            )
         # Bulk transfer: two ctypes calls total, then zero-copy numpy
         # views per sketch (200k per-sketch round trips cost ~12s on a
         # 100k-contig file; this path costs ~0.3s).

@@ -367,6 +367,9 @@ void sketch_sequences_native_cpp(
     const std::vector<const FastaRecordC*>& seqs, int k, uint64_t gthresh,
     uint64_t fthresh, int64_t frag_len, int64_t min_frag_len,
     uint32_t member_mask, uint32_t pref_mask, NativeSketchC* out) {
+  // Invariant (checked at the gt_native_sketch boundary): buckets fit
+  // in int31 — the dedup sentinel prev=0xffffffffu must never equal a
+  // real bucket, and frag_buckets stores buckets as int32_t.
   const uint64_t kmask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
   const int shift_hi = 2 * (k - 1);
 
@@ -712,6 +715,12 @@ int64_t gt_native_sketch(void* handle, int mode, int k, uint64_t gthresh,
                          uint32_t pref_mask, int threads) {
   auto* h = (GtHandle*)handle;
   h->sketches.clear();
+  // Buckets must fit in int31: the per-fragment dedup's sentinel
+  // (0xffffffffu) and its (int32_t) stores require member/prefilter
+  // bucket values < 2^31. Power-of-two masks <= 2^22 hold everywhere
+  // in galah_tpu (defaults.py); reject wider masks instead of
+  // corrupting output silently.
+  if (member_mask >= 0x80000000u || pref_mask >= 0x80000000u) return -1;
   if (mode == 0) {
     std::vector<const FastaRecordC*> all;
     for (const auto& r : h->records) all.push_back(&r);
