@@ -506,6 +506,76 @@ def bench_device_sketch(jax, jnp):
     return bases_per_s
 
 
+def bench_e2e(jax, jnp):
+    """Pipeline-level drift canary: a small synthetic dereplication
+    (sketch -> screen -> cluster -> verify -> outputs) through the real
+    CLI, one stderr line with wall + phase split + exact-recovery flag.
+    The stdout JSON stays a kernel number (stable, compute-bound); this
+    line makes end-to-end regressions visible in BENCH_r*.json's tail
+    without waiting for the manually-run scale benches. On this rig the
+    wall is dominated by the host->device tunnel, so treat run-to-run
+    deltas > ~2x as tunnel variance unless phases shift shape."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from galah_tpu.cli.main import main as cli_main
+    from galah_tpu.utils.synth import make_families
+
+    genomes, families, length = (16, 4, 50_000) if _small() else (
+        256, 32, 500_000
+    )
+    corpus = tempfile.mkdtemp(prefix="galah-bench-e2e-")
+    td = tempfile.mkdtemp(prefix="galah-bench-e2e-out-")
+    try:
+        t0 = time.perf_counter()
+        make_families(
+            corpus, n_families=families,
+            members_per_family=genomes // families,
+            genome_length=length, within_ani=0.98, seed=11,
+        )
+        gen_s = time.perf_counter() - t0
+        clusters_tsv = os.path.join(td, "clusters.tsv")
+        metrics_json = os.path.join(td, "metrics.json")
+        t0 = time.perf_counter()
+        rc = cli_main([
+            "cluster", "-d", corpus, "-x", "fna", "--ani", "95",
+            "--output-cluster-definition", clusters_tsv,
+            "--metrics-json", metrics_json, "-q",
+        ])
+        wall = time.perf_counter() - t0
+        if rc != 0:
+            _log(f"e2e: cluster exited {rc}")
+            return 0.0
+        reps = {}
+        with open(clusters_tsv) as f:
+            for line in f:
+                rep, member = line.rstrip("\n").split("\t")
+                reps[member] = rep
+        fams = {}
+        for m, r in reps.items():
+            fams.setdefault(os.path.basename(m).split("_")[0], set()).add(r)
+        exact = (
+            len(set(reps.values())) == families
+            and all(len(r) == 1 for r in fams.values())
+        )
+        with open(metrics_json) as f:
+            phases = _json.load(f).get("phases_s", {})
+        phase_str = " ".join(
+            f"{k}={v:.1f}s" for k, v in sorted(phases.items())
+        )
+        rate = genomes * (genomes - 1) / 2 / wall
+        _log(
+            f"e2e: {genomes}x{length//1000}kb derep {wall:.1f}s wall "
+            f"({rate/1e3:.1f}K pairs/s e2e; gen {gen_s:.1f}s; "
+            f"{phase_str}) families_exact={exact}"
+        )
+        return rate
+    finally:
+        shutil.rmtree(corpus, ignore_errors=True)
+        shutil.rmtree(td, ignore_errors=True)
+
+
 def main() -> None:
     import os
     import threading
@@ -565,6 +635,7 @@ def main() -> None:
             ("verify_grouped_bt", bench_verify_grouped_bt),
             ("verify_pairtable", bench_verify_pairtable),
             ("device_sketch", bench_device_sketch),
+            ("e2e", bench_e2e),
         ):
             try:
                 fn(jax, jnp)
