@@ -534,7 +534,40 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
         min_cont = _screen_min_containment(
             self.threshold, self.min_aligned_threshold, self.ctx.params.k
         )
-        if _screen_backend() == "indicator":
+        import jax as _jax
+        import os as _os
+
+        explicit_backend = _os.environ.get("GALAH_TPU_SCREEN")
+        if (
+            explicit_backend is None
+            and _jax.device_count() > 1
+            and not self.ctx.low_memory
+        ):
+            # Mesh-sharded query-block x ref-block tile sweep (SURVEY
+            # P9): the rectangle scales with devices/hosts exactly like
+            # the triangle — only sparse results leave a device.
+            from galah_tpu.ops.popcount_screen import pack_indicator
+            from galah_tpu.parallel.distance import (
+                sharded_screen_rectangle_packed,
+            )
+
+            bits = self.ctx.params.prefilter_bits
+            logger.info(
+                "Reference-mode screening on %d devices "
+                "(sharded rectangle sweep)", _jax.device_count(),
+            )
+            res = sharded_screen_rectangle_packed(
+                [pack_indicator(sketches[i].prefilter_buckets, bits)
+                 for i in query_idx],
+                np.asarray([sketches[i].n_prefilter for i in query_idx]),
+                [pack_indicator(sketches[i].prefilter_buckets, bits)
+                 for i in ref_idx],
+                np.asarray([sketches[i].n_prefilter for i in ref_idx]),
+                self.ctx.params.k,
+                min_cont,
+                bits,
+            )
+        elif _screen_backend() == "indicator":
             res = screen_rectangle(
                 [sketches[i].prefilter_indicator() for i in query_idx],
                 np.asarray([sketches[i].n_prefilter for i in query_idx]),

@@ -310,6 +310,164 @@ def sharded_screen_triangle_packed(
     return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
 
 
+def sharded_screen_rectangle_packed(
+    query_packed: Sequence[np.ndarray],
+    query_sizes: np.ndarray,
+    ref_packed: Sequence[np.ndarray],
+    ref_sizes: np.ndarray,
+    k: int,
+    min_containment: float,
+    bits: int,
+    mesh: Optional[Mesh] = None,
+    block: int = 0,
+    cap: int = 0,
+) -> ScreenResult:
+    """Reference-genome (rectangular) screen with the
+    query-block x ref-block tile list sharded across `mesh` — the
+    mesh-scaled equivalent of the reference's stream-queries-against-
+    ref-DB search (src/skani.rs:502-687; SURVEY P9).
+
+    Queries and refs concatenate into one replicated resident matrix
+    (queries at rows [0, nq_pad), refs at [nq_pad, ...)), and the tile
+    sweep reuses the triangle's shard_map kernel: ref tiles carry block
+    index nq_pad/block + bj, which never equals a query block index, so
+    the kernel's diagonal mask reduces to the plain cutoff. Only sparse
+    (count, ii, jj, val) tuples leave a device. Returned pairs are
+    (query_idx, ref_idx)."""
+    if mesh is None:
+        from galah_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    nq, nr = len(query_packed), len(ref_packed)
+    if nq == 0 or nr == 0:
+        return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
+    w = len(query_packed[0])
+    block = _pick_block(max(nq, nr), block or _screen_block_for(max(nq, nr)))
+    cap = cap or _screen_cap_for(block)
+    inv_k = 1.0 / k
+    min_cont_static = float(np.float32(min_containment))
+    n_devices = math.prod(mesh.shape.values())
+
+    nq_pad = ((nq + block - 1) // block) * block
+    nr_pad = ((nr + block - 1) // block) * block
+    nqb, nrb = nq_pad // block, nr_pad // block
+    ntiles = nqb * nrb
+    tiles_per_device = min(
+        TILES_PER_DEVICE, (ntiles + n_devices - 1) // n_devices
+    )
+    chunk_tiles = n_devices * tiles_per_device
+
+    x_np = np.zeros((nq_pad + nr_pad, w), dtype=np.uint32)
+    for t in range(nq):
+        x_np[t] = query_packed[t]
+    for t in range(nr):
+        x_np[nq_pad + t] = ref_packed[t]
+    s_np = np.zeros((nq_pad + nr_pad,), dtype=np.float32)
+    s_np[:nq] = query_sizes.astype(np.float32)
+    s_np[nq_pad : nq_pad + nr] = ref_sizes.astype(np.float32)
+
+    rep = NamedSharding(mesh, P())
+    axes = tuple(mesh.axis_names)
+    mat_sh = NamedSharding(mesh, P(axes, None))
+    x_all = jax.device_put(x_np, rep)
+    s_all = jax.device_put(s_np, rep)
+    del x_np
+
+    dtn = _screen_dtype_name()
+    fn = _tile_screen_fn(mesh, block, cap, dtn)
+    bits_dev = jnp.float32(bits)
+    min_cont_dev = jnp.float32(min_cont_static)
+
+    # Tiles address the concatenated matrix: (query block bi, global
+    # ref block nqb + bj).
+    tiles = [(bi, nqb + bj) for bi in range(nqb) for bj in range(nrb)]
+    multiproc = jax.process_count() > 1
+
+    pairs: List[np.ndarray] = []
+    anis: List[np.ndarray] = []
+
+    def collect(tile_chunk, outs):
+        if multiproc:
+            from jax.experimental import multihost_utils
+
+            cnt, ii, jj, vals = (
+                multihost_utils.process_allgather(o, tiled=True) for o in outs
+            )
+        else:
+            cnt, ii, jj, vals = outs
+        cnt = np.asarray(cnt)
+        ii = np.asarray(ii)
+        jj = np.asarray(jj)
+        vals = np.asarray(vals).astype(np.float32)
+        for t, (bi, bjg) in enumerate(tile_chunk):
+            c = int(cnt[t])
+            ii_t, jj_t, vals_t = ii[t], jj[t], vals[t]
+            if c < 0:
+                # Row-overflow signal: re-extract on device (identical
+                # lockstep re-dispatch on every process).
+                true_cnt = -c - 1
+                if true_cnt <= cap:
+                    c2, ii2, jj2, v2 = _resident_screen_extract(
+                        x_all, s_all, jnp.int32(bi), jnp.int32(bjg),
+                        block=block, bits_f=float(bits),
+                        min_cont=min_cont_static, cap=cap,
+                        is_diag=False, dtname=dtn, direct=True,
+                    )
+                    c = int(c2)
+                    ii_t = np.asarray(ii2)
+                    jj_t = np.asarray(jj2)
+                    vals_t = np.asarray(v2).astype(np.float32)
+                else:
+                    c = cap + 1
+            if c > cap:
+                # Rare overflow: dense pull of this one tile.
+                lo_i, lo_j = bi * block, bjg * block
+                cont = np.array(
+                    _block_containment_packed(
+                        x_all[lo_i : lo_i + block],
+                        x_all[lo_j : lo_j + block],
+                        s_all[lo_i : lo_i + block],
+                        s_all[lo_j : lo_j + block],
+                        float(bits),
+                        dtname=dtn,
+                    )
+                ).astype(np.float32)
+                hit = np.argwhere(cont >= min_cont_static)
+                gi = hit[:, 0] + lo_i
+                gj = hit[:, 1] + (bjg - nqb) * block
+                v = cont[hit[:, 0], hit[:, 1]]
+            else:
+                gi = ii_t[:c] + bi * block
+                gj = jj_t[:c] + (bjg - nqb) * block
+                v = vals_t[:c]
+            keep = (gi < nq) & (gj < nr)
+            gi, gj, v = gi[keep], gj[keep], v[keep]
+            if len(gi):
+                pairs.append(np.stack([gi, gj], axis=1).astype(np.int64))
+                anis.append((v ** inv_k * 100.0).astype(np.float32))
+
+    pending: deque = deque()
+    tij = np.zeros((chunk_tiles, 3), dtype=np.int32)
+    for lo in range(0, len(tiles), chunk_tiles):
+        tile_chunk = tiles[lo : lo + chunk_tiles]
+        tij[:] = 0
+        for t, (bi, bjg) in enumerate(tile_chunk):
+            tij[t] = (bi, bjg, 1)
+        outs = fn(
+            x_all, s_all, bits_dev, min_cont_dev,
+            jax.device_put(tij.copy(), mat_sh),
+        )
+        pending.append((tile_chunk, outs))
+        if len(pending) > DISPATCH_WINDOW:
+            collect(*pending.popleft())
+    while pending:
+        collect(*pending.popleft())
+
+    if pairs:
+        return ScreenResult(np.concatenate(pairs), np.concatenate(anis))
+    return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
+
+
 def _rowshard_stage_fn(mesh: Mesh, block: int, cap: int, slots: int,
                        stage_cap: int, dtname: str):
     """Build (and cache) the jitted one-column-stage sweep for the

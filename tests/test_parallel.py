@@ -328,3 +328,105 @@ def test_pairtable_multidevice_matches_single(tmp_path, monkeypatch):
     assert single == multi
     assert len(ids1) == 1
     assert len(ids8) > 1, "pair-table fan-out never left the first device"
+
+
+def test_sharded_rectangle_matches_single_device():
+    """Mesh-sharded reference-mode (rectangular) screen: identical
+    sparse pair list to the single-device resident rectangle, beyond
+    one tile per device and across the query/ref padding boundaries."""
+    from galah_tpu.ops.prefilter import screen_rectangle_packed
+    from galah_tpu.parallel.distance import sharded_screen_rectangle_packed
+
+    nq, nr, bits = 700, 300, 2048
+    rng = np.random.default_rng(7)
+    q = (rng.random((nq, bits)) < 0.08).astype(np.uint8)
+    r = (rng.random((nr, bits)) < 0.08).astype(np.uint8)
+    # plant cross-group near-duplicates (the only pairs that matter in
+    # reference mode) at positions spanning several tiles
+    for t in range(0, 280, 17):
+        q[t * 2 % nq] = r[t]
+    qp = list(np.packbits(q.astype(bool), axis=1, bitorder="little").view(np.uint32))
+    rp = list(np.packbits(r.astype(bool), axis=1, bitorder="little").view(np.uint32))
+    qs, rs = q.sum(axis=1), r.sum(axis=1)
+
+    single = screen_rectangle_packed(qp, qs, rp, rs, 15, 0.2, bits, block=256)
+    mesh = make_mesh(jax.devices()[:8])
+    sharded = sharded_screen_rectangle_packed(
+        qp, qs, rp, rs, 15, 0.2, bits, mesh=mesh, block=128
+    )
+    key = lambda res: sorted(map(tuple, res.pairs.tolist()))
+    assert key(single) == key(sharded)
+    assert len(sharded.pairs) >= 15
+
+
+def test_sharded_rectangle_overflow_tile():
+    """A tile whose hits exceed the extraction cap falls back without
+    losing or duplicating pairs (dense recompute of that tile only)."""
+    from galah_tpu.ops.prefilter import screen_rectangle_packed
+    from galah_tpu.parallel.distance import sharded_screen_rectangle_packed
+
+    nq, nr, bits = 96, 96, 1024
+    rng = np.random.default_rng(8)
+    base = (rng.random(bits) < 0.1).astype(np.uint8)
+    q = np.tile(base, (nq, 1))
+    r = np.tile(base, (nr, 1))
+    qp = list(np.packbits(q.astype(bool), axis=1, bitorder="little").view(np.uint32))
+    rp = list(np.packbits(r.astype(bool), axis=1, bitorder="little").view(np.uint32))
+    qs, rs = q.sum(axis=1), r.sum(axis=1)
+    single = screen_rectangle_packed(qp, qs, rp, rs, 15, 0.2, bits, block=128)
+    sharded = sharded_screen_rectangle_packed(
+        qp, qs, rp, rs, 15, 0.2, bits,
+        mesh=make_mesh(jax.devices()[:8]), block=128, cap=64,
+    )
+    key = lambda res: sorted(map(tuple, res.pairs.tolist()))
+    assert key(single) == key(sharded)
+    assert len(sharded.pairs) == nq * nr
+
+
+def test_reference_mode_engine_uses_mesh(tmp_path, monkeypatch):
+    """distances_with_references routes through the sharded rectangle
+    when several devices are available, and its verified cache equals
+    the forced-single-device run exactly."""
+    from galah_tpu.engines.native import NativeContext, NativePreclusterer
+    from galah_tpu.parallel import distance as dist_mod
+    from galah_tpu.utils.synth import make_families
+
+    paths, _ = make_families(
+        str(tmp_path), n_families=3, members_per_family=3,
+        genome_length=30_000, within_ani=0.97, seed=6,
+    )
+    # one reference per family (paths are family-major: fam0_m0,
+    # fam0_m1, ... fam2_m2), so every non-reference genome has a
+    # cross-group near-duplicate
+    refs = [paths[0], paths[3], paths[6]]
+
+    calls = []
+    orig = dist_mod.sharded_screen_rectangle_packed
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(
+        dist_mod, "sharded_screen_rectangle_packed", spy
+    )
+
+    def run(force_single):
+        if force_single:
+            monkeypatch.setenv("GALAH_TPU_SCREEN", "packed")
+            monkeypatch.setenv("GALAH_TPU_VERIFY_DEVICES", "1")
+        else:
+            monkeypatch.delenv("GALAH_TPU_SCREEN", raising=False)
+            monkeypatch.delenv("GALAH_TPU_VERIFY_DEVICES", raising=False)
+        ctx = NativeContext(threads=1)
+        pre = NativePreclusterer(
+            threshold=90.0, min_aligned_threshold=0.15, ctx=ctx
+        )
+        cache = pre.distances_with_references(paths, refs)
+        return sorted(cache.items())
+
+    multi = run(force_single=False)
+    assert calls, "mesh rectangle sweep never engaged"
+    single = run(force_single=True)
+    assert multi == single
+    assert len(multi) >= 4  # cross-group near-duplicates found

@@ -83,3 +83,52 @@ def test_rowsharded_screen_300k_bounded_memory():
     _run(300_000, block=4096, fn=sharded_screen_triangle_rowsharded)
     peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     assert peak_gb < 12.0, f"peak RSS {peak_gb:.1f}GB — dense-path regression?"
+
+
+def _planted_rectangle(nq: int, nr: int, w: int, n_planted: int, seed: int = 1):
+    rng = np.random.default_rng(seed)
+    q = rng.integers(0, 2**32, size=(nq, w), dtype=np.uint32)
+    r = rng.integers(0, 2**32, size=(nr, w), dtype=np.uint32)
+    planted = []
+    for t in range(n_planted):
+        qi = (t * 97) % nq
+        rj = (t * 13) % nr
+        q[qi] = r[rj]
+        planted.append((qi, rj))
+    qs = np.unpackbits(q.view(np.uint8), axis=1).sum(axis=1)
+    rs = np.unpackbits(r.view(np.uint8), axis=1).sum(axis=1)
+    # planting can alias (same qi twice): keep the LAST write per query
+    final = {}
+    for qi, rj in planted:
+        final[qi] = rj
+    return q, qs, r, rs, sorted(final.items())
+
+
+def _run_rect(nq: int, nr: int, block: int):
+    from galah_tpu.parallel.distance import sharded_screen_rectangle_packed
+
+    w = 16
+    q, qs, r, rs, planted = _planted_rectangle(nq, nr, w, n_planted=100)
+    mesh = make_mesh(jax.devices()[:8])
+    res = sharded_screen_rectangle_packed(
+        list(q), qs, list(r), rs, k=15, min_containment=0.5, bits=w * 32,
+        mesh=mesh, block=block,
+    )
+    got = sorted(map(tuple, res.pairs.tolist()))
+    assert got == planted
+
+
+def test_sharded_rectangle_4k_x_512():
+    _run_rect(4_096, 512, block=1024)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("GALAH_TPU_SCALE_TESTS"),
+    reason="set GALAH_TPU_SCALE_TESTS=1 for the 20k-query reference-mode shape",
+)
+def test_sharded_rectangle_20k_x_1k_bounded_memory():
+    """Reference-mode scale shape (VERDICT r2 item 2): 20k queries x 1k
+    reference genomes through the mesh-sharded rectangle, sparse-only."""
+    _run_rect(20_000, 1_000, block=4096)
+    peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    assert peak_gb < 8.0, f"peak RSS {peak_gb:.1f}GB — dense-path regression?"
