@@ -628,15 +628,32 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
             and jax.device_count() > 1
             and self.ctx.low_memory
         ):
+            # SURVEY P8: the distributed case IS the low-memory case.
+            # The row-sharded sweep pins only n/n_dev rows per device,
+            # and rows materialize lazily from the disk sketch store
+            # (the role of skani's sketch-then-stream search,
+            # src/skani.rs:229-377) — the host never assembles the full
+            # packed matrix and only sparse hits return.
+            from galah_tpu.parallel.distance import (
+                sharded_screen_triangle_rowsharded,
+            )
+
+            bits = self.ctx.params.prefilter_bits
             logger.info(
-                "%d devices available but --low-memory streams sketches from "
-                "disk; screening on one device",
+                "Screening on %d devices (row-sharded sweep fed from "
+                "the low-memory sketch store)",
                 jax.device_count(),
             )
-        if (
+            res = sharded_screen_triangle_rowsharded(
+                _LazyPackedRows(sketches, bits),
+                np.asarray([s.n_prefilter for s in sketches]),
+                k,
+                min_cont,
+                bits,
+            )
+        elif (
             explicit_backend is None
             and jax.device_count() > 1
-            and not self.ctx.low_memory
         ):
             # Mesh-sharded tiled sweep: the packed matrix is resident on
             # every device and the tile list is sharded — only sparse

@@ -430,3 +430,50 @@ def test_reference_mode_engine_uses_mesh(tmp_path, monkeypatch):
     single = run(force_single=True)
     assert multi == single
     assert len(multi) >= 4  # cross-group near-duplicates found
+
+
+def test_low_memory_uses_rowsharded_mesh(tmp_path, monkeypatch):
+    """SURVEY P8: --low-memory no longer forfeits the mesh. The screen
+    routes through the row-sharded sweep fed lazily from the disk
+    sketch store, and the clusters are byte-identical to the
+    non-low-memory (replicated mesh) run."""
+    from galah_tpu.cli.main import main as cli_main
+    from galah_tpu.parallel import distance as dist_mod
+    from galah_tpu.utils.synth import make_families
+
+    paths, _ = make_families(
+        str(tmp_path / "corpus"), n_families=4, members_per_family=4,
+        genome_length=40_000, within_ani=0.98, seed=12,
+    )
+
+    calls = []
+    orig = dist_mod.sharded_screen_triangle_rowsharded
+
+    def spy(packed, *a, **kw):
+        # Lazy feed: the row source must be the on-access packed view,
+        # not a materialized ndarray (host memory stays O(n/n_dev)).
+        calls.append(type(packed).__name__)
+        return orig(packed, *a, **kw)
+
+    monkeypatch.setattr(
+        dist_mod, "sharded_screen_triangle_rowsharded", spy
+    )
+
+    def run(low_memory):
+        out = tmp_path / f"clusters_{low_memory}.tsv"
+        argv = [
+            "cluster", "-f", *paths, "--ani", "95",
+            "--output-cluster-definition", str(out), "-q",
+        ]
+        if low_memory:
+            argv.append("--low-memory")
+        assert cli_main(argv) == 0
+        return out.read_bytes()
+
+    normal = run(low_memory=False)
+    assert not calls
+    lowmem = run(low_memory=True)
+    assert calls == ["_LazyPackedRows"], (
+        "--low-memory did not route through the row-sharded mesh sweep"
+    )
+    assert normal == lowmem
