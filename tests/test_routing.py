@@ -1,0 +1,117 @@
+"""Oracle tests for the scatter-free routing primitives (ops/routing):
+monotone compaction / expansion and the bitonic network must agree with
+numpy exactly on randomized inputs, including degenerate masks."""
+
+import numpy as np
+import pytest
+from conftest import data  # noqa: F401  (forces CPU backend)
+
+import jax.numpy as jnp
+
+from galah_tpu.ops.routing import (
+    bitonic_sort,
+    monotone_compact,
+    monotone_expand,
+)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("n", [8, 128, 1024, 4096])
+def test_monotone_compact_oracle(seed, n):
+    rng = np.random.default_rng(seed)
+    g = 3
+    mask = rng.random((g, n)) < rng.uniform(0.02, 0.9)
+    a = rng.integers(0, 2**30, (g, n)).astype(np.int32)
+    b = rng.integers(0, 2**30, (g, n)).astype(np.int32)
+    (ra, rb), n_live = monotone_compact(
+        jnp.asarray(mask), [jnp.asarray(a), jnp.asarray(b)], [-1, -7]
+    )
+    ra, rb, n_live = np.asarray(ra), np.asarray(rb), np.asarray(n_live)
+    for gi in range(g):
+        k = mask[gi].sum()
+        assert n_live[gi] == k
+        assert np.array_equal(ra[gi, :k], a[gi][mask[gi]])
+        assert np.array_equal(rb[gi, :k], b[gi][mask[gi]])
+        assert np.all(ra[gi, k:] == -1)
+        assert np.all(rb[gi, k:] == -7)
+
+
+def test_monotone_compact_degenerate():
+    n = 64
+    zeros = jnp.zeros((1, n), bool)
+    ones = jnp.ones((1, n), bool)
+    vals = jnp.arange(n, dtype=jnp.int32)[None, :]
+    (r0,), l0 = monotone_compact(zeros, [vals], [0])
+    assert int(l0[0]) == 0 and np.all(np.asarray(r0) == 0)
+    (r1,), l1 = monotone_compact(ones, [vals], [0])
+    assert int(l1[0]) == n
+    assert np.array_equal(np.asarray(r1)[0], np.arange(n))
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+@pytest.mark.parametrize("m,out", [(64, 256), (512, 512), (1000, 4096)])
+def test_monotone_expand_oracle(seed, m, out):
+    rng = np.random.default_rng(seed)
+    g = 3
+    want = np.full((g, out), -1, np.int32)
+    vals = np.zeros((g, m), np.int32)
+    dests = np.zeros((g, m), np.int32)
+    n_live = np.zeros(g, np.int32)
+    for gi in range(g):
+        k = int(rng.integers(0, min(m, out) + 1))
+        d = np.sort(rng.choice(out, size=k, replace=False)).astype(np.int32)
+        v = rng.integers(1, 2**30, k).astype(np.int32)
+        vals[gi, :k] = v
+        dests[gi, :k] = d
+        n_live[gi] = k
+        want[gi, d] = v
+    got = monotone_expand(
+        jnp.asarray(vals), jnp.asarray(dests), jnp.asarray(n_live), out, -1
+    )
+    assert np.array_equal(np.asarray(got), want)
+
+
+@pytest.mark.parametrize("w", [2, 128, 1024, 8192])
+def test_bitonic_sort_oracle(w):
+    rng = np.random.default_rng(w)
+    x = rng.integers(0, 2**32, (4, w), dtype=np.uint32)
+    (s,) = bitonic_sort([jnp.asarray(x)])
+    assert np.array_equal(np.asarray(s), np.sort(x, axis=-1))
+
+
+def test_bitonic_sort_two_keys_with_payload():
+    rng = np.random.default_rng(5)
+    w = 512
+    k1 = rng.integers(0, 8, (2, w)).astype(np.int32)
+    k2 = rng.integers(0, 1000, (2, w)).astype(np.int32)
+    pay = np.arange(2 * w, dtype=np.int32).reshape(2, w)
+    s1, s2, sp = (
+        np.asarray(a)
+        for a in bitonic_sort(
+            [jnp.asarray(k1), jnp.asarray(k2), jnp.asarray(pay)], n_keys=2
+        )
+    )
+    for gi in range(2):
+        order = np.lexsort((pay[gi], k2[gi], k1[gi]))
+        assert np.array_equal(s1[gi], k1[gi][order])
+        assert np.array_equal(s2[gi], k2[gi][order])
+        # payload must ride with its keys (stability not required —
+        # verify the multiset per (k1, k2) group)
+        got = {}
+        exp = {}
+        for i in range(w):
+            got.setdefault((s1[gi, i], s2[gi, i]), []).append(sp[gi, i])
+            exp.setdefault((k1[gi, i], k2[gi, i]), []).append(pay[gi, i])
+        assert {k: sorted(v) for k, v in got.items()} == {
+            k: sorted(v) for k, v in exp.items()
+        }
+
+
+def test_bitonic_sort_uint32_full_range():
+    """Padding keys of 0xFFFFFFFF must sort to the end as uint32."""
+    x = np.array(
+        [[3, 0xFFFFFFFF, 1, 0x80000000, 0, 0xFFFFFFFF, 7, 2]],
+        dtype=np.uint32,
+    )
+    (s,) = bitonic_sort([jnp.asarray(x)])
+    assert np.array_equal(np.asarray(s), np.sort(x, axis=-1))
