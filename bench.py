@@ -431,6 +431,8 @@ def bench_device_sketch(jax, jnp):
 
     from galah_tpu.ops.device_sketch import (
         _default_frag_cap,
+        _default_routed,
+        _psel_capacity,
         _sel_capacity,
         _sketch_batch_kernel,
     )
@@ -463,6 +465,8 @@ def bench_device_sketch(jax, jnp):
     inv_idx = jnp.full((G, 1), P, jnp.int32)
     lengths = jnp.full((G,), P, jnp.int32)
 
+    routed = _default_routed()  # the production formulation
+
     def body(c):
         out = _sketch_batch_kernel(
             c, inv_idx, lengths, bounds, bin2frag,
@@ -471,7 +475,9 @@ def bench_device_sketch(jax, jnp):
             gthresh=int(params.genome_threshold),
             fthresh=int(params.fragment_threshold),
             max_frags=nfrag, max_sel=SEL,
-            frag_cap=_default_frag_cap(params),  # the production path
+            routed=routed,
+            max_psel=_psel_capacity(P - params.k + 1, params),
+            frag_cap=0 if routed else _default_frag_cap(params),
         )
         # Consume EVERY output (pref/member words, flat, offsets,
         # counters, both overflow flags): summing only one would let
@@ -500,7 +506,8 @@ def bench_device_sketch(jax, jnp):
     dt = _time_reps(run, codes, "device_sketch")
     bases_per_s = G * P / dt
     _log(
-        f"device_sketch: {bases_per_s/1e6:.0f}M bases/s "
+        f"device_sketch[{'routed' if routed else 'scatter'}]: "
+        f"{bases_per_s/1e6:.0f}M bases/s "
         f"({G}x{P>>20 or 1}Mb, {dt*1e3:.0f}ms/batch)"
     )
     return bases_per_s

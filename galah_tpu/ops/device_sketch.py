@@ -146,29 +146,16 @@ def _pack_indicator_words(ind):
                    axis=1, dtype=jnp.uint32)
 
 
-def _sketch_one(
-    packed,       # (P//4,) uint8; 4 x 2-bit base codes per byte,
-                  #  little-endian within the byte (pos 4i+j at bits 2j)
-    inv_idx,      # (NI,) int32 positions of non-ACGT bases/separators
-                  #  within [0, length); padding = P (dropped)
-    length,       # () int32 live length; positions >= length are invalid
-    bounds,       # (NB,) int32 sorted fragment-bin boundaries (global
-                  #  concatenated coordinates); padding = P (out of range)
-    bin2frag,     # (NB,) int32 fragment id per bin, -1 = not a fragment
-    *,
-    k: int,
-    member_bits: int,
-    prefilter_bits: int,
-    gthresh: int,
-    fthresh: int,
-    max_frags: int,
-    max_sel: int,
-    frag_cap: int,
+def _hash_front(
+    packed, inv_idx, length, bounds, bin2frag, *, k, gthresh, fthresh,
+    member_bits,
 ):
+    """Shared front half: unpack 2-bit codes, canonical k-mers,
+    splitmix64, FracMinHash selection masks, member bucket, and the
+    fragment id of every position. Pure elementwise + one prefix sum —
+    the cheap part of the kernel (5.3G bases/s measured)."""
     P = packed.shape[0] * 4
     n = P - k + 1
-    # Unpack 2-bit codes (the host uploads 0.25 bytes/base + a sparse
-    # invalid list instead of 1 byte/base).
     c32 = jnp.stack(
         [(packed >> jnp.uint8(2 * j)) & jnp.uint8(3) for j in range(4)],
         axis=1,
@@ -203,6 +190,34 @@ def _sketch_one(
     # lands inside the final k-1 bases) were dropped by the scatter;
     # they only delimit regions with no valid k-mer start anyway.
     frag = bin2frag[jnp.clip(pos_bin, 0, bin2frag.shape[0] - 1)]
+    return fsel, gsel, mbucket, frag
+
+
+def _sketch_one(
+    packed,       # (P//4,) uint8; 4 x 2-bit base codes per byte,
+                  #  little-endian within the byte (pos 4i+j at bits 2j)
+    inv_idx,      # (NI,) int32 positions of non-ACGT bases/separators
+                  #  within [0, length); padding = P (dropped)
+    length,       # () int32 live length; positions >= length are invalid
+    bounds,       # (NB,) int32 sorted fragment-bin boundaries (global
+                  #  concatenated coordinates); padding = P (out of range)
+    bin2frag,     # (NB,) int32 fragment id per bin, -1 = not a fragment
+    *,
+    k: int,
+    member_bits: int,
+    prefilter_bits: int,
+    gthresh: int,
+    fthresh: int,
+    max_frags: int,
+    max_sel: int,
+    frag_cap: int,
+):
+    P = packed.shape[0] * 4
+    n = P - k + 1
+    fsel, gsel, mbucket, frag = _hash_front(
+        packed, inv_idx, length, bounds, bin2frag,
+        k=k, gthresh=gthresh, fthresh=fthresh, member_bits=member_bits,
+    )
 
     # Compact ALL selected hashes once (fsel ⊇ gsel since
     # genome_scale >= fragment_scale — asserted by the batch entry);
@@ -347,18 +362,220 @@ def _sketch_one(
     )
 
 
+def _fit_minor(x, size: int, pad):
+    """Slice or pad the minor axis to exactly `size`."""
+    n = x.shape[-1]
+    if n >= size:
+        return x[..., :size]
+    return jnp.concatenate(
+        [x, jnp.full(x.shape[:-1] + (size - n,), pad, dtype=x.dtype)],
+        axis=-1,
+    )
+
+
+def _words_from_sorted(sv, first, bits: int):
+    """Packed uint32 indicator words from a bucket-major sorted stream.
+
+    sv: (S,) uint32 sorted values with 0xFFFFFFFF padding at the tail;
+    first: unique-value mask. Scatter-free: compact the uniques, OR
+    adjacent same-word bit values with 5 doubling passes (a word covers
+    32 buckets, so runs are <= 32 long), keep the last entry of each
+    word run, and monotone-expand (word, orred-bits) into the
+    (bits//32,) word array. Returns ((bits//32,) uint32 words, count).
+    """
+    from galah_tpu.ops.routing import monotone_compact, monotone_expand
+
+    PADK = jnp.uint32(0xFFFFFFFF)
+    (u,), m = monotone_compact(first, [sv], [PADK], cumsum_fn=_fast_cumsum)
+    n_uniq = m
+    word = (u >> jnp.uint32(5)).astype(jnp.int32)
+    bitv = jnp.where(
+        u != PADK, jnp.uint32(1) << (u & jnp.uint32(31)), jnp.uint32(0)
+    )
+    live = jnp.arange(u.shape[-1], dtype=jnp.int32) < m
+    word = jnp.where(live, word, jnp.int32(2**30))
+    acc = bitv
+    for sh in (1, 2, 4, 8, 16):
+        if sh >= u.shape[-1]:
+            break
+        nb = jnp.concatenate([jnp.zeros(sh, jnp.uint32), acc[:-sh]])
+        nw = jnp.concatenate(
+            [jnp.full(sh, -1, jnp.int32), word[:-sh]]
+        )
+        acc = jnp.where(nw == word, acc | nb, acc)
+    nxt = jnp.concatenate([word[1:], jnp.full(1, 2**30, jnp.int32)])
+    last = live & (nxt != word)
+    (wval, wdest), n_words = monotone_compact(
+        last, [acc, word], [jnp.uint32(0), 0], cumsum_fn=_fast_cumsum
+    )
+    out_words = bits // 32
+    if wval.shape[-1] > out_words:
+        # more stream slots than words exist; live words (<= out_words
+        # by construction) sit compacted at the front
+        wval = wval[:out_words]
+        wdest = wdest[:out_words]
+    words = monotone_expand(wval, wdest, n_words, out_words, jnp.uint32(0))
+    return words, n_uniq
+
+
+def _sketch_one_routed(
+    packed, inv_idx, length, bounds, bin2frag, *,
+    k: int,
+    member_bits: int,
+    prefilter_bits: int,
+    gthresh: int,
+    fthresh: int,
+    max_frags: int,
+    max_sel: int,
+    max_psel: int,
+):
+    """Scatter-free formulation of _sketch_one (bit-identical outputs).
+
+    Every scatter/sort the profile blamed (RESULTS.md round-2 addendum
+    7: stream compaction 563ms, bitmap scatters 116-727ms, dedup sort
+    141ms per 33.5M-base batch — all at XLA's ~60-120M upd/s TPU
+    scatter floor) is replaced with monotone routings and hand-rolled
+    bitonic networks (ops/routing.py) that lower to shift+select
+    passes at VPU/HBM speed:
+
+    - stream compaction: log2(n) monotone-compact passes;
+    - per-fragment dedup: one bitonic sort of the combined
+      (frag << bucket_bits | bucket) key (two-key network when it
+      exceeds 31 bits), first-occurrence mask, monotone re-compaction;
+    - fragment offsets: frag-start positions monotone-expanded into
+      the (F,) table + a reverse running-min fill (no scatter-add
+      histogram);
+    - both bitmaps: bucket-major bitonic sort, unique mask, adjacent
+      same-word OR-merge (5 doubling passes), monotone expansion into
+      packed words (never materializing uint8 indicators).
+    """
+    from galah_tpu.ops.routing import bitonic_sort, monotone_compact, monotone_expand
+
+    P = packed.shape[0] * 4
+    n = P - k + 1
+    fsel, gsel, mbucket, frag = _hash_front(
+        packed, inv_idx, length, bounds, bin2frag,
+        k=k, gthresh=gthresh, fthresh=fthresh, member_bits=member_bits,
+    )
+
+    BIG = jnp.int32(2**30)
+    pay = mbucket | jnp.where(gsel, jnp.int32(member_bits), 0)
+    frag_m = jnp.where(frag >= 0, frag, BIG)
+    (cfrag, cpay), n_sel = monotone_compact(
+        fsel, [frag_m, pay], [BIG, BIG], cumsum_fn=_fast_cumsum
+    )
+    overflow = n_sel > max_sel
+    cfrag = _fit_minor(cfrag, max_sel, BIG)
+    cpay = _fit_minor(cpay, max_sel, BIG)
+
+    real = cpay < BIG
+    cbucket = jnp.where(real, cpay & jnp.int32(member_bits - 1), BIG)
+
+    # Member bitmap: bucket-major sort over ALL selected hashes.
+    PADK = jnp.uint32(0xFFFFFFFF)
+    bkey = jnp.where(real, cbucket.astype(jnp.uint32), PADK)
+    (sb,) = bitonic_sort([bkey])
+    prevb = jnp.concatenate([jnp.array([PADK]), sb[:-1]])
+    first_b = (sb != PADK) & (sb != prevb)
+    member_words, member_pop = _words_from_sorted(sb, first_b, member_bits)
+
+    # Prefilter bitmap: gsel subset (gsel ⊆ fsel), masked to
+    # prefilter_bits — a much smaller stream, own capacity.
+    gflag = real & ((cpay & jnp.int32(member_bits)) != 0)
+    prefb = jnp.where(
+        gflag, (cpay & jnp.int32(prefilter_bits - 1)).astype(jnp.uint32),
+        PADK,
+    )
+    (cpref,), n_pref_stream = monotone_compact(
+        gflag, [prefb], [PADK], cumsum_fn=_fast_cumsum
+    )
+    overflow = overflow | (n_pref_stream > max_psel)
+    cpref = _fit_minor(cpref, max_psel, PADK)
+    (sp,) = bitonic_sort([cpref])
+    prevp = jnp.concatenate([jnp.array([PADK]), sp[:-1]])
+    first_p = (sp != PADK) & (sp != prevp)
+    pref_words, n_pref = _words_from_sorted(sp, first_p, prefilter_bits)
+
+    # Per-fragment dedup: one sort by (frag, bucket).
+    bucket_bits = member_bits.bit_length() - 1
+    in_frag = cfrag < BIG
+    if max_frags * member_bits <= 2**31:
+        key = jnp.where(
+            in_frag,
+            (cfrag.astype(jnp.uint32) << _u32(bucket_bits))
+            | jnp.where(in_frag, cbucket, 0).astype(jnp.uint32),
+            PADK,
+        )
+        (skey,) = bitonic_sort([key])
+        prev = jnp.concatenate([jnp.array([PADK]), skey[:-1]])
+        first = (skey != PADK) & (skey != prev)
+        sfrag = (skey >> _u32(bucket_bits)).astype(jnp.int32)
+        sbucket = (skey & _u32(member_bits - 1)).astype(jnp.int32)
+    else:
+        sort_frag = jnp.where(in_frag, cfrag, BIG)
+        sort_bucket = jnp.where(in_frag, cbucket, BIG)
+        sfrag, sbucket = bitonic_sort([sort_frag, sort_bucket], n_keys=2)
+        prev_f = jnp.concatenate([jnp.array([-1], jnp.int32), sfrag[:-1]])
+        prev_b = jnp.concatenate([jnp.array([-1], jnp.int32), sbucket[:-1]])
+        first = (sfrag < BIG) & ((sfrag != prev_f) | (sbucket != prev_b))
+
+    (flat, ffrag), n_unique = monotone_compact(
+        first, [sbucket, sfrag], [0, max_frags], cumsum_fn=_fast_cumsum
+    )
+
+    # Offsets without a histogram: positions where the (compacted,
+    # dedup'd) stream enters a new fragment, expanded to the fragment
+    # table and back-filled with a reverse running min (empty fragments
+    # inherit the next fragment's start; the tail reads n_unique).
+    iota_sel = jnp.arange(max_sel, dtype=jnp.int32)
+    live_u = iota_sel < n_unique
+    prev_ff = jnp.concatenate([jnp.array([-1], jnp.int32), ffrag[:-1]])
+    is_start = live_u & (ffrag != prev_ff)
+    (startpos, startfrag), n_starts = monotone_compact(
+        is_start, [iota_sel, jnp.clip(ffrag, 0, max_frags - 1)],
+        [0, max_frags - 1], cumsum_fn=_fast_cumsum,
+    )
+    fit = min(max_sel, max_frags)
+    exp = monotone_expand(
+        startpos[:fit] if max_sel > max_frags else startpos,
+        startfrag[:fit] if max_sel > max_frags else startfrag,
+        jnp.minimum(n_starts, fit),
+        max_frags,
+        BIG,
+    )
+    exp = jnp.where(exp == BIG, n_unique, exp)
+    starts = jax.lax.cummin(exp[::-1])[::-1]
+    offsets = jnp.concatenate([starts, n_unique[None]])
+
+    return (
+        pref_words, n_pref, member_words, member_pop,
+        flat, offsets, n_unique, overflow, jnp.bool_(False),
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "k", "member_bits", "prefilter_bits", "gthresh", "fthresh",
-        "max_frags", "max_sel", "frag_cap",
+        "max_frags", "max_sel", "frag_cap", "routed", "max_psel",
     ),
 )
 def _sketch_batch_kernel(
     packed, inv_idx, lengths, bounds, bin2frag, *,
     k, member_bits, prefilter_bits, gthresh, fthresh, max_frags, max_sel,
-    frag_cap=0,
+    frag_cap=0, routed=False, max_psel=0,
 ):
+    if routed:
+        return jax.vmap(
+            lambda c, iv, ln, b, m: _sketch_one_routed(
+                c, iv, ln, b, m,
+                k=k, member_bits=member_bits,
+                prefilter_bits=prefilter_bits,
+                gthresh=gthresh, fthresh=fthresh,
+                max_frags=max_frags, max_sel=max_sel,
+                max_psel=max_psel or max_sel,
+            )
+        )(packed, inv_idx, lengths, bounds, bin2frag)
     return jax.vmap(
         lambda c, iv, ln, b, m: _sketch_one(
             c, iv, ln, b, m,
@@ -395,6 +612,20 @@ def _default_frag_cap(params: NativeSketchParams) -> int:
 
 def _next_pow2(x: int) -> int:
     return 1 << max(0, int(x - 1).bit_length())
+
+
+def _default_routed() -> bool:
+    """Kernel-formulation default: the scatter-free routed kernel on
+    accelerators (where XLA scatter/sort lower to ~60-120M upd/s serial
+    loops), the XLA scatter kernel on CPU (where scatters run at memory
+    speed and the 171-stage bitonic would lose).
+    GALAH_TPU_SKETCH_KERNEL=routed|scatter overrides."""
+    mode = os.environ.get("GALAH_TPU_SKETCH_KERNEL")
+    if mode == "routed":
+        return True
+    if mode == "scatter":
+        return False
+    return jax.default_backend() != "cpu"
 
 
 @dataclass
@@ -460,6 +691,17 @@ def _sel_capacity(n_positions: int, params: NativeSketchParams) -> int:
     repeat-rich sequence where every copy of a selected k-mer counts)."""
     mean = n_positions / max(1, params.fragment_scale)
     return _next_pow2(int(2.0 * mean) + 1024)
+
+
+def _psel_capacity(n_positions: int, params: NativeSketchParams) -> int:
+    """Capacity of the routed kernel's genome-level (gsel) stream —
+    same 2x-mean margin as _sel_capacity but at genome_scale, so its
+    bitonic sort stays ~genome_scale/fragment_scale times smaller."""
+    mean = n_positions / max(1, params.genome_scale)
+    return min(
+        _next_pow2(int(2.0 * mean) + 1024),
+        _sel_capacity(n_positions, params),
+    )
 
 
 def device_sketch_batch(
@@ -542,9 +784,16 @@ def device_sketch_batch(
         max_frags=F,
         max_sel=SEL,
     )
-    out = _sketch_batch_kernel(
-        *kernel_args, frag_cap=_default_frag_cap(params), **kernel_kw
-    )
+    if _default_routed():
+        out = _sketch_batch_kernel(
+            *kernel_args, routed=True,
+            max_psel=_psel_capacity(P - params.k + 1, params),
+            **kernel_kw,
+        )
+    else:
+        out = _sketch_batch_kernel(
+            *kernel_args, frag_cap=_default_frag_cap(params), **kernel_kw
+        )
     if bool(np.any(np.asarray(out[8]))):
         # A fragment's (duplicate-inclusive) entry count blew past the
         # segmented grid's row width — pathological low-complexity

@@ -60,6 +60,7 @@ def monotone_compact(
     mask: jax.Array,
     arrays: Sequence[jax.Array],
     pads: Sequence,
+    cumsum_fn=None,
 ) -> Tuple[List[jax.Array], jax.Array]:
     """Move elements where mask is True to the front of the minor axis,
     preserving order; slots past the live count become `pads`.
@@ -67,9 +68,16 @@ def monotone_compact(
     mask: (..., N) bool. arrays: same-shape integer arrays to route
     together. Returns (routed_arrays, n_live) with n_live of shape
     (...,). Cost: ceil(log2(N)) shift+select passes per array.
+
+    cumsum_fn: optional minor-axis inclusive prefix sum for a 1D int32
+    array (pass ops.pair_table._fast_cumsum on long TPU arrays — XLA's
+    long-axis cumsum is ~30x slower than the hierarchical 2D scan).
     """
     n = mask.shape[-1]
-    rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1)
+    if cumsum_fn is not None:
+        rank = cumsum_fn(mask.astype(jnp.int32))
+    else:
+        rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1)
     n_live = rank[..., -1]
     # exclusive rank = selected strictly before i
     excl = rank - mask.astype(jnp.int32)

@@ -368,3 +368,57 @@ def test_device_arrays_match_host_derivation():
     np.testing.assert_array_equal(
         np.asarray(arrays["flat"][0][:nu]), host.frag_buckets
     )
+
+
+@pytest.mark.parametrize("kernel", ["scatter", "routed"])
+def test_kernel_formulations_bit_identical(monkeypatch, kernel):
+    """Both kernel formulations (XLA scatter/sort vs scatter-free
+    monotone routing + bitonic networks) must reproduce the host
+    sketcher exactly on an adversarial battery: Ns, contig separators,
+    sub-minimum contigs, homopolymer repeats (duplicate k-mers inside
+    one fragment), and a wide-bitmap config that forces the routed
+    kernel's two-key sort (max_frags * member_bits > 2^31)."""
+    import dataclasses
+
+    monkeypatch.setenv("GALAH_TPU_SKETCH_KERNEL", kernel)
+    rng = np.random.default_rng(99)
+
+    def run(name, seqs, params):
+        got = device_sketch_batch([name], [seqs], params)[0]
+        want = sketch_sequences_native(name, seqs, params)
+        for f in (
+            "prefilter_buckets", "frag_buckets", "frag_offsets",
+            "member_buckets",
+        ):
+            assert np.array_equal(
+                np.asarray(getattr(got, f), np.int64),
+                np.asarray(getattr(want, f), np.int64),
+            ), (name, f, kernel)
+
+    params = NativeSketchParams()
+    battery = {
+        "ns": [
+            b"ACGT" * 3000 + b"N" * 500 + bytes(
+                rng.choice(list(b"ACGT"), size=9000).tolist()
+            ),
+        ],
+        "multi": [
+            bytes(rng.choice(list(b"ACGTN"), size=ln).tolist())
+            for ln in (7003, 50, 12000, 1)
+        ],
+        # short enough that the duplicated poly-A k-mer stays inside
+        # the SEL capacity (a 20kb run overflows BY DESIGN -> host
+        # fallback, covered by test_repeat_overflow_raises)
+        "homopolymer": [b"A" * 2000, bytes(
+            rng.choice(list(b"ACGT"), size=6500).tolist()
+        )],
+    }
+    for name, seqs in battery.items():
+        run(name, seqs, params)
+
+    # Two-key dedup sort: wide member bitmap overflows the combined
+    # 31-bit key at a small fragment count.
+    wide = dataclasses.replace(params, member_bits=1 << 28)
+    run("twokey", [
+        bytes(rng.choice(list(b"ACGT"), size=100_000).tolist())
+    ], wide)
