@@ -284,10 +284,10 @@ class NativeContext:
         return [self._store.get(p) for p in paths]
 
     def _sketch_local(self, missing: Sequence[str]) -> None:
-        if os.environ.get("GALAH_TPU_DEVICE_SKETCH") == "1":
-            # Opt-in accelerator sketching (ops/device_sketch.py):
-            # bit-identical to the host path; wins when the
-            # device link is fast enough to beat host hashing.
+        if _use_device_sketch():
+            # Accelerator sketching (ops/device_sketch.py): bit-identical
+            # to the host path; on by default behind fast links (probe
+            # above), forced by GALAH_TPU_DEVICE_SKETCH=1/0.
             from galah_tpu.ops.device_sketch import device_sketch_files
 
             for p, sk in zip(
@@ -319,7 +319,7 @@ class NativeContext:
         if missing:
             self._sketched_any = True
             with metrics.current().phase("sketch"):
-                if os.environ.get("GALAH_TPU_DEVICE_SKETCH") == "1":
+                if _use_device_sketch():
                     from galah_tpu.ops.device_sketch import (
                         device_sketch_contig_files,
                     )
@@ -340,6 +340,48 @@ class NativeContext:
         if n_contigs:
             metrics.current().count("contigs_sketched", n_contigs)
         return out
+
+
+_LINK_PROBE_CACHE: Dict[str, bool] = {}
+
+
+def _use_device_sketch() -> bool:
+    """Whether the sketch stage runs on the accelerator.
+
+    GALAH_TPU_DEVICE_SKETCH=1/0 forces it. Unset: probe the
+    host->device link once (an 8MB device_put) and flip device
+    sketching ON when the accelerator is a TPU behind a fast link —
+    the routed kernel sketches at ~218M bases/s on a v5e (RESULTS.md
+    round 3), beating the 4-core host C++ sketcher (~150M), but its
+    2-bit-packed upload (0.25 bytes/base) only keeps pace when the
+    link moves >= ~100MB/s (PCIe yes; this rig's ~MB/s relay tunnel
+    no). The probe costs one transfer and is cached per process."""
+    env = os.environ.get("GALAH_TPU_DEVICE_SKETCH")
+    if env is not None:
+        return env == "1"
+    if "use" in _LINK_PROBE_CACHE:
+        return _LINK_PROBE_CACHE["use"]
+    import time
+
+    import jax
+
+    use = False
+    if jax.default_backend() not in ("cpu",):
+        try:
+            buf = np.zeros(8 << 20, dtype=np.uint8)
+            t0 = time.perf_counter()
+            jax.device_put(buf).block_until_ready()
+            dt = time.perf_counter() - t0
+            mbps = (8 << 20) / max(dt, 1e-9) / 1e6
+            use = mbps >= 100.0
+            logger.info(
+                "Device link probe: %.0f MB/s -> %s sketching",
+                mbps, "device" if use else "host",
+            )
+        except Exception:
+            use = False
+    _LINK_PROBE_CACHE["use"] = use
+    return use
 
 
 class _LazyIndicatorRows:

@@ -180,16 +180,21 @@ def _hash_front(
     gsel = kvalid & _lt64(hi, lo, gthresh)
     mbucket = (lo & _u32(member_bits - 1)).astype(jnp.int32)
 
-    # Fragment of each position: count of boundaries <= pos, minus 1,
-    # mapped through bin2frag. Scatter + prefix sum instead of
-    # searchsorted (which lowers to serial gather passes on TPU).
-    marks = jnp.zeros(n, dtype=jnp.int32)
-    marks = marks.at[bounds].add(1, mode="drop")
-    pos_bin = _fast_cumsum(marks) - 1
-    # Boundaries at positions >= n (possible when the last fragment end
-    # lands inside the final k-1 bases) were dropped by the scatter;
-    # they only delimit regions with no valid k-mer start anyway.
-    frag = bin2frag[jnp.clip(pos_bin, 0, bin2frag.shape[0] - 1)]
+    # Fragment id of each position, WITHOUT the n-element gather the
+    # first formulation paid (bin2frag[pos_bin] gathers one row per
+    # position — ~300ms per 33.5M-base batch at XLA's per-index gather
+    # floor): scatter the per-boundary VALUE DIFFS at the (few hundred)
+    # boundary positions and prefix-sum, so frag(pos) equals the
+    # bin2frag of the last boundary <= pos directly. Boundaries at
+    # positions >= n (the last fragment end can land inside the final
+    # k-1 bases) are a suffix and are dropped by the scatter; no valid
+    # k-mer starts there.
+    diffs = jnp.concatenate(
+        [bin2frag[:1], bin2frag[1:] - bin2frag[:-1]]
+    )
+    dmarks = jnp.zeros(n, dtype=jnp.int32)
+    dmarks = dmarks.at[bounds].add(diffs, mode="drop")
+    frag = _fast_cumsum(dmarks)
     return fsel, gsel, mbucket, frag
 
 
@@ -383,7 +388,10 @@ def _words_from_sorted(sv, first, bits: int):
     word run, and monotone-expand (word, orred-bits) into the
     (bits//32,) word array. Returns ((bits//32,) uint32 words, count).
     """
-    from galah_tpu.ops.routing import monotone_compact, monotone_expand
+    from galah_tpu.ops.routing import (
+        monotone_compact_tiled as monotone_compact,
+        monotone_expand_tiled as monotone_expand,
+    )
 
     PADK = jnp.uint32(0xFFFFFFFF)
     (u,), m = monotone_compact(first, [sv], [PADK], cumsum_fn=_fast_cumsum)
@@ -449,7 +457,11 @@ def _sketch_one_routed(
       same-word OR-merge (5 doubling passes), monotone expansion into
       packed words (never materializing uint8 indicators).
     """
-    from galah_tpu.ops.routing import bitonic_sort, monotone_compact, monotone_expand
+    from galah_tpu.ops.routing import (
+        bitonic_sort_tiled as bitonic_sort,
+        monotone_compact_tiled as monotone_compact,
+        monotone_expand_tiled as monotone_expand,
+    )
 
     P = packed.shape[0] * 4
     n = P - k + 1
@@ -461,6 +473,11 @@ def _sketch_one_routed(
     BIG = jnp.int32(2**30)
     pay = mbucket | jnp.where(gsel, jnp.int32(member_bits), 0)
     frag_m = jnp.where(frag >= 0, frag, BIG)
+    # pad the position axis to P (a power of two) so the compaction's
+    # shift passes stay lane-aligned
+    fsel = _fit_minor(fsel, P, False)
+    frag_m = _fit_minor(frag_m, P, BIG)
+    pay = _fit_minor(pay, P, BIG)
     (cfrag, cpay), n_sel = monotone_compact(
         fsel, [frag_m, pay], [BIG, BIG], cumsum_fn=_fast_cumsum
     )
@@ -687,10 +704,14 @@ class DeviceSketchOverflow(Exception):
 
 def _sel_capacity(n_positions: int, params: NativeSketchParams) -> int:
     """Padded capacity for fragment-selected hashes: mean n/scale plus
-    a generous margin (binomial tail is tiny; the margin mostly covers
-    repeat-rich sequence where every copy of a selected k-mer counts)."""
+    margin (binomial tail is tiny; the margin mostly covers repeat-rich
+    sequence where every copy of a selected k-mer counts). 1.5x keeps
+    the routed kernel's bitonic sorts one power of two smaller than the
+    old 2.0x margin at the common shapes — the sorts are the kernel's
+    dominant cost — while overflow (pathological repeat loads > 50%
+    above mean) still falls back to the bit-identical host sketcher."""
     mean = n_positions / max(1, params.fragment_scale)
-    return _next_pow2(int(2.0 * mean) + 1024)
+    return _next_pow2(int(1.5 * mean) + 1024)
 
 
 def _psel_capacity(n_positions: int, params: NativeSketchParams) -> int:

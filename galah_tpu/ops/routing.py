@@ -159,6 +159,304 @@ def monotone_expand(
     return x
 
 
+# ---------------------------------------------------------------------------
+# Tiled (lane-aligned) variants.
+#
+# TPU arrays tile as (sublane, 128-lane) blocks: a shift or XOR-exchange
+# at distance < 128 along the minor axis forces lane-crossing relayouts
+# every pass, and most passes have small distances (log-shift routing
+# spends 7 of 20 passes below 128; a bitonic network spends ~60% of its
+# stages there). The fix: view the flat axis as an (R, C=128) matrix.
+# Distances >= C move whole rows (free leading-axis reshapes); for
+# distances < C, transpose once to (C, R) — the small distance now
+# addresses the LEADING axis, so every pass is lane-aligned — and
+# transpose back when distances grow. Two transposes per routing call,
+# ~2 per bitonic merge phase; each costs one memory pass.
+# ---------------------------------------------------------------------------
+
+_LANES = 128
+
+
+def _tshift_left(xt: jax.Array, sh: int, fill) -> jax.Array:
+    """Flat left-shift by sh < C on the transposed (..., C, R) view:
+    column c reads column c+sh, except the top sh columns wrap to
+    columns c+sh-C of the NEXT row (a one-step minor-axis shift of an
+    (sh, R) sliver)."""
+    main = xt[..., sh:, :]
+    wrap = _shift_left(xt[..., :sh, :], 1, fill)
+    return jnp.concatenate([main, wrap], axis=-2)
+
+
+def _tshift_right(xt: jax.Array, sh: int, fill) -> jax.Array:
+    """Mirror of _tshift_left: column c reads c-sh, bottom sh columns
+    wrap to the previous row."""
+    main = xt[..., : xt.shape[-2] - sh, :]
+    wrap = _shift_right(xt[..., xt.shape[-2] - sh :, :], 1, fill)
+    return jnp.concatenate([wrap, main], axis=-2)
+
+
+def _rowshift_left(xn: jax.Array, rows: int, fill) -> jax.Array:
+    pad = jnp.full(xn.shape[:-2] + (rows, xn.shape[-1]), fill, xn.dtype)
+    return jnp.concatenate([xn[..., rows:, :], pad], axis=-2)
+
+
+def _rowshift_right(xn: jax.Array, rows: int, fill) -> jax.Array:
+    pad = jnp.full(xn.shape[:-2] + (rows, xn.shape[-1]), fill, xn.dtype)
+    return jnp.concatenate([pad, xn[..., : xn.shape[-2] - rows, :]], axis=-2)
+
+
+def _use_tiled(n: int) -> bool:
+    return n >= 4 * _LANES and n % _LANES == 0
+
+
+def monotone_compact_tiled(
+    mask: jax.Array,
+    arrays: Sequence[jax.Array],
+    pads: Sequence,
+    cumsum_fn=None,
+) -> Tuple[List[jax.Array], jax.Array]:
+    """monotone_compact with lane-aligned passes: small-distance passes
+    (2^b < 128) run on the transposed (C, R) view, large ones as row
+    shifts on the (R, C) view. Bit-identical to monotone_compact."""
+    n = mask.shape[-1]
+    if not _use_tiled(n):
+        return monotone_compact(mask, arrays, pads, cumsum_fn=cumsum_fn)
+    C = _LANES
+    R = n // C
+    if cumsum_fn is not None:
+        rank = cumsum_fn(mask.astype(jnp.int32))
+    else:
+        rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1)
+    n_live = rank[..., -1]
+    excl = rank - mask.astype(jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
+    d = jnp.where(mask, iota - excl, 0)
+    vals = [
+        jnp.where(mask, a, jnp.asarray(p, dtype=a.dtype))
+        for a, p in zip(arrays, pads)
+    ]
+
+    def t(x):  # (..., n) -> (..., C, R)
+        return jnp.swapaxes(x.reshape(*x.shape[:-1], R, C), -1, -2)
+
+    def un(xt):  # (..., C, R) -> (..., n)
+        return jnp.swapaxes(xt, -1, -2).reshape(*xt.shape[:-2], n)
+
+    d = t(d)
+    vals = [t(v) for v in vals]
+    lane_bits = C.bit_length() - 1
+    nbits = max(1, (n - 1).bit_length())
+    for b in range(min(lane_bits, nbits)):
+        sh = 1 << b
+        d_arr = _tshift_left(d, sh, 0)
+        take = ((d_arr >> b) & 1) == 1
+        vacate = ((d >> b) & 1) == 1
+        vals = [
+            jnp.where(
+                take,
+                _tshift_left(v, sh, p),
+                jnp.where(vacate, jnp.asarray(p, dtype=v.dtype), v),
+            )
+            for v, p in zip(vals, pads)
+        ]
+        d = jnp.where(take, d_arr - sh, jnp.where(vacate, 0, d))
+    # large passes: row shifts on the untransposed view
+    d = jnp.swapaxes(d, -1, -2)
+    vals = [jnp.swapaxes(v, -1, -2) for v in vals]
+    for b in range(lane_bits, nbits):
+        sh = 1 << b
+        if sh >= n:
+            break
+        rows = sh // C
+        d_arr = _rowshift_left(d, rows, 0)
+        take = ((d_arr >> b) & 1) == 1
+        vacate = ((d >> b) & 1) == 1
+        vals = [
+            jnp.where(
+                take,
+                _rowshift_left(v, rows, p),
+                jnp.where(vacate, jnp.asarray(p, dtype=v.dtype), v),
+            )
+            for v, p in zip(vals, pads)
+        ]
+        d = jnp.where(take, d_arr - sh, jnp.where(vacate, 0, d))
+    vals = [v.reshape(*v.shape[:-2], n) for v in vals]
+    return vals, n_live
+
+
+def monotone_expand_tiled(
+    values: jax.Array,
+    dests: jax.Array,
+    n_live,
+    out_size: int,
+    pad,
+) -> jax.Array:
+    """monotone_expand with lane-aligned passes (bits HIGH->LOW: row
+    shifts first, then the small distances on the transposed view)."""
+    if not _use_tiled(out_size):
+        return monotone_expand(values, dests, n_live, out_size, pad)
+    C = _LANES
+    R = out_size // C
+    m = values.shape[-1]
+    assert m <= out_size, (m, out_size)
+    iota = jax.lax.broadcasted_iota(jnp.int32, values.shape, values.ndim - 1)
+    live = iota < n_live[..., None]
+    x = jnp.where(live, values, jnp.asarray(pad, dtype=values.dtype))
+    d = jnp.where(live, dests - iota, 0)
+    if m < out_size:
+        zshape = values.shape[:-1] + (out_size - m,)
+        x = jnp.concatenate(
+            [x, jnp.full(zshape, pad, dtype=values.dtype)], axis=-1
+        )
+        d = jnp.concatenate([d, jnp.zeros(zshape, jnp.int32)], axis=-1)
+    x = x.reshape(*x.shape[:-1], R, C)
+    d = d.reshape(*d.shape[:-1], R, C)
+    lane_bits = C.bit_length() - 1
+    nbits = max(1, (out_size - 1).bit_length())
+    for b in reversed(range(lane_bits, nbits)):
+        sh = 1 << b
+        if sh >= out_size:
+            continue
+        rows = sh // C
+        d_arr = _rowshift_right(d, rows, 0)
+        take = ((d_arr >> b) & 1) == 1
+        vacate = ((d >> b) & 1) == 1
+        x = jnp.where(
+            take,
+            _rowshift_right(x, rows, pad),
+            jnp.where(vacate, jnp.asarray(pad, dtype=x.dtype), x),
+        )
+        d = jnp.where(take, d_arr - sh, jnp.where(vacate, 0, d))
+    x = jnp.swapaxes(x, -1, -2)
+    d = jnp.swapaxes(d, -1, -2)
+    for b in reversed(range(min(lane_bits, nbits))):
+        sh = 1 << b
+        d_arr = _tshift_right(d, sh, 0)
+        take = ((d_arr >> b) & 1) == 1
+        vacate = ((d >> b) & 1) == 1
+        x = jnp.where(
+            take,
+            _tshift_right(x, sh, pad),
+            jnp.where(vacate, jnp.asarray(pad, dtype=x.dtype), x),
+        )
+        d = jnp.where(take, d_arr - sh, jnp.where(vacate, 0, d))
+    x = jnp.swapaxes(x, -1, -2)
+    return x.reshape(*x.shape[:-2], out_size)
+
+
+def _exchange_tiled_rows(
+    arrays: Sequence[jax.Array], kk: int, j: int, n_keys: int, C: int
+) -> List[jax.Array]:
+    """Compare-exchange at distance j >= C on the (..., R, C) view:
+    partner rows differ by dj = j // C."""
+    dj = j // C
+    r = arrays[0].shape[-2]
+    lead = arrays[0].shape[:-2]
+    parts = [
+        a.reshape(*lead, r // (2 * dj), 2, dj, C) for a in arrays
+    ]
+    a_lo = [h[..., 0, :, :] for h in parts]
+    a_hi = [h[..., 1, :, :] for h in parts]
+    # direction bit log2(kk) of i = row*C + c; kk >= 2j >= 2C so it is
+    # a row bit determined by the block coordinate a: row = a*2dj + ...
+    u = jax.lax.broadcasted_iota(
+        jnp.int32, (r // (2 * dj), 1, 1), 0
+    )
+    asc = ((u * (2 * dj)) & (kk // C)) == 0
+    return _apply_exchange(a_lo, a_hi, asc, n_keys, lead, r, C, axis_pair=-3)
+
+
+def _exchange_tiled_t(
+    arrays: Sequence[jax.Array], kk: int, j: int, n_keys: int, C: int
+) -> List[jax.Array]:
+    """Compare-exchange at distance j < C on the transposed (..., C, R)
+    view: partner columns differ by j along the leading axis."""
+    rr = arrays[0].shape[-1]
+    lead = arrays[0].shape[:-2]
+    parts = [
+        a.reshape(*lead, C // (2 * j), 2, j, rr) for a in arrays
+    ]
+    a_lo = [h[..., 0, :, :] for h in parts]
+    a_hi = [h[..., 1, :, :] for h in parts]
+    if kk < C:
+        # direction bit is a c bit -> from the block coordinate
+        u = jax.lax.broadcasted_iota(
+            jnp.int32, (C // (2 * j), 1, 1), 0
+        )
+        asc = ((u * (2 * j)) & kk) == 0
+    else:
+        # direction bit is a row bit -> from the last axis (logical row)
+        u = jax.lax.broadcasted_iota(jnp.int32, (1, 1, rr), 2)
+        asc = (u & (kk // C)) == 0
+    return _apply_exchange(a_lo, a_hi, asc, n_keys, lead, C, rr, axis_pair=-3)
+
+
+def _apply_exchange(a_lo, a_hi, asc, n_keys, lead, d0, d1, axis_pair):
+    gt = a_lo[0] > a_hi[0]
+    if n_keys > 1:
+        eq = a_lo[0] == a_hi[0]
+        for k in range(1, n_keys):
+            gt = gt | (eq & (a_lo[k] > a_hi[k]))
+            if k + 1 < n_keys:
+                eq = eq & (a_lo[k] == a_hi[k])
+    swap = jnp.where(asc, gt, ~gt)
+    out = []
+    for lo, hi in zip(a_lo, a_hi):
+        new_lo = jnp.where(swap, hi, lo)
+        new_hi = jnp.where(swap, lo, hi)
+        out.append(
+            jnp.stack([new_lo, new_hi], axis=axis_pair).reshape(
+                *lead, d0, d1
+            )
+        )
+    return out
+
+
+def bitonic_sort_tiled(
+    arrays: Sequence[jax.Array], n_keys: int = 1
+) -> List[jax.Array]:
+    """bitonic_sort with every compare-exchange lane-aligned: stages at
+    distance >= 128 exchange rows of the (R, 128) view, stages below
+    run on the transposed (128, R) view, switching layouts lazily
+    (~2 transposes per merge phase). Bit-identical to bitonic_sort."""
+    arrays = list(arrays)
+    w = arrays[0].shape[-1]
+    assert w & (w - 1) == 0, f"bitonic width {w} not a power of two"
+    C = _LANES
+    if w < 4 * C:
+        return bitonic_sort(arrays, n_keys)
+    lead = arrays[0].shape[:-1]
+    r = w // C
+    # start in T layout (the first phases are all small-distance)
+    cur = [
+        jnp.swapaxes(a.reshape(*lead, r, C), -1, -2) for a in arrays
+    ]
+    in_t = True
+
+    def to_t(xs):
+        return [jnp.swapaxes(x, -1, -2) for x in xs]
+
+    kk = 2
+    while kk <= w:
+        j = kk // 2
+        while j >= 1:
+            if j >= C:
+                if in_t:
+                    cur = to_t(cur)
+                    in_t = False
+                cur = _exchange_tiled_rows(cur, kk, j, n_keys, C)
+            else:
+                if not in_t:
+                    cur = to_t(cur)
+                    in_t = True
+                cur = _exchange_tiled_t(cur, kk, j, n_keys, C)
+            j //= 2
+        kk *= 2
+    if in_t:
+        cur = to_t(cur)
+    return [x.reshape(*lead, w) for x in cur]
+
+
 def _exchange(
     arrays: Sequence[jax.Array], kk: int, j: int, n_keys: int
 ) -> List[jax.Array]:

@@ -422,3 +422,19 @@ def test_kernel_formulations_bit_identical(monkeypatch, kernel):
     run("twokey", [
         bytes(rng.choice(list(b"ACGT"), size=100_000).tolist())
     ], wide)
+
+
+def test_use_device_sketch_gate(monkeypatch):
+    """Env forces win over the link probe; the CPU backend never
+    defaults to device sketching (probe only engages on accelerators)."""
+    from galah_tpu.engines import native as native_mod
+
+    monkeypatch.setenv("GALAH_TPU_DEVICE_SKETCH", "1")
+    assert native_mod._use_device_sketch() is True
+    monkeypatch.setenv("GALAH_TPU_DEVICE_SKETCH", "0")
+    assert native_mod._use_device_sketch() is False
+    monkeypatch.delenv("GALAH_TPU_DEVICE_SKETCH")
+    monkeypatch.setattr(native_mod, "_LINK_PROBE_CACHE", {})
+    assert native_mod._use_device_sketch() is False  # cpu backend
+    # and the probe result is cached
+    assert native_mod._LINK_PROBE_CACHE == {"use": False}

@@ -115,3 +115,75 @@ def test_bitonic_sort_uint32_full_range():
     )
     (s,) = bitonic_sort([jnp.asarray(x)])
     assert np.array_equal(np.asarray(s), np.sort(x, axis=-1))
+
+
+# --- tiled (lane-aligned) variants must match the plain ones exactly ---
+
+from galah_tpu.ops.routing import (  # noqa: E402
+    bitonic_sort_tiled,
+    monotone_compact_tiled,
+    monotone_expand_tiled,
+)
+
+
+@pytest.mark.parametrize("seed", [0, 4])
+@pytest.mark.parametrize("n", [512, 4096, 65536])
+def test_monotone_compact_tiled_matches_plain(seed, n):
+    rng = np.random.default_rng(seed)
+    mask = rng.random((2, n)) < 0.2
+    a = rng.integers(0, 2**30, (2, n)).astype(np.int32)
+    b = rng.integers(0, 2**30, (2, n)).astype(np.int32)
+    (pa, pb), pl = monotone_compact(
+        jnp.asarray(mask), [jnp.asarray(a), jnp.asarray(b)], [-1, -7]
+    )
+    (ta, tb), tl = monotone_compact_tiled(
+        jnp.asarray(mask), [jnp.asarray(a), jnp.asarray(b)], [-1, -7]
+    )
+    assert np.array_equal(np.asarray(pa), np.asarray(ta))
+    assert np.array_equal(np.asarray(pb), np.asarray(tb))
+    assert np.array_equal(np.asarray(pl), np.asarray(tl))
+
+
+@pytest.mark.parametrize("m,out", [(256, 1024), (4096, 65536)])
+def test_monotone_expand_tiled_matches_plain(m, out):
+    rng = np.random.default_rng(11)
+    g = 2
+    vals = np.zeros((g, m), np.int32)
+    dests = np.zeros((g, m), np.int32)
+    n_live = np.zeros(g, np.int32)
+    for gi in range(g):
+        k = int(rng.integers(0, m + 1))
+        dests[gi, :k] = np.sort(
+            rng.choice(out, size=k, replace=False)
+        ).astype(np.int32)
+        vals[gi, :k] = rng.integers(1, 2**30, k)
+        n_live[gi] = k
+    args = (jnp.asarray(vals), jnp.asarray(dests), jnp.asarray(n_live))
+    plain = monotone_expand(*args, out, -1)
+    tiled = monotone_expand_tiled(*args, out, -1)
+    assert np.array_equal(np.asarray(plain), np.asarray(tiled))
+
+
+@pytest.mark.parametrize("w", [512, 8192, 262144])
+def test_bitonic_sort_tiled_oracle(w):
+    rng = np.random.default_rng(w)
+    x = rng.integers(0, 2**32, (2, w), dtype=np.uint32)
+    (s,) = bitonic_sort_tiled([jnp.asarray(x)])
+    assert np.array_equal(np.asarray(s), np.sort(x, axis=-1))
+
+
+def test_bitonic_sort_tiled_two_keys():
+    rng = np.random.default_rng(6)
+    w = 2048
+    k1 = rng.integers(0, 8, (2, w)).astype(np.int32)
+    k2 = rng.integers(0, 1000, (2, w)).astype(np.int32)
+    s1, s2 = (
+        np.asarray(a)
+        for a in bitonic_sort_tiled(
+            [jnp.asarray(k1), jnp.asarray(k2)], n_keys=2
+        )
+    )
+    for gi in range(2):
+        order = np.lexsort((k2[gi], k1[gi]))
+        assert np.array_equal(s1[gi], k1[gi][order])
+        assert np.array_equal(s2[gi], k2[gi][order])
