@@ -124,6 +124,35 @@ def _block_screen_extract_packed(
     return cnt, ii, jj, vals.astype(jnp.bfloat16)
 
 
+@partial(jax.jit, static_argnames=("cap", "is_diag", "dtname"))
+def _block_screen_extract_u8(
+    si_u8: jax.Array,
+    sj_u8: jax.Array,
+    a: jax.Array,
+    b: jax.Array,
+    bits_f: jax.Array,
+    min_cont: jax.Array,
+    *,
+    cap: int,
+    is_diag: bool,
+    dtname: str,
+):
+    """_block_screen_extract_packed for uint8 indicator blocks (the CPU
+    backend's wire format): on-device sparse extraction so the
+    indicator sweep stops pulling dense block^2 tiles to host."""
+    dt = _screen_dt(dtname)
+    counts = _screen_matmul(si_u8.astype(dt), sj_u8.astype(dt))
+    cont = _containment(counts, a, b, bits_f)
+    mask = cont >= min_cont
+    if is_diag:
+        bi, bj = cont.shape
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 0)
+        cols_j = jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 1)
+        mask = mask & (cols_j > rows_i)
+    cnt, ii, jj, vals = _extract_above_cutoff(cont, mask, cap)
+    return cnt, ii, jj, vals.astype(jnp.bfloat16)
+
+
 @partial(jax.jit, static_argnames=("dtname",))
 def _block_containment_u8(
     si_u8: jax.Array, sj_u8: jax.Array, a: jax.Array, b: jax.Array, bits_f,
@@ -353,6 +382,40 @@ def screen_triangle(
             dev_blocks[bi] = make_block(bi)
         return dev_blocks[bi]
 
+    cap = _screen_cap_for(block)
+    min_cont_f = float(np.float32(min_containment))
+
+    def drain(item) -> None:
+        # Sparse on-device extraction (row-overflow or cap-overflow
+        # tiles fall back to a dense pull of that one tile) — the
+        # indicator sweep no longer pays O(n^2/block^2) dense pulls.
+        bi, bj, si, sj, ai, aj, (cnt, ii, jj, vals) = item
+        cnt = int(cnt)
+        if cnt < 0:
+            cnt = cap + 1
+        if cnt > cap:
+            cont = np.array(
+                _block_containment_u8(
+                    si, sj, ai, aj, float(bits), dtname=dtn
+                )
+            ).astype(np.float32)
+            if bi == bj:
+                cont[np.tril_indices(cont.shape[0])] = -1.0  # -1: a cutoff of 0 must still drop self/reversed pairs
+            hit = np.argwhere(cont >= min_cont_f)
+            gi = hit[:, 0] + bi * block
+            gj = hit[:, 1] + bj * block
+            v = cont[hit[:, 0], hit[:, 1]]
+        else:
+            gi = np.asarray(ii[:cnt]) + bi * block
+            gj = np.asarray(jj[:cnt]) + bj * block
+            v = np.asarray(vals[:cnt]).astype(np.float32)
+        if len(gi):
+            pairs.append(np.stack([gi, gj], axis=1).astype(np.int64))
+            anis.append((v ** inv_k * 100.0).astype(np.float32))
+
+    from collections import deque
+
+    pending: deque = deque()
     for bi in range(nblocks):
         si = get_block(bi) if cache_blocks else make_block(bi)
         ai = jnp.asarray(sizes_f[bi * block : bi * block + si.shape[0]])
@@ -364,19 +427,15 @@ def screen_triangle(
             else:
                 sj = make_block(bj)
             aj = jnp.asarray(sizes_f[bj * block : bj * block + sj.shape[0]])
-            cont = np.array(
-                _block_containment_u8(si, sj, ai, aj, float(bits), dtname=dtn)
-            ).astype(np.float32)
-            if bi == bj:
-                cont[np.tril_indices(cont.shape[0])] = -1.0  # -1: a cutoff of 0 must still drop self/reversed pairs
-            hit = np.argwhere(cont >= min_containment)
-            if hit.size:
-                gi = hit[:, 0] + bi * block
-                gj = hit[:, 1] + bj * block
-                pairs.append(np.stack([gi, gj], axis=1))
-                anis.append(
-                    (cont[hit[:, 0], hit[:, 1]] ** inv_k * 100.0).astype(np.float32)
-                )
+            res = _block_screen_extract_u8(
+                si, sj, ai, aj, jnp.float32(bits), jnp.float32(min_cont_f),
+                cap=cap, is_diag=bi == bj, dtname=dtn,
+            )
+            pending.append((bi, bj, si, sj, ai, aj, res))
+            if len(pending) > TILE_WINDOW:
+                drain(pending.popleft())
+    while pending:
+        drain(pending.popleft())
     dev_blocks.clear()
 
     if pairs:
