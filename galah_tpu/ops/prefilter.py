@@ -822,9 +822,37 @@ def screen_rectangle(
     bits = len(query_indicators[0])
     inv_k = 1.0 / k
     dtn = _screen_dtype_name()
+    cap = _screen_cap_for(block)
+    min_cont_f = float(np.float32(min_containment))
     pairs: List[np.ndarray] = []
     anis: List[np.ndarray] = []
 
+    def drain(item) -> None:
+        # On-device sparse extraction; dense pull only per overflowing
+        # tile (same structure as the triangle sweep).
+        qlo, rlo, sq, sr, aq, ar, (cnt, ii, jj, vals) = item
+        cnt = int(cnt)
+        if cnt < 0:
+            cnt = cap + 1
+        if cnt > cap:
+            cont = np.array(
+                _block_containment_u8(sq, sr, aq, ar, float(bits), dtname=dtn)
+            ).astype(np.float32)
+            hit = np.argwhere(cont >= min_cont_f)
+            gi = hit[:, 0] + qlo
+            gj = hit[:, 1] + rlo
+            v = cont[hit[:, 0], hit[:, 1]]
+        else:
+            gi = np.asarray(ii[:cnt]) + qlo
+            gj = np.asarray(jj[:cnt]) + rlo
+            v = np.asarray(vals[:cnt]).astype(np.float32)
+        if len(gi):
+            pairs.append(np.stack([gi, gj], axis=1).astype(np.int64))
+            anis.append((v ** inv_k * 100.0).astype(np.float32))
+
+    from collections import deque
+
+    pending: deque = deque()
     for qlo in range(0, nq, block):
         qhi = min(qlo + block, nq)
         sq = jnp.asarray(np.stack([query_indicators[t] for t in range(qlo, qhi)]))
@@ -835,17 +863,15 @@ def screen_rectangle(
                 np.stack([ref_indicators[t] for t in range(rlo, rhi)])
             )
             ar = jnp.asarray(ref_sizes[rlo:rhi].astype(np.float32))
-            cont = np.array(
-                _block_containment_u8(sq, sr, aq, ar, float(bits), dtname=dtn)
-            ).astype(np.float32)
-            hit = np.argwhere(cont >= min_containment)
-            if hit.size:
-                pairs.append(
-                    np.stack([hit[:, 0] + qlo, hit[:, 1] + rlo], axis=1)
-                )
-                anis.append(
-                    (cont[hit[:, 0], hit[:, 1]] ** inv_k * 100.0).astype(np.float32)
-                )
+            res = _block_screen_extract_u8(
+                sq, sr, aq, ar, jnp.float32(bits), jnp.float32(min_cont_f),
+                cap=cap, is_diag=False, dtname=dtn,
+            )
+            pending.append((qlo, rlo, sq, sr, aq, ar, res))
+            if len(pending) > TILE_WINDOW:
+                drain(pending.popleft())
+    while pending:
+        drain(pending.popleft())
 
     if pairs:
         return ScreenResult(np.concatenate(pairs), np.concatenate(anis))
