@@ -415,6 +415,11 @@ def screen_triangle(
 
     from collections import deque
 
+    # The pending window pins its tiles' block arrays; when blocks
+    # stream (low-memory / over-budget) a deep window would pin
+    # window-many distinct blocks and defeat the streaming bound, so
+    # cap it at one extra in-flight dispatch there.
+    window = TILE_WINDOW if cache_blocks else 1
     pending: deque = deque()
     for bi in range(nblocks):
         si = get_block(bi) if cache_blocks else make_block(bi)
@@ -432,7 +437,7 @@ def screen_triangle(
                 cap=cap, is_diag=bi == bj, dtname=dtn,
             )
             pending.append((bi, bj, si, sj, ai, aj, res))
-            if len(pending) > TILE_WINDOW:
+            if len(pending) > window:
                 drain(pending.popleft())
     while pending:
         drain(pending.popleft())
@@ -868,7 +873,9 @@ def screen_rectangle(
                 cap=cap, is_diag=False, dtname=dtn,
             )
             pending.append((qlo, rlo, sq, sr, aq, ar, res))
-            if len(pending) > TILE_WINDOW:
+            # blocks are rebuilt per tile (no cache), so keep the
+            # window shallow: each pending tile pins its block arrays
+            if len(pending) > 1:
                 drain(pending.popleft())
     while pending:
         drain(pending.popleft())
