@@ -355,7 +355,12 @@ def _use_device_sketch() -> bool:
     round 3), beating the 4-core host C++ sketcher (~150M), but its
     2-bit-packed upload (0.25 bytes/base) only keeps pace when the
     link moves >= ~100MB/s (PCIe yes; this rig's ~MB/s relay tunnel
-    no). The probe costs one transfer and is cached per process."""
+    no). The probe costs one round-trip transfer and is cached per
+    process. Timing is by fetching the buffer back to host — NOT
+    block_until_ready(), which does not reliably block on the axon
+    relay backend (CLAUDE.md), so an upload-only timing could read
+    as microseconds and wrongly flip device sketching on over the
+    slow tunnel."""
     env = os.environ.get("GALAH_TPU_DEVICE_SKETCH")
     if env is not None:
         return env == "1"
@@ -368,11 +373,13 @@ def _use_device_sketch() -> bool:
     use = False
     if jax.default_backend() not in ("cpu",):
         try:
-            buf = np.zeros(8 << 20, dtype=np.uint8)
+            buf = np.zeros(4 << 20, dtype=np.uint8)
             t0 = time.perf_counter()
-            jax.device_put(buf).block_until_ready()
+            dev = jax.device_put(buf)
+            fetched = jax.device_get(dev)
             dt = time.perf_counter() - t0
-            mbps = (8 << 20) / max(dt, 1e-9) / 1e6
+            assert fetched[-1] == 0  # force the fetch to complete
+            mbps = 2 * (4 << 20) / max(dt, 1e-9) / 1e6
             use = mbps >= 100.0
             logger.info(
                 "Device link probe: %.0f MB/s -> %s sketching",

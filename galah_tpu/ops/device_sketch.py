@@ -715,9 +715,10 @@ def _sel_capacity(n_positions: int, params: NativeSketchParams) -> int:
 
 
 def _psel_capacity(n_positions: int, params: NativeSketchParams) -> int:
-    """Capacity of the routed kernel's genome-level (gsel) stream —
-    same 2x-mean margin as _sel_capacity but at genome_scale, so its
-    bitonic sort stays ~genome_scale/fragment_scale times smaller."""
+    """Capacity of the routed kernel's genome-level (gsel) stream: a
+    2x-mean margin at genome_scale (roomier than _sel_capacity's 1.5x —
+    the gsel stream is ~genome_scale/fragment_scale times smaller, so
+    its sort cost is negligible and the fatter margin is free)."""
     mean = n_positions / max(1, params.genome_scale)
     return min(
         _next_pow2(int(2.0 * mean) + 1024),

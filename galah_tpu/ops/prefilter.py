@@ -16,9 +16,10 @@ from __future__ import annotations
 
 import logging
 import math
+from collections import deque
 from dataclasses import dataclass
 from functools import partial
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -337,6 +338,66 @@ def _screen_matmul(xu: jax.Array, yu: jax.Array) -> jax.Array:
     return counts.astype(jnp.float32)
 
 
+def _drain_tile(
+    res,
+    *,
+    cap: int,
+    row0: int,
+    col0: int,
+    inv_k: float,
+    min_cont_f: float,
+    dense_cont,
+    pairs: List[np.ndarray],
+    anis: List[np.ndarray],
+    reextract=None,
+    diag: bool = False,
+    keep_rows: Optional[int] = None,
+    keep_cols: Optional[int] = None,
+) -> None:
+    """Decode one tile's sparse extraction result and emit its pairs —
+    the single implementation of the overflow contract every screen
+    sweep shares.
+
+    res is _extract_above_cutoff's (cnt, ii, jj, vals): cnt < 0 is the
+    two-level extraction's row-overflow signal (true count = -cnt - 1;
+    resolved by `reextract()` when the sweep can re-dispatch a direct
+    device extraction, else by the dense path), cnt > cap overflowed
+    the tile's output capacity (recompute via `dense_cont()`, a
+    () -> (rows, cols) f32 containment matrix). The dense path applies
+    the same f32-rounded cutoff as the on-device extraction, so the
+    surviving pair set never depends on whether a tile overflowed.
+    Emitted indices are rebased by row0/col0; keep_rows/keep_cols drop
+    padding rows when the sweep's blocks are zero-padded (ragged-block
+    sweeps pass None)."""
+    cnt, ii, jj, vals = res
+    cnt = int(cnt)
+    if cnt < 0:
+        true_cnt = -cnt - 1
+        if reextract is not None and true_cnt <= cap:
+            cnt, ii, jj, vals = reextract()
+            cnt = int(cnt)
+        else:
+            cnt = cap + 1
+    if cnt > cap:
+        cont = dense_cont()
+        if diag:
+            cont[np.tril_indices(cont.shape[0])] = -1.0  # -1: a cutoff of 0 must still drop self/reversed pairs
+        hit = np.argwhere(cont >= min_cont_f)
+        gi = hit[:, 0] + row0
+        gj = hit[:, 1] + col0
+        v = cont[hit[:, 0], hit[:, 1]]
+    else:
+        gi = np.asarray(ii[:cnt]) + row0
+        gj = np.asarray(jj[:cnt]) + col0
+        v = np.asarray(vals[:cnt]).astype(np.float32)
+    if keep_rows is not None:
+        keep = (gi < keep_rows) & (gj < keep_cols)
+        gi, gj, v = gi[keep], gj[keep], v[keep]
+    if len(gi):
+        pairs.append(np.stack([gi, gj], axis=1).astype(np.int64))
+        anis.append((v ** inv_k * 100.0).astype(np.float32))
+
+
 def screen_triangle(
     indicators: Sequence[np.ndarray],
     sizes: np.ndarray,
@@ -389,31 +450,15 @@ def screen_triangle(
         # Sparse on-device extraction (row-overflow or cap-overflow
         # tiles fall back to a dense pull of that one tile) — the
         # indicator sweep no longer pays O(n^2/block^2) dense pulls.
-        bi, bj, si, sj, ai, aj, (cnt, ii, jj, vals) = item
-        cnt = int(cnt)
-        if cnt < 0:
-            cnt = cap + 1
-        if cnt > cap:
-            cont = np.array(
-                _block_containment_u8(
-                    si, sj, ai, aj, float(bits), dtname=dtn
-                )
-            ).astype(np.float32)
-            if bi == bj:
-                cont[np.tril_indices(cont.shape[0])] = -1.0  # -1: a cutoff of 0 must still drop self/reversed pairs
-            hit = np.argwhere(cont >= min_cont_f)
-            gi = hit[:, 0] + bi * block
-            gj = hit[:, 1] + bj * block
-            v = cont[hit[:, 0], hit[:, 1]]
-        else:
-            gi = np.asarray(ii[:cnt]) + bi * block
-            gj = np.asarray(jj[:cnt]) + bj * block
-            v = np.asarray(vals[:cnt]).astype(np.float32)
-        if len(gi):
-            pairs.append(np.stack([gi, gj], axis=1).astype(np.int64))
-            anis.append((v ** inv_k * 100.0).astype(np.float32))
-
-    from collections import deque
+        bi, bj, si, sj, ai, aj, res = item
+        _drain_tile(
+            res, cap=cap, row0=bi * block, col0=bj * block, inv_k=inv_k,
+            min_cont_f=min_cont_f,
+            dense_cont=lambda: np.array(
+                _block_containment_u8(si, sj, ai, aj, float(bits), dtname=dtn)
+            ).astype(np.float32),
+            diag=bi == bj, pairs=pairs, anis=anis,
+        )
 
     # The pending window pins its tiles' block arrays; when blocks
     # stream (low-memory / over-budget) a deep window would pin
@@ -515,63 +560,51 @@ def screen_triangle_packed(
                 dev_blocks[bi] = make_block(bi)
             return dev_blocks[bi]
 
+    def dense_blocks(bi: int, bj: int):
+        """Tile blocks for a dense recompute: resident slices when the
+        matrix is on device, re-made host blocks in streaming mode."""
+        if use_resident:
+            lo_i, lo_j = bi * block, bj * block
+            return (
+                x_all[lo_i : lo_i + block], x_all[lo_j : lo_j + block],
+                s_dev[lo_i : lo_i + block], s_dev[lo_j : lo_j + block],
+            )
+        si, ai = make_block(bi)
+        sj, aj = (si, ai) if bj == bi else make_block(bj)
+        return si, sj, ai, aj
+
     def drain(item) -> None:
-        bi, bj, (cnt, ii, jj, vals) = item
-        cnt = int(cnt)
-        if cnt < 0:
-            # Row-overflow signal from the two-level extraction: the
-            # tile's hits span more than ROW_SEL rows. Re-extract it
-            # with the direct kernel (device-resident, sparse results
-            # only); streaming mode re-pulls densely below instead.
-            true_cnt = -cnt - 1
-            if use_resident and true_cnt <= cap:
-                cnt, ii, jj, vals = _resident_screen_extract(
-                    x_all, s_dev, jnp.int32(bi), jnp.int32(bj),
-                    block=block, bits_f=float(bits),
-                    min_cont=min_cont_f, cap=cap, is_diag=bj == bi,
-                    dtname=dtn, direct=True,
-                )
-                cnt = int(cnt)
-            else:
-                cnt = cap + 1
-        if cnt > cap:
-            # Rare overflow: pull the whole tile densely.
-            if use_resident:
-                lo_i, lo_j = bi * block, bj * block
-                si = x_all[lo_i : lo_i + block]
-                sj = x_all[lo_j : lo_j + block]
-                ai = s_dev[lo_i : lo_i + block]
-                aj = s_dev[lo_j : lo_j + block]
-            else:
-                si, ai = make_block(bi)
-                sj, aj = (si, ai) if bj == bi else make_block(bj)
-            cont = np.array(
-                _block_containment_packed(
-                    si, sj, ai, aj, float(bits), dtname=dtn
-                )
+        bi, bj, res = item
+
+        def dense_cont():
+            si, sj, ai, aj = dense_blocks(bi, bj)
+            return np.array(
+                _block_containment_packed(si, sj, ai, aj, float(bits),
+                                          dtname=dtn)
             ).astype(np.float32)
-            if bi == bj:
-                cont[np.tril_indices(cont.shape[0])] = -1.0  # -1: a cutoff of 0 must still drop self/reversed pairs
-            hit = np.argwhere(cont >= min_containment)
-            gi = hit[:, 0] + bi * block
-            gj = hit[:, 1] + bj * block
-            vals_np = cont[hit[:, 0], hit[:, 1]]
-        else:
-            gi = np.asarray(ii[:cnt]) + bi * block
-            gj = np.asarray(jj[:cnt]) + bj * block
-            vals_np = np.asarray(vals[:cnt]).astype(np.float32)
-        keep = (gi < n) & (gj < n)
-        gi, gj, vals_np = gi[keep], gj[keep], vals_np[keep]
-        if len(gi):
-            pairs.append(np.stack([gi, gj], axis=1).astype(np.int64))
-            anis.append((vals_np ** inv_k * 100.0).astype(np.float32))
+
+        # Row-overflow (cnt < 0) re-extracts with the direct kernel when
+        # the matrix is resident (device-resident, sparse results only);
+        # streaming mode re-pulls densely instead.
+        reextract = None
+        if use_resident:
+            reextract = lambda: _resident_screen_extract(
+                x_all, s_dev, jnp.int32(bi), jnp.int32(bj),
+                block=block, bits_f=float(bits),
+                min_cont=min_cont_f, cap=cap, is_diag=bj == bi,
+                dtname=dtn, direct=True,
+            )
+        _drain_tile(
+            res, cap=cap, row0=bi * block, col0=bj * block, inv_k=inv_k,
+            min_cont_f=min_cont_f, dense_cont=dense_cont,
+            reextract=reextract, diag=bi == bj,
+            keep_rows=n, keep_cols=n, pairs=pairs, anis=anis,
+        )
 
     # Sliding-window issue/drain: at most TILE_WINDOW tile results are
     # in flight, so device result buffers and host pulls stay O(window)
     # for arbitrarily long sweeps (previously the whole sweep's results
     # were issued before any drain).
-    from collections import deque
-
     pending: deque = deque()
     if use_resident:
         for bi in range(nblocks):
@@ -666,24 +699,14 @@ def screen_rectangle_packed(
     pairs: List[np.ndarray] = []
     anis: List[np.ndarray] = []
 
+    ref_block0 = nq_pad // block
+
     def drain(item) -> None:
-        bi, bj, (cnt, ii, jj, vals) = item
-        cnt = int(cnt)
-        if cnt < 0:
-            true_cnt = -cnt - 1
-            if true_cnt <= cap:
-                cnt, ii, jj, vals = _resident_screen_extract(
-                    x_all, s_dev, jnp.int32(bi),
-                    jnp.int32(ref_block0 + bj), block=block,
-                    bits_f=float(bits), min_cont=min_cont_f, cap=cap,
-                    is_diag=False, dtname=dtn, direct=True,
-                )
-                cnt = int(cnt)
-            else:
-                cnt = cap + 1
-        if cnt > cap:
+        bi, bj, res = item
+
+        def dense_cont():
             lo_i, lo_j = bi * block, nq_pad + bj * block
-            cont = np.array(
+            return np.array(
                 _block_containment_packed(
                     x_all[lo_i : lo_i + block],
                     x_all[lo_j : lo_j + block],
@@ -693,24 +716,19 @@ def screen_rectangle_packed(
                     dtname=dtn,
                 )
             ).astype(np.float32)
-            hit = np.argwhere(cont >= min_containment)
-            gi = hit[:, 0] + bi * block
-            gj = hit[:, 1] + bj * block
-            vals_np = cont[hit[:, 0], hit[:, 1]]
-        else:
-            gi = np.asarray(ii[:cnt]) + bi * block
-            gj = np.asarray(jj[:cnt]) + bj * block
-            vals_np = np.asarray(vals[:cnt]).astype(np.float32)
-        keep = (gi < nq) & (gj < nr)
-        gi, gj, vals_np = gi[keep], gj[keep], vals_np[keep]
-        if len(gi):
-            pairs.append(np.stack([gi, gj], axis=1).astype(np.int64))
-            anis.append((vals_np ** inv_k * 100.0).astype(np.float32))
 
-    from collections import deque
+        _drain_tile(
+            res, cap=cap, row0=bi * block, col0=bj * block, inv_k=inv_k,
+            min_cont_f=min_cont_f, dense_cont=dense_cont,
+            reextract=lambda: _resident_screen_extract(
+                x_all, s_dev, jnp.int32(bi), jnp.int32(ref_block0 + bj),
+                block=block, bits_f=float(bits), min_cont=min_cont_f,
+                cap=cap, is_diag=False, dtname=dtn, direct=True,
+            ),
+            keep_rows=nq, keep_cols=nr, pairs=pairs, anis=anis,
+        )
 
     pending: deque = deque()
-    ref_block0 = nq_pad // block
     for bi in range(nq_pad // block):
         for bj in range(nr_pad // block):
             res = _resident_screen_extract(
@@ -763,31 +781,23 @@ def _screen_rectangle_streaming(
     anis: List[np.ndarray] = []
 
     def drain(item) -> None:
-        bi, bj, (cnt, ii, jj, vals) = item
-        cnt = int(cnt)
-        if cnt < 0:
-            cnt = cap + 1  # row overflow: dense re-make below
-        if cnt > cap:
+        # Row overflow (cnt < 0) has no resident matrix to re-extract
+        # from here: dense re-make of the tile's blocks instead.
+        bi, bj, res = item
+
+        def dense_cont():
             si, ai = make_q(bi)
             sj, aj = make_r(bj)
-            cont = np.array(
-                _block_containment_packed(
-                    si, sj, ai, aj, float(bits), dtname=dtn
-                )
+            return np.array(
+                _block_containment_packed(si, sj, ai, aj, float(bits),
+                                          dtname=dtn)
             ).astype(np.float32)
-            hit = np.argwhere(cont >= min_containment)
-            gi = hit[:, 0] + bi * block
-            gj = hit[:, 1] + bj * block
-            v = cont[hit[:, 0], hit[:, 1]]
-        else:
-            gi = np.asarray(ii[:cnt]) + bi * block
-            gj = np.asarray(jj[:cnt]) + bj * block
-            v = np.asarray(vals[:cnt]).astype(np.float32)
-        if len(gi):
-            pairs.append(np.stack([gi, gj], axis=1).astype(np.int64))
-            anis.append((v ** inv_k * 100.0).astype(np.float32))
 
-    from collections import deque
+        _drain_tile(
+            res, cap=cap, row0=bi * block, col0=bj * block, inv_k=inv_k,
+            min_cont_f=min_cont_f, dense_cont=dense_cont,
+            pairs=pairs, anis=anis,
+        )
 
     pending: deque = deque()
     for bi in range(math.ceil(nq / block)):
@@ -835,27 +845,15 @@ def screen_rectangle(
     def drain(item) -> None:
         # On-device sparse extraction; dense pull only per overflowing
         # tile (same structure as the triangle sweep).
-        qlo, rlo, sq, sr, aq, ar, (cnt, ii, jj, vals) = item
-        cnt = int(cnt)
-        if cnt < 0:
-            cnt = cap + 1
-        if cnt > cap:
-            cont = np.array(
+        qlo, rlo, sq, sr, aq, ar, res = item
+        _drain_tile(
+            res, cap=cap, row0=qlo, col0=rlo, inv_k=inv_k,
+            min_cont_f=min_cont_f,
+            dense_cont=lambda: np.array(
                 _block_containment_u8(sq, sr, aq, ar, float(bits), dtname=dtn)
-            ).astype(np.float32)
-            hit = np.argwhere(cont >= min_cont_f)
-            gi = hit[:, 0] + qlo
-            gj = hit[:, 1] + rlo
-            v = cont[hit[:, 0], hit[:, 1]]
-        else:
-            gi = np.asarray(ii[:cnt]) + qlo
-            gj = np.asarray(jj[:cnt]) + rlo
-            v = np.asarray(vals[:cnt]).astype(np.float32)
-        if len(gi):
-            pairs.append(np.stack([gi, gj], axis=1).astype(np.int64))
-            anis.append((v ** inv_k * 100.0).astype(np.float32))
-
-    from collections import deque
+            ).astype(np.float32),
+            pairs=pairs, anis=anis,
+        )
 
     pending: deque = deque()
     for qlo in range(0, nq, block):

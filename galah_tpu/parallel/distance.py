@@ -39,6 +39,7 @@ from galah_tpu.ops.prefilter import (
     _block_containment_packed,
     _containment,
     _device_resident_budget,
+    _drain_tile,
     _extract_above_cutoff,
     _resident_screen_extract,
     _screen_block_for,
@@ -183,25 +184,58 @@ def sharded_screen_triangle_packed(
             block=min(block, 1024),
         )
 
-    inv_k = 1.0 / k
-    min_cont_static = float(np.float32(min_containment))
-    n_devices = math.prod(mesh.shape.values())
-
     n_pad = ((n + block - 1) // block) * block
     nblocks = n_pad // block
-    ntiles = nblocks * (nblocks + 1) // 2
-    # Equal tile share per device per dispatch; tiny runs use one tile
-    # per device so padding lanes don't multiply the work.
-    tiles_per_device = min(
-        TILES_PER_DEVICE, (ntiles + n_devices - 1) // n_devices
-    )
-    chunk_tiles = n_devices * tiles_per_device
 
     x_np = np.zeros((n_pad, w), dtype=np.uint32)
     for t in range(n):
         x_np[t] = packed[t]
     s_np = np.zeros((n_pad,), dtype=np.float32)
     s_np[:n] = sizes.astype(np.float32)
+
+    tiles = [(bi, bj) for bi in range(nblocks) for bj in range(bi, nblocks)]
+    return _replicated_tile_sweep(
+        x_np, s_np, tiles, mesh, block, cap, bits,
+        float(np.float32(min_containment)), 1.0 / k,
+        col0_blocks=0, n_rows=n, n_cols=n,
+    )
+
+
+def _replicated_tile_sweep(
+    x_np: np.ndarray,
+    s_np: np.ndarray,
+    tiles: List[Tuple[int, int]],
+    mesh: Mesh,
+    block: int,
+    cap: int,
+    bits: int,
+    min_cont_static: float,
+    inv_k: float,
+    *,
+    col0_blocks: int,
+    n_rows: int,
+    n_cols: int,
+) -> ScreenResult:
+    """Shared driver for the replicated-resident tile sweeps (triangle
+    AND rectangle): make the packed matrix resident on every device,
+    dispatch the sharded tile kernel over chunked tile lists, drain
+    through a bounded in-flight window, and decode the two-level
+    extraction — row-overflow re-dispatch, then dense-pull fallback —
+    under the lockstep multi-process contract (every process executes
+    the identical re-dispatches, so collectives stay aligned).
+
+    Tiles address the resident matrix with GLOBAL block indices
+    (bi, bjg). Emitted column indices are rebased by `col0_blocks`
+    (0 for the triangle; the query block count for the rectangle, whose
+    refs live at rows [nq_pad, ...) of the concatenated matrix) and
+    rows/cols are kept below n_rows/n_cols (padding dropped)."""
+    n_devices = math.prod(mesh.shape.values())
+    # Equal tile share per device per dispatch; tiny runs use one tile
+    # per device so padding lanes don't multiply the work.
+    tiles_per_device = min(
+        TILES_PER_DEVICE, (len(tiles) + n_devices - 1) // n_devices
+    )
+    chunk_tiles = n_devices * tiles_per_device
 
     rep = NamedSharding(mesh, P())
     axes = tuple(mesh.axis_names)
@@ -214,8 +248,6 @@ def sharded_screen_triangle_packed(
     fn = _tile_screen_fn(mesh, block, cap, dtn)
     bits_dev = jnp.float32(bits)
     min_cont_dev = jnp.float32(min_cont_static)
-
-    tiles = [(bi, bj) for bi in range(nblocks) for bj in range(bi, nblocks)]
     multiproc = jax.process_count() > 1
 
     pairs: List[np.ndarray] = []
@@ -234,33 +266,11 @@ def sharded_screen_triangle_packed(
         ii = np.asarray(ii)
         jj = np.asarray(jj)
         vals = np.asarray(vals).astype(np.float32)
-        for t, (bi, bj) in enumerate(tile_chunk):
-            c = int(cnt[t])
-            ii_t, jj_t, vals_t = ii[t], jj[t], vals[t]
-            if c < 0:
-                # Row-overflow signal (two-level extraction): re-run
-                # this tile with the direct extraction — the matrix is
-                # resident, so only sparse results move. Every process
-                # executes the identical re-dispatch (lockstep
-                # contract, as for the dense pull below).
-                true_cnt = -c - 1
-                if true_cnt <= cap:
-                    c2, ii2, jj2, v2 = _resident_screen_extract(
-                        x_all, s_all, jnp.int32(bi), jnp.int32(bj),
-                        block=block, bits_f=float(bits),
-                        min_cont=min_cont_static, cap=cap,
-                        is_diag=bi == bj, dtname=dtn, direct=True,
-                    )
-                    c = int(c2)
-                    ii_t = np.asarray(ii2)
-                    jj_t = np.asarray(jj2)
-                    vals_t = np.asarray(v2).astype(np.float32)
-                else:
-                    c = cap + 1
-            if c > cap:
-                # Rare overflow: pull this tile densely (block^2 floats).
-                lo_i, lo_j = bi * block, bj * block
-                cont = np.array(
+        for t, (bi, bjg) in enumerate(tile_chunk):
+
+            def dense_cont(bi=bi, bjg=bjg):
+                lo_i, lo_j = bi * block, bjg * block
+                return np.array(
                     _block_containment_packed(
                         x_all[lo_i : lo_i + block],
                         x_all[lo_j : lo_j + block],
@@ -270,31 +280,33 @@ def sharded_screen_triangle_packed(
                         dtname=dtn,
                     )
                 ).astype(np.float32)
-                if bi == bj:
-                    cont[np.tril_indices(cont.shape[0])] = -1.0  # -1: a cutoff of 0 must still drop self/reversed pairs
-                # Same f32-rounded cutoff as the on-device sparse path, so the
-                # surviving pair set does not depend on whether a tile overflowed.
-                hit = np.argwhere(cont >= min_cont_static)
-                gi = hit[:, 0] + lo_i
-                gj = hit[:, 1] + lo_j
-                v = cont[hit[:, 0], hit[:, 1]]
-            else:
-                gi = ii_t[:c] + bi * block
-                gj = jj_t[:c] + bj * block
-                v = vals_t[:c]
-            keep = (gi < n) & (gj < n)
-            gi, gj, v = gi[keep], gj[keep], v[keep]
-            if len(gi):
-                pairs.append(np.stack([gi, gj], axis=1).astype(np.int64))
-                anis.append((v ** inv_k * 100.0).astype(np.float32))
+
+            # Row-overflow re-extracts directly (the matrix is resident,
+            # only sparse results move); every process executes the
+            # identical re-dispatch (lockstep contract, as for the
+            # dense pull).
+            _drain_tile(
+                (cnt[t], ii[t], jj[t], vals[t]),
+                cap=cap, row0=bi * block,
+                col0=(bjg - col0_blocks) * block, inv_k=inv_k,
+                min_cont_f=min_cont_static, dense_cont=dense_cont,
+                reextract=lambda bi=bi, bjg=bjg: _resident_screen_extract(
+                    x_all, s_all, jnp.int32(bi), jnp.int32(bjg),
+                    block=block, bits_f=float(bits),
+                    min_cont=min_cont_static, cap=cap,
+                    is_diag=bi == bjg, dtname=dtn, direct=True,
+                ),
+                diag=bi == bjg, keep_rows=n_rows, keep_cols=n_cols,
+                pairs=pairs, anis=anis,
+            )
 
     pending: deque = deque()
     tij = np.zeros((chunk_tiles, 3), dtype=np.int32)
     for lo in range(0, len(tiles), chunk_tiles):
         tile_chunk = tiles[lo : lo + chunk_tiles]
         tij[:] = 0
-        for t, (bi, bj) in enumerate(tile_chunk):
-            tij[t] = (bi, bj, 1)
+        for t, (bi, bjg) in enumerate(tile_chunk):
+            tij[t] = (bi, bjg, 1)
         outs = fn(
             x_all, s_all, bits_dev, min_cont_dev,
             jax.device_put(tij.copy(), mat_sh),
@@ -333,7 +345,9 @@ def sharded_screen_rectangle_packed(
     index nq_pad/block + bj, which never equals a query block index, so
     the kernel's diagonal mask reduces to the plain cutoff. Only sparse
     (count, ii, jj, val) tuples leave a device. Returned pairs are
-    (query_idx, ref_idx)."""
+    (query_idx, ref_idx). Past the per-device HBM budget the sweep
+    switches to the row-sharded variant (same GALAH_TPU_ROWSHARD
+    override as the triangle)."""
     if mesh is None:
         from galah_tpu.parallel.mesh import make_mesh
 
@@ -344,18 +358,29 @@ def sharded_screen_rectangle_packed(
     w = len(query_packed[0])
     block = _pick_block(max(nq, nr), block or _screen_block_for(max(nq, nr)))
     cap = cap or _screen_cap_for(block)
-    inv_k = 1.0 / k
-    min_cont_static = float(np.float32(min_containment))
-    n_devices = math.prod(mesh.shape.values())
+
+    import os as _os
+
+    rowshard_env = _os.environ.get("GALAH_TPU_ROWSHARD")
+    n_pad_est = (
+        ((nq + block - 1) // block) + ((nr + block - 1) // block)
+    ) * block
+    if rowshard_env != "0" and (
+        rowshard_env == "1"
+        or n_pad_est * w * 4 > _device_resident_budget()
+    ):
+        logger.info(
+            "Row-sharding the resident rectangle matrix (%d+%d rows x %d "
+            "words > per-device budget)", nq, nr, w,
+        )
+        return sharded_screen_rectangle_rowsharded(
+            query_packed, query_sizes, ref_packed, ref_sizes,
+            k, min_containment, bits, mesh=mesh, block=min(block, 1024),
+        )
 
     nq_pad = ((nq + block - 1) // block) * block
     nr_pad = ((nr + block - 1) // block) * block
     nqb, nrb = nq_pad // block, nr_pad // block
-    ntiles = nqb * nrb
-    tiles_per_device = min(
-        TILES_PER_DEVICE, (ntiles + n_devices - 1) // n_devices
-    )
-    chunk_tiles = n_devices * tiles_per_device
 
     x_np = np.zeros((nq_pad + nr_pad, w), dtype=np.uint32)
     for t in range(nq):
@@ -366,106 +391,14 @@ def sharded_screen_rectangle_packed(
     s_np[:nq] = query_sizes.astype(np.float32)
     s_np[nq_pad : nq_pad + nr] = ref_sizes.astype(np.float32)
 
-    rep = NamedSharding(mesh, P())
-    axes = tuple(mesh.axis_names)
-    mat_sh = NamedSharding(mesh, P(axes, None))
-    x_all = jax.device_put(x_np, rep)
-    s_all = jax.device_put(s_np, rep)
-    del x_np
-
-    dtn = _screen_dtype_name()
-    fn = _tile_screen_fn(mesh, block, cap, dtn)
-    bits_dev = jnp.float32(bits)
-    min_cont_dev = jnp.float32(min_cont_static)
-
     # Tiles address the concatenated matrix: (query block bi, global
     # ref block nqb + bj).
     tiles = [(bi, nqb + bj) for bi in range(nqb) for bj in range(nrb)]
-    multiproc = jax.process_count() > 1
-
-    pairs: List[np.ndarray] = []
-    anis: List[np.ndarray] = []
-
-    def collect(tile_chunk, outs):
-        if multiproc:
-            from jax.experimental import multihost_utils
-
-            cnt, ii, jj, vals = (
-                multihost_utils.process_allgather(o, tiled=True) for o in outs
-            )
-        else:
-            cnt, ii, jj, vals = outs
-        cnt = np.asarray(cnt)
-        ii = np.asarray(ii)
-        jj = np.asarray(jj)
-        vals = np.asarray(vals).astype(np.float32)
-        for t, (bi, bjg) in enumerate(tile_chunk):
-            c = int(cnt[t])
-            ii_t, jj_t, vals_t = ii[t], jj[t], vals[t]
-            if c < 0:
-                # Row-overflow signal: re-extract on device (identical
-                # lockstep re-dispatch on every process).
-                true_cnt = -c - 1
-                if true_cnt <= cap:
-                    c2, ii2, jj2, v2 = _resident_screen_extract(
-                        x_all, s_all, jnp.int32(bi), jnp.int32(bjg),
-                        block=block, bits_f=float(bits),
-                        min_cont=min_cont_static, cap=cap,
-                        is_diag=False, dtname=dtn, direct=True,
-                    )
-                    c = int(c2)
-                    ii_t = np.asarray(ii2)
-                    jj_t = np.asarray(jj2)
-                    vals_t = np.asarray(v2).astype(np.float32)
-                else:
-                    c = cap + 1
-            if c > cap:
-                # Rare overflow: dense pull of this one tile.
-                lo_i, lo_j = bi * block, bjg * block
-                cont = np.array(
-                    _block_containment_packed(
-                        x_all[lo_i : lo_i + block],
-                        x_all[lo_j : lo_j + block],
-                        s_all[lo_i : lo_i + block],
-                        s_all[lo_j : lo_j + block],
-                        float(bits),
-                        dtname=dtn,
-                    )
-                ).astype(np.float32)
-                hit = np.argwhere(cont >= min_cont_static)
-                gi = hit[:, 0] + lo_i
-                gj = hit[:, 1] + (bjg - nqb) * block
-                v = cont[hit[:, 0], hit[:, 1]]
-            else:
-                gi = ii_t[:c] + bi * block
-                gj = jj_t[:c] + (bjg - nqb) * block
-                v = vals_t[:c]
-            keep = (gi < nq) & (gj < nr)
-            gi, gj, v = gi[keep], gj[keep], v[keep]
-            if len(gi):
-                pairs.append(np.stack([gi, gj], axis=1).astype(np.int64))
-                anis.append((v ** inv_k * 100.0).astype(np.float32))
-
-    pending: deque = deque()
-    tij = np.zeros((chunk_tiles, 3), dtype=np.int32)
-    for lo in range(0, len(tiles), chunk_tiles):
-        tile_chunk = tiles[lo : lo + chunk_tiles]
-        tij[:] = 0
-        for t, (bi, bjg) in enumerate(tile_chunk):
-            tij[t] = (bi, bjg, 1)
-        outs = fn(
-            x_all, s_all, bits_dev, min_cont_dev,
-            jax.device_put(tij.copy(), mat_sh),
-        )
-        pending.append((tile_chunk, outs))
-        if len(pending) > DISPATCH_WINDOW:
-            collect(*pending.popleft())
-    while pending:
-        collect(*pending.popleft())
-
-    if pairs:
-        return ScreenResult(np.concatenate(pairs), np.concatenate(anis))
-    return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
+    return _replicated_tile_sweep(
+        x_np, s_np, tiles, mesh, block, cap, bits,
+        float(np.float32(min_containment)), 1.0 / k,
+        col0_blocks=nqb, n_rows=nq, n_cols=nr,
+    )
 
 
 def _rowshard_stage_fn(mesh: Mesh, block: int, cap: int, slots: int,
@@ -490,8 +423,10 @@ def _rowshard_stage_fn(mesh: Mesh, block: int, cap: int, slots: int,
     Per-device residency is O(n*W / n_dev) — the property that lets the
     screen reach the 300k-genome multi-host north star (the role skani's
     sketch-then-stream search plays at scale, reference
-    src/skani.rs:229-377). Column stage index cb and the real block
-    count are traced, so one compilation serves every stage and run.
+    src/skani.rs:229-377). Column stage index cb, the row-block limit
+    max_row_block (cb for the triangle schedule; the last query block
+    for the rectangle), and the real block count are traced, so one
+    compilation serves every stage, schedule, and run.
     """
     key = ("rowshard", mesh, block, cap, slots, stage_cap, dtname)
     fn = _TILE_FN_CACHE.get(key)
@@ -501,7 +436,8 @@ def _rowshard_stage_fn(mesh: Mesh, block: int, cap: int, slots: int,
     axes = tuple(mesh.axis_names)
     n_dev = math.prod(mesh.shape.values())
 
-    def local_fn(x_local, s_local, bits_f, min_cont, cb, nblocks_real):
+    def local_fn(x_local, s_local, bits_f, min_cont, cb, max_row_block,
+                 nblocks_real):
         w = x_local.shape[1]
         idx = jnp.int32(0)
         for ax in axes:
@@ -560,7 +496,7 @@ def _rowshard_stage_fn(mesh: Mesh, block: int, cap: int, slots: int,
         def scan_body(carry, s):
             off, out_ii, out_jj, out_vals = carry
             g = idx + s * n_dev
-            valid = (g <= cb) & (g < nblocks_real)
+            valid = (g <= max_row_block) & (g < nblocks_real)
             cnt, ii, jj, vals = jax.lax.cond(valid, compute, skip, s)
             woff = jnp.minimum(off, stage_cap - cap)
 
@@ -600,7 +536,7 @@ def _rowshard_stage_fn(mesh: Mesh, block: int, cap: int, slots: int,
         jax.shard_map(
             local_fn,
             mesh=mesh,
-            in_specs=(P(axes, None), P(axes), P(), P(), P(), P()),
+            in_specs=(P(axes, None), P(axes), P(), P(), P(), P(), P()),
             out_specs=(P(axes), P(axes), P(axes), P(axes)),
         )
     )
@@ -619,10 +555,14 @@ def _host_block(packed, n: int, w: int, g: int, block: int) -> np.ndarray:
 
 
 def _dense_tile_hits(
-    packed, sizes_pad, n, w, bits, g, cb, block, min_containment, dtname
+    packed, sizes_pad, n, w, bits, g, cb, block, min_containment, dtname,
+    col0_blocks=0,
 ):
     """Recompute one overflowing tile densely (device matmul on two
-    host-assembled blocks) and return its above-cutoff hits."""
+    host-assembled blocks) and return its above-cutoff hits. Row/column
+    block indices g/cb address the resident layout; emitted column
+    indices are rebased by col0_blocks (0 for the triangle, the query
+    block count for the rectangle)."""
     xi = jnp.asarray(_host_block(packed, n, w, g, block))
     xj = jnp.asarray(_host_block(packed, n, w, cb, block))
     a = jnp.asarray(sizes_pad[g * block : (g + 1) * block])
@@ -634,7 +574,7 @@ def _dense_tile_hits(
         cont[np.tril_indices(cont.shape[0])] = -1.0  # -1: a cutoff of 0 must still drop self/reversed pairs
     hit = np.argwhere(cont >= min_containment)
     gi = hit[:, 0] + g * block
-    gj = hit[:, 1] + cb * block
+    gj = hit[:, 1] + (cb - col0_blocks) * block
     return gi, gj, cont[hit[:, 0], hit[:, 1]]
 
 
@@ -662,19 +602,57 @@ def sharded_screen_triangle_rowsharded(
         return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
     w = len(packed[0])
     block = _pick_block(n, block)
-    stage_cap = max(stage_cap, 2 * cap)
-    inv_k = 1.0 / k
-    min_cont_static = float(np.float32(min_containment))
-    axes = tuple(mesh.axis_names)
-    n_dev = math.prod(mesh.shape.values())
 
     nblocks_real = (n + block - 1) // block
+    sizes_pad = np.zeros((nblocks_real * block,), np.float32)
+    sizes_pad[:n] = np.asarray(sizes, np.float32)
+
+    # Triangle schedule: column stage cb sweeps row blocks g <= cb.
+    stages = [(cb, cb) for cb in range(nblocks_real)]
+    return _rowshard_sweep(
+        packed, n, w, sizes_pad, nblocks_real, stages, mesh, block, cap,
+        stage_cap, bits, float(np.float32(min_containment)), 1.0 / k,
+        col0_blocks=0, n_rows=n, n_cols=n,
+    )
+
+
+def _rowshard_sweep(
+    packed,
+    n: int,
+    w: int,
+    sizes_pad: np.ndarray,
+    nblocks_real: int,
+    stages: List[Tuple[int, int]],
+    mesh: Mesh,
+    block: int,
+    cap: int,
+    stage_cap: int,
+    bits: int,
+    min_cont_static: float,
+    inv_k: float,
+    *,
+    col0_blocks: int,
+    n_rows: int,
+    n_cols: int,
+) -> ScreenResult:
+    """Shared driver for the ROW-SHARDED sweeps (triangle AND
+    rectangle): distribute row blocks cyclically over the mesh, stream
+    one column stage at a time through a psum broadcast, replay each
+    device's compacted hit stream on host, and recompute overflowing
+    tiles (or clobbered device-stages) densely.
+
+    `stages` lists (cb, max_row_block) column stages: cb is the column
+    block's GLOBAL index in the resident layout, max_row_block the last
+    row block the stage sweeps (cb itself for the triangle schedule;
+    the last query block for the rectangle, whose ref columns live past
+    the query rows). Emitted column indices are rebased by col0_blocks
+    and rows/cols kept below n_rows/n_cols (padding dropped)."""
+    stage_cap = max(stage_cap, 2 * cap)
+    axes = tuple(mesh.axis_names)
+    n_dev = math.prod(mesh.shape.values())
     slots = (nblocks_real + n_dev - 1) // n_dev
     n_local = slots * block
     total = n_dev * n_local
-
-    sizes_pad = np.zeros((nblocks_real * block,), np.float32)
-    sizes_pad[:n] = np.asarray(sizes, np.float32)
 
     x_sh = NamedSharding(mesh, P(axes, None))
     s_sh = NamedSharding(mesh, P(axes))
@@ -726,7 +704,7 @@ def sharded_screen_triangle_rowsharded(
     anis: List[np.ndarray] = []
 
     def emit(gi, gj, v):
-        keep = (gi < n) & (gj < n)
+        keep = (gi < n_rows) & (gj < n_cols)
         gi, gj, v = gi[keep], gj[keep], v[keep]
         if len(gi):
             pairs.append(np.stack([gi, gj], axis=1).astype(np.int64))
@@ -734,7 +712,7 @@ def sharded_screen_triangle_rowsharded(
                 (np.asarray(v, np.float32) ** inv_k * 100.0).astype(np.float32)
             )
 
-    def collect(cb, outs):
+    def collect(cb, mrb, outs):
         if multiproc:
             from jax.experimental import multihost_utils
 
@@ -757,7 +735,7 @@ def sharded_screen_triangle_rowsharded(
             clobbered = False
             for s in range(slots):
                 g = d + s * n_dev
-                if g > cb or g >= nblocks_real:
+                if g > mrb or g >= nblocks_real:
                     continue
                 c = int(cnts[d * slots + s])
                 stored = min(c, cap)
@@ -776,20 +754,24 @@ def sharded_screen_triangle_rowsharded(
                 if clobbered or c > cap:
                     gi, gj, v = _dense_tile_hits(
                         packed, sizes_pad, n, w, bits, g, cb, block,
-                        min_cont_static, dtname=dtn,
+                        min_cont_static, dtname=dtn, col0_blocks=col0_blocks,
                     )
                     emit(gi, gj, v)
                 else:
                     gi = ii[base_i + soff : base_i + soff + c] + g * block
-                    gj = jj[base_i + soff : base_i + soff + c] + cb * block
+                    gj = (
+                        jj[base_i + soff : base_i + soff + c]
+                        + (cb - col0_blocks) * block
+                    )
                     emit(gi, gj, vals[base_i + soff : base_i + soff + c])
 
     pending: deque = deque()
-    for cb in range(nblocks_real):
+    for cb, mrb in stages:
         outs = fn(
-            x_all, s_all, bits_dev, min_cont_dev, jnp.int32(cb), nblocks_dev
+            x_all, s_all, bits_dev, min_cont_dev, jnp.int32(cb),
+            jnp.int32(mrb), nblocks_dev,
         )
-        pending.append((cb, outs))
+        pending.append((cb, mrb, outs))
         if len(pending) > DISPATCH_WINDOW:
             collect(*pending.popleft())
     while pending:
@@ -798,6 +780,81 @@ def sharded_screen_triangle_rowsharded(
     if pairs:
         return ScreenResult(np.concatenate(pairs), np.concatenate(anis))
     return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
+
+
+class _ConcatRows:
+    """List-like view of the rectangle's concatenated resident layout
+    (query rows, zero padding to a block boundary, then ref rows)
+    without materializing the full matrix on host — rows materialize
+    one block at a time inside _host_block / _fill_rows."""
+
+    def __init__(self, query_packed, nq_pad: int, ref_packed, w: int):
+        self._q = query_packed
+        self._nq = len(query_packed)
+        self._nq_pad = nq_pad
+        self._r = ref_packed
+        self._zero = np.zeros((w,), np.uint32)
+
+    def __len__(self) -> int:
+        return self._nq_pad + len(self._r)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        if i < self._nq:
+            return self._q[i]
+        if i < self._nq_pad:
+            return self._zero
+        return self._r[i - self._nq_pad]
+
+
+def sharded_screen_rectangle_rowsharded(
+    query_packed: Sequence[np.ndarray],
+    query_sizes: np.ndarray,
+    ref_packed: Sequence[np.ndarray],
+    ref_sizes: np.ndarray,
+    k: int,
+    min_containment: float,
+    bits: int,
+    mesh: Optional[Mesh] = None,
+    block: int = 1024,
+    cap: int = 8192,
+    stage_cap: int = ROWSHARD_STAGE_CAP,
+) -> ScreenResult:
+    """Reference-genome (rectangular) screen with the concatenated
+    query+ref matrix ROW-SHARDED across the mesh: per-device HBM is
+    O((nq+nr)*W / n_dev), so reference-mode capacity grows with
+    devices/hosts exactly like the triangle's row-sharded sweep — the
+    at-scale form of the reference's stream-queries-against-ref-DB
+    search (src/skani.rs:502-687; SURVEY P9). Each column stage psum-
+    broadcasts one REF block and sweeps every QUERY row block against
+    it; returned pairs are (query_idx, ref_idx)."""
+    if mesh is None:
+        from galah_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    nq, nr = len(query_packed), len(ref_packed)
+    if nq == 0 or nr == 0:
+        return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
+    w = len(query_packed[0])
+    block = _pick_block(max(nq, nr), block)
+
+    nq_pad = ((nq + block - 1) // block) * block
+    nqb = nq_pad // block
+    n = nq_pad + nr
+    nblocks_real = (n + block - 1) // block
+
+    packed = _ConcatRows(query_packed, nq_pad, ref_packed, w)
+    sizes_pad = np.zeros((nblocks_real * block,), np.float32)
+    sizes_pad[:nq] = np.asarray(query_sizes, np.float32)
+    sizes_pad[nq_pad : nq_pad + nr] = np.asarray(ref_sizes, np.float32)
+
+    # Rectangle schedule: one column stage per REF block, each sweeping
+    # every query row block (max_row_block = nqb - 1).
+    stages = [(cb, nqb - 1) for cb in range(nqb, nblocks_real)]
+    return _rowshard_sweep(
+        packed, n, w, sizes_pad, nblocks_real, stages, mesh, block, cap,
+        stage_cap, bits, float(np.float32(min_containment)), 1.0 / k,
+        col0_blocks=nqb, n_rows=nq, n_cols=nr,
+    )
 
 
 def sharded_screen_triangle(

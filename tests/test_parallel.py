@@ -383,6 +383,84 @@ def test_sharded_rectangle_overflow_tile():
     assert len(sharded.pairs) == nq * nr
 
 
+def test_rectangle_rowsharded_matches_single_device():
+    """Row-sharded rectangle (concatenated query+ref matrix distributed
+    cyclically, one REF column block psum-broadcast per stage) produces
+    the identical sparse pair list at any mesh shape — the reference-
+    mode analog of test_rowsharded_matches_replicated."""
+    from galah_tpu.ops.prefilter import screen_rectangle_packed
+    from galah_tpu.parallel.distance import sharded_screen_rectangle_rowsharded
+
+    nq, nr, bits = 500, 300, 2048
+    rng = np.random.default_rng(11)
+    q = (rng.random((nq, bits)) < 0.08).astype(np.uint8)
+    r = (rng.random((nr, bits)) < 0.08).astype(np.uint8)
+    for t in range(0, 280, 17):
+        q[t * 2 % nq] = r[t]
+    qp = list(np.packbits(q.astype(bool), axis=1, bitorder="little").view(np.uint32))
+    rp = list(np.packbits(r.astype(bool), axis=1, bitorder="little").view(np.uint32))
+    qs, rs = q.sum(axis=1), r.sum(axis=1)
+
+    single = screen_rectangle_packed(qp, qs, rp, rs, 15, 0.2, bits, block=256)
+    key = lambda res: sorted(map(tuple, res.pairs.tolist()))
+    for ndev, bucket in ((2, 1), (8, 1), (8, 2)):
+        mesh = make_mesh(jax.devices()[:ndev], bucket_axis=bucket)
+        rowsharded = sharded_screen_rectangle_rowsharded(
+            qp, qs, rp, rs, 15, 0.2, bits, mesh=mesh, block=128
+        )
+        assert key(single) == key(rowsharded), (ndev, bucket)
+    assert len(single.pairs) >= 15
+
+
+def test_rectangle_rowsharded_overflow_tile():
+    """Per-tile cnt > cap in the row-sharded rectangle falls back to a
+    dense recompute of that tile (no lost or duplicated pairs)."""
+    from galah_tpu.parallel.distance import sharded_screen_rectangle_rowsharded
+
+    nq, nr, bits = 96, 96, 1024
+    rng = np.random.default_rng(12)
+    base = (rng.random(bits) < 0.1).astype(np.uint8)
+    q = np.tile(base, (nq, 1))
+    r = np.tile(base, (nr, 1))
+    qp = list(np.packbits(q.astype(bool), axis=1, bitorder="little").view(np.uint32))
+    rp = list(np.packbits(r.astype(bool), axis=1, bitorder="little").view(np.uint32))
+    qs, rs = q.sum(axis=1), r.sum(axis=1)
+    res = sharded_screen_rectangle_rowsharded(
+        qp, qs, rp, rs, 15, 0.2, bits,
+        mesh=make_mesh(jax.devices()[:2]), block=128, cap=64,
+    )
+    assert len(res.pairs) == nq * nr
+
+
+def test_rowshard_env_forces_rectangle_path(monkeypatch):
+    """GALAH_TPU_ROWSHARD=1 routes the replicated rectangle entry point
+    through the row-sharded sweep; results match the default — the
+    budget-check fallback the replicated rectangle takes past the
+    per-device HBM budget."""
+    from galah_tpu.parallel.distance import sharded_screen_rectangle_packed
+
+    nq, nr, bits = 300, 200, 2048
+    rng = np.random.default_rng(13)
+    q = (rng.random((nq, bits)) < 0.08).astype(np.uint8)
+    r = (rng.random((nr, bits)) < 0.08).astype(np.uint8)
+    for t in range(0, 190, 13):
+        q[t] = r[t]
+    qp = list(np.packbits(q.astype(bool), axis=1, bitorder="little").view(np.uint32))
+    rp = list(np.packbits(r.astype(bool), axis=1, bitorder="little").view(np.uint32))
+    qs, rs = q.sum(axis=1), r.sum(axis=1)
+    mesh = make_mesh(jax.devices()[:8])
+    base = sharded_screen_rectangle_packed(
+        qp, qs, rp, rs, 15, 0.2, bits, mesh=mesh, block=128
+    )
+    monkeypatch.setenv("GALAH_TPU_ROWSHARD", "1")
+    forced = sharded_screen_rectangle_packed(
+        qp, qs, rp, rs, 15, 0.2, bits, mesh=mesh, block=128
+    )
+    key = lambda res: sorted(map(tuple, res.pairs.tolist()))
+    assert key(base) == key(forced)
+    assert len(base.pairs) >= 10
+
+
 def test_reference_mode_engine_uses_mesh(tmp_path, monkeypatch):
     """distances_with_references routes through the sharded rectangle
     when several devices are available, and its verified cache equals
