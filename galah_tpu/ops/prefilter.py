@@ -75,11 +75,7 @@ def _resident_screen_extract(
     sj = jax.lax.dynamic_slice(x_all, (bj * block, 0), (block, w))
     a = jax.lax.dynamic_slice(sizes, (bi * block,), (block,))
     b = jax.lax.dynamic_slice(sizes, (bj * block,), (block,))
-    dt = _screen_dt(dtname)
-    counts = _screen_matmul(
-        _unpack_bits(si, dt),
-        _unpack_bits(sj, dt),
-    )
+    counts = _screen_counts_packed(si, sj, dtname)
     cont = _containment(counts, a, b, bits_f)
     mask = cont >= min_cont
     if is_diag:
@@ -109,11 +105,7 @@ def _block_screen_extract_packed(
     device->host traffic by orders of magnitude. Returns
     (count, rows (cap,), cols (cap,), cont_vals (cap,) bf16); if count
     exceeds cap the caller falls back to a dense pull for the block."""
-    dt = _screen_dt(dtname)
-    counts = _screen_matmul(
-        _unpack_bits(si_pk, dt),
-        _unpack_bits(sj_pk, dt),
-    )
+    counts = _screen_counts_packed(si_pk, sj_pk, dtname)
     cont = _containment(counts, a, b, bits_f)
     mask = cont >= min_cont
     if is_diag:
@@ -174,8 +166,7 @@ def _block_containment_packed(
     """Fused screen block over packed uint32 bitmaps: 32x less
     host->device traffic than uint8 indicators; unpacked to the matmul
     dtype on device so the MXU still does the intersection counts."""
-    dt = _screen_dt(dtname)
-    counts = _screen_matmul(_unpack_bits(si_pk, dt), _unpack_bits(sj_pk, dt))
+    counts = _screen_counts_packed(si_pk, sj_pk, dtname)
     return _containment(counts, a, b, bits_f).astype(jnp.bfloat16)
 
 
@@ -196,11 +187,12 @@ def _containment(counts: jax.Array, a: jax.Array, b: jax.Array, bits_f: float):
 
 def _screen_block_for(n: int) -> int:
     """Tile edge for the single-device sweeps. Bigger tiles amortize
-    the per-tile extraction and dispatch costs (v5e, int8, production
-    tile: 330M pairs/s at 1024 -> 546M at 2048 -> 790M at 4096), while
-    `min(. , next_pow2(n))` keeps padding waste bounded for small
-    corpora. CPU keeps 1024 (cache-sized). GALAH_TPU_SCREEN_BLOCK
-    overrides."""
+    the per-tile extraction and dispatch costs AND raise the matmul's
+    own MXU utilization (v5e, int8 fused unpack+dot: 52% of peak at a
+    4096 tile -> 74% XLA / 84% Pallas at 8192 —
+    benchmarks/screen_tile_probe.py), while `min(. , next_pow2(n))`
+    keeps padding waste bounded for small corpora. CPU keeps 1024
+    (cache-sized). GALAH_TPU_SCREEN_BLOCK overrides."""
     import os
 
     env = os.environ.get("GALAH_TPU_SCREEN_BLOCK")
@@ -209,7 +201,7 @@ def _screen_block_for(n: int) -> int:
     if jax.default_backend() in ("cpu",):
         return 1024
     pow2 = 1 << max(0, int(n - 1)).bit_length()
-    return min(4096, max(1024, pow2))
+    return min(8192, max(1024, pow2))
 
 
 def _screen_cap_for(block: int) -> int:
@@ -244,21 +236,50 @@ TILE_WINDOW = 16
 ROW_SEL = 128
 
 
-def _extract_above_cutoff(cont, mask, cap: int, direct: bool = False):
+def _compact_hits(sub_mask, row_ids, sub_cont, cap: int, cols_n: int):
+    """Scatter-free hit extraction over one (rows, cols) tile view:
+    route (row*cols + col, cont) pairs where sub_mask is set to the
+    front with monotone compaction (ops/routing.py) instead of XLA's
+    ~85M-elements/s nonzero lowering, and carry the values along so no
+    per-index (per-gather-bound) cont[ii, jj] lookup remains. Hits come
+    out in row-major order; slots past the live count are zeros."""
+    from galah_tpu.ops.pair_table import _fast_cumsum
+    from galah_tpu.ops.routing import monotone_compact_tiled
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, sub_mask.shape, 1)
+    combined = row_ids * jnp.int32(cols_n) + col_ids
+    (ci, cv), _ = monotone_compact_tiled(
+        sub_mask.reshape(-1),
+        [combined.reshape(-1), sub_cont.reshape(-1)],
+        [0, jnp.float32(0.0)],
+        cumsum_fn=_fast_cumsum,
+    )
+    ci = ci[:cap]
+    return ci // cols_n, ci % cols_n, cv[:cap]
+
+
+def _extract_above_cutoff(cont, mask, cap: int, direct: bool = False,
+                          routed: Optional[bool] = None):
     """(cnt, ii, jj, vals) of up-to-cap above-cutoff tile entries.
 
     XLA lowers `nonzero` at ~85M elements/s on TPU (cumsum+scatter) —
     7.3ms of a 9.3ms screen tile went to it. Real sweeps are sparse:
     most tiles have hits in few ROWS, so compact the hit rows first
-    (a nonzero over `rows` elements + a row gather) and run the full
-    nonzero over only (ROW_SEL, cols) — 3.19ms vs 9.30ms per
-    production tile on the v5e. (A lax.cond fallback to the direct
-    nonzero measured as slow as always-direct — the conditional
-    defeats the win — so overflow is signalled instead.)
+    (a nonzero over `rows` elements + a row gather) and extract over
+    only (row_sel, cols). On accelerators that second-level extraction
+    is ROUTED (monotone compaction at VPU/HBM speed, values carried
+    along — no nonzero over row_sel*cols and no per-index cont[ii, jj]
+    gather): at the 8192 production tile the nonzero epilogue cost
+    33.6ms of a 93.7ms tile (benchmarks/screen_tile_probe.py), the
+    routed one low-single-digit ms. The CPU backend keeps nonzero
+    (numpy-grade lowering, and the 22-pass routing would lose);
+    `routed` forces either path for tests. (A lax.cond fallback to the
+    direct extraction measured as slow as always-direct — the
+    conditional defeats the win — so overflow is signalled instead.)
 
-    Tiles whose hits span more than ROW_SEL rows (e.g. near-duplicate
+    Tiles whose hits span more than row_sel rows (e.g. near-duplicate
     family blocks) return cnt = -(true_cnt + 1); the extracted entries
-    cover only the first ROW_SEL hit rows, and the caller re-extracts
+    cover only the first row_sel hit rows, and the caller re-extracts
     that tile with direct=True (a second device dispatch — no dense
     host pull) or densely. Hits are emitted in row-major order; with
     a non-negative cnt <= cap the extraction is complete and exact.
@@ -271,8 +292,14 @@ def _extract_above_cutoff(cont, mask, cap: int, direct: bool = False):
     # gain (651M pairs/s at rows/16+linear-cap vs 454M at
     # rows/8+quadratic-cap vs 792M unscaled-but-overflow-prone).
     row_sel = min(rows_n, max(ROW_SEL, rows_n // 16))
+    if routed is None:
+        routed = jax.default_backend() not in ("cpu",)
 
     if direct or row_sel == rows_n:
+        if routed:
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 0)
+            ii, jj, vals = _compact_hits(mask, row_ids, cont, cap, cols_n)
+            return cnt, ii, jj, vals
         ii, jj = jnp.nonzero(mask, size=cap, fill_value=0)
         ii = ii.astype(jnp.int32)
         jj = jj.astype(jnp.int32)
@@ -283,15 +310,22 @@ def _extract_above_cutoff(cont, mask, cap: int, direct: bool = False):
     rows = jnp.nonzero(row_has, size=row_sel, fill_value=0)[0]
     valid = jnp.arange(row_sel) < jnp.minimum(nrows, row_sel)
     sub = mask[rows] & valid[:, None]
+    cnt_enc = jnp.where(nrows > row_sel, -(cnt + 1), cnt)
+    if routed:
+        row_ids = jnp.broadcast_to(
+            rows.astype(jnp.int32)[:, None], sub.shape
+        )
+        ii, jj, vals = _compact_hits(sub, row_ids, cont[rows], cap, cols_n)
+        return cnt_enc, ii, jj, vals
     idx = jnp.nonzero(sub.reshape(-1), size=cap, fill_value=0)[0]
     ii = rows[idx // cols_n].astype(jnp.int32)
     jj = (idx % cols_n).astype(jnp.int32)
-    cnt_enc = jnp.where(nrows > row_sel, -(cnt + 1), cnt)
     return cnt_enc, ii, jj, cont[ii, jj]
 
 
 _SCREEN_DTYPES = {
     "int8": jnp.int8,
+    "int8x": jnp.int8,
     "bf16": jnp.bfloat16,
     "f32": jnp.float32,
 }
@@ -303,9 +337,13 @@ def _screen_dtype_name() -> str:
     int8 feeds the v5e MXU at 2x the bf16 rate (int8 x int8 -> int32)
     and is exact for 0/1 indicator counts; CPU keeps f32 (XLA's CPU
     int8 dot is slower than its f32 GEMM). GALAH_TPU_SCREEN_DTYPE
-    overrides (int8|bf16|f32). The name is threaded into the jitted
-    screen kernels as a STATIC argument so each dtype compiles and
-    caches its own program.
+    overrides (int8|int8x|bf16|f32): plain "int8" additionally runs
+    the packed-block matmul as the FUSED Pallas unpack+dot on
+    accelerators (84% of the v5e's int8 peak vs 74% for XLA's
+    unpack+dot at the 8192 production tile — benchmarks/
+    screen_tile_probe.py), "int8x" keeps int8 on the XLA formulation.
+    The name is threaded into the jitted screen kernels as a STATIC
+    argument so each variant compiles and caches its own program.
     """
     import os
 
@@ -336,6 +374,45 @@ def _screen_matmul(xu: jax.Array, yu: jax.Array) -> jax.Array:
         preferred_element_type=acc,
     )
     return counts.astype(jnp.float32)
+
+
+def _pallas_tile(n: int, cap: int) -> int:
+    """Largest power-of-two tile edge <= cap dividing n (0 if none >= 8)."""
+    t = cap
+    while t >= 8:
+        if n % t == 0:
+            return t
+        t //= 2
+    return 0
+
+
+def _screen_counts_packed(si_pk: jax.Array, sj_pk: jax.Array,
+                          dtname: str) -> jax.Array:
+    """Intersection counts (f32) between two PACKED uint32 blocks.
+
+    dtname "int8" on an accelerator runs the fused Pallas unpack+matmul
+    (ops/packed_matmul.py) — packed K-panels stream HBM->VMEM, the VPU
+    expands in VMEM, nothing 32x-expanded touches HBM; 84% of the
+    v5e's int8 peak vs 74% for the XLA unpack+dot at the 8192
+    production tile (benchmarks/screen_tile_probe.py). Every other
+    dtname (and shapes the kernel cannot tile) falls back to
+    unpack + dot_general. Counts are exact integers either way, so the
+    two paths are bit-identical through the f32 cast."""
+    m, w = si_pk.shape
+    n = sj_pk.shape[0]
+    if dtname == "int8" and jax.default_backend() not in ("cpu",):
+        tm = _pallas_tile(m, 1024)
+        tn = _pallas_tile(n, 1024)
+        kw = _pallas_tile(w, 128)
+        if tm and tn and kw:
+            from galah_tpu.ops.packed_matmul import packed_intersect_matmul
+
+            counts = packed_intersect_matmul(
+                si_pk, sj_pk, tm=tm, tn=tn, kw=kw
+            )
+            return counts.astype(jnp.float32)
+    dt = _screen_dt(dtname)
+    return _screen_matmul(_unpack_bits(si_pk, dt), _unpack_bits(sj_pk, dt))
 
 
 def _drain_tile(

@@ -44,6 +44,7 @@ from galah_tpu.ops.prefilter import (
     _resident_screen_extract,
     _screen_block_for,
     _screen_cap_for,
+    _screen_counts_packed,
     _screen_dt,
     _screen_dtype_name,
     _screen_matmul,
@@ -90,8 +91,7 @@ def _tile_screen_fn(mesh: Mesh, block: int, cap: int, dtname: str):
         sj = jax.lax.dynamic_slice(x_all, (bj * block, 0), (block, w))
         a = jax.lax.dynamic_slice(sizes, (bi * block,), (block,))
         b = jax.lax.dynamic_slice(sizes, (bj * block,), (block,))
-        dt = _screen_dt(dtname)
-        counts = _screen_matmul(_unpack_bits(si, dt), _unpack_bits(sj, dt))
+        counts = _screen_counts_packed(si, sj, dtname)
         cont = _containment(counts, a, b, bits_f)
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
         cols_j = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)

@@ -1,0 +1,64 @@
+"""Exactness of the Pallas fused unpack+matmul (ops/packed_matmul.py)
+against a numpy popcount-intersection oracle. Runs in interpret mode
+on the CPU backend; the TPU compiled path is measured on-chip by
+benchmarks/screen_tile_probe.py and exactness there follows from the
+kernel being a permutation-invariant integer dot."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from galah_tpu.ops.packed_matmul import packed_intersect_matmul
+
+
+def _pack(bits: np.ndarray) -> np.ndarray:
+    return np.packbits(bits, axis=1, bitorder="little").view(np.uint32)
+
+
+@pytest.mark.parametrize(
+    "m,n,bits,tm,tn,kw",
+    [
+        (128, 128, 4096, 128, 128, 64),
+        (256, 128, 8192, 128, 128, 128),
+        (128, 256, 4096, 128, 128, 32),
+    ],
+)
+def test_packed_intersect_matmul_exact(m, n, bits, tm, tn, kw):
+    rng = np.random.default_rng(m + n + bits)
+    a = rng.random((m, bits)) < 0.15
+    b = rng.random((n, bits)) < 0.15
+    want = a.astype(np.int64) @ b.astype(np.int64).T
+    got = np.asarray(
+        packed_intersect_matmul(
+            jnp.asarray(_pack(a)), jnp.asarray(_pack(b)),
+            tm=tm, tn=tn, kw=kw, interpret=True,
+        )
+    )
+    assert got.dtype == np.int32
+    assert (got == want).all()
+
+
+def test_packed_intersect_matmul_dense_and_empty_rows():
+    rng = np.random.default_rng(7)
+    a = rng.random((128, 4096)) < 0.9
+    a[3] = False  # empty row
+    a[4] = True   # full row
+    b = rng.random((128, 4096)) < 0.9
+    want = a.astype(np.int64) @ b.astype(np.int64).T
+    got = np.asarray(
+        packed_intersect_matmul(
+            jnp.asarray(_pack(a)), jnp.asarray(_pack(b)),
+            tm=128, tn=128, kw=64, interpret=True,
+        )
+    )
+    assert (got == want).all()
+
+
+def test_packed_intersect_matmul_shape_validation():
+    a = jnp.zeros((100, 64), jnp.uint32)
+    with pytest.raises(ValueError, match="not tiled"):
+        packed_intersect_matmul(a, a, tm=128, tn=128, kw=64, interpret=True)
+    b = jnp.zeros((128, 32), jnp.uint32)
+    a = jnp.zeros((128, 64), jnp.uint32)
+    with pytest.raises(ValueError, match="mismatch"):
+        packed_intersect_matmul(a, b, tm=128, tn=128, kw=32, interpret=True)

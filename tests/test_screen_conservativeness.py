@@ -4,6 +4,7 @@ fraction at exactly the ANI threshold, with a safety margin;
 engines/native._screen_min_containment)."""
 
 import numpy as np
+import pytest
 
 from galah_tpu.engines.native import (
     NativeContext,
@@ -229,12 +230,15 @@ def test_sharded_screen_dtype_paths_identical(monkeypatch):
         np.testing.assert_array_equal(outs["int8"][1], outs["f32"][1])
 
 
-def test_extract_above_cutoff_matches_argwhere():
+@pytest.mark.parametrize("routed", [False, True])
+def test_extract_above_cutoff_matches_argwhere(routed):
     """The two-level extraction must emit exactly np.argwhere's
     row-major hits for sparse masks; masks whose hits span more than
     ROW_SEL rows must signal via the negative-count sentinel, and
     direct=True must always be exact — sparse, dense, empty, and
-    cap-overflow cases."""
+    cap-overflow cases. Pinned for BOTH extraction backends: nonzero
+    (CPU default) and the routed monotone compaction (accelerator
+    default)."""
     import jax.numpy as jnp
 
     from galah_tpu.ops.prefilter import ROW_SEL, _extract_above_cutoff
@@ -247,21 +251,24 @@ def test_extract_above_cutoff_matches_argwhere():
         "dense_rows": rng.random((rows, cols)) < 0.006,  # hits most rows
         "empty": np.zeros((rows, cols), bool),
         "one_row": np.zeros((rows, cols), bool),
+        "cap_overflow": rng.random((rows, cols)) < 0.03,
     }
     cases["one_row"][7, ::3] = True
     assert (cases["dense_rows"].any(axis=1).sum()) > ROW_SEL
+    assert cases["cap_overflow"].sum() > cap
     for name, mask in cases.items():
         want = np.argwhere(mask)
         n_hit_rows = mask.any(axis=1).sum()
         cnt, ii, jj, vals = _extract_above_cutoff(
-            jnp.asarray(cont), jnp.asarray(mask), cap
+            jnp.asarray(cont), jnp.asarray(mask), cap, routed=routed
         )
         cnt = int(cnt)
         if n_hit_rows > ROW_SEL:
             # row-overflow sentinel: caller re-extracts directly
             assert cnt == -(len(want) + 1), name
             cnt, ii, jj, vals = _extract_above_cutoff(
-                jnp.asarray(cont), jnp.asarray(mask), cap, direct=True
+                jnp.asarray(cont), jnp.asarray(mask), cap, direct=True,
+                routed=routed,
             )
             cnt = int(cnt)
         assert cnt == len(want), name
