@@ -79,6 +79,34 @@ def _time_reps(fn, x, name):
     return (time.perf_counter() - t0) / _iters()
 
 
+def _repeat_in_jit_args(jax, jnp, body, perturb):
+    """_repeat_in_jit for bodies with extra operands passed as jit
+    ARGUMENTS. A closure would bake the operands into the HLO as
+    literals — at verify shapes that is >100MB of constants, which
+    multiplies compile time and overflows the remote-compile relay's
+    request limit (HTTP 413; the round-2 'R=512 does not compile'
+    finding was exactly this artifact)."""
+
+    @jax.jit
+    def run(x, *extras):
+        def step(i, acc):
+            return acc + body(perturb(x, acc % 2.0), *extras)
+
+        return jax.lax.fori_loop(0, _iters(), step, jnp.float32(0.0))
+
+    return run
+
+
+def _time_reps_args(fn, args, name):
+    """_time_reps over a tuple of positional operands."""
+    t0 = time.perf_counter()
+    float(fn(*args))
+    _log(f"{name} compile+warmup {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    float(fn(*args))
+    return (time.perf_counter() - t0) / _iters()
+
+
 def bench_screen_matmul(jax, jnp, dtname=None):
     """Headline: MXU matmul screen at production shape, in the screen's
     default matmul dtype (int8 on TPU — 2x the bf16 MXU rate, exact for
@@ -241,17 +269,29 @@ def bench_screen_popcount(jax, jnp):
 def bench_verify_grouped(jax, jnp):
     """Verify stage, grouped one-query-many-refs kernel: directed
     pairs/s at a realistic MAG shape (3Mb genome -> ~375k fragment
-    hashes) at the production-default 256 refs per dispatch (the
+    hashes) at the dispatch width production actually picks for this
+    stream (the max_refs_per_dispatch cap chunked down by the
+    256M-element intermediate budget — 512 at 375k hashes; the
     per-index gather cost amortizes across the ref axis)."""
-    from galah_tpu.ops.fragment_ani import _forward_kernel
+    from galah_tpu.ops.fragment_ani import FragmentAniConfig, _forward_kernel
 
-    R = 8 if _small() else 256
     MEMBER_BITS = 1 << (16 if _small() else 22)
     W = MEMBER_BITS // 32
     NHASH = 10_000 if _small() else 375_000
     NPAD = ((NHASH + (1 << 14) - 1) >> 14) << 14
     F = 1024  # ~3Mb / 3kb fragments
     K = 15
+    if _small():
+        R = 8
+    else:
+        # The width production picks: cap chunked by the intermediate
+        # budget, floored to a power of two (one_to_many_async).
+        r_chunk = max(
+            8,
+            min(FragmentAniConfig().max_refs_per_dispatch,
+                (256 << 20) // NPAD),
+        )
+        R = 1 << (r_chunk.bit_length() - 1)
 
     @jax.jit
     def make_inputs(key):
@@ -269,28 +309,31 @@ def bench_verify_grouped(jax, jnp):
     bitmaps, popcounts, buckets, offsets = make_inputs(jax.random.PRNGKey(2))
     bitmaps.block_until_ready()
 
-    def body(b):
+    def body(b, bm, pc, off):
         ani, af = _forward_kernel(
-            bitmaps, popcounts, b, offsets, jnp.int32(NHASH),
+            bm, pc, b, off, jnp.int32(NHASH),
             bits=MEMBER_BITS, k=K, min_hashes=8, min_ident=0.8,
         )
         # Sum every pair's result so XLA cannot narrow the computation
         # to ref 0 (measured ~18% inflation when consuming only [0]).
         return jnp.sum(ani) + jnp.sum(af)
 
-    run = _repeat_in_jit(
+    run = _repeat_in_jit_args(
         jax, jnp, body,
         lambda b, bit: b.at[0].set(
             jnp.minimum(b[0] + bit.astype(jnp.int32), MEMBER_BITS - 1)
         ),
     )
-    dt = _time_reps(run, buckets, "verify")
+    dt = _time_reps_args(
+        run, (buckets, bitmaps, popcounts, offsets), "verify"
+    )
     pairs_per_s = R / dt
     hashes_per_s = R * NHASH / dt
     _log(
         f"verify_grouped: {pairs_per_s:.0f} directed-pairs/s at "
-        f"{NHASH//1000}k-hash streams ({hashes_per_s/1e9:.2f}G "
-        f"hash-lookups/s, {dt*1e3:.0f}ms/dispatch)"
+        f"{NHASH//1000}k-hash streams x {R} refs/dispatch "
+        f"({hashes_per_s/1e9:.2f}G hash-lookups/s, "
+        f"{dt*1e3:.0f}ms/dispatch)"
     )
     return pairs_per_s
 
@@ -332,20 +375,22 @@ def bench_verify_grouped_bt(jax, jnp):
     table, popcounts, buckets, offsets = make_inputs(jax.random.PRNGKey(4))
     table.block_until_ready()
 
-    def body(b):
+    def body(b, tb, pc, off):
         ani, af = _forward_kernel_bt(
-            table, popcounts, b, offsets, jnp.int32(NHASH),
+            tb, pc, b, off, jnp.int32(NHASH),
             bits=MEMBER_BITS, k=K, min_hashes=8, min_ident=0.8,
         )
         return jnp.sum(ani) + jnp.sum(af)
 
-    run = _repeat_in_jit(
+    run = _repeat_in_jit_args(
         jax, jnp, body,
         lambda b, bit: b.at[0].set(
             jnp.minimum(b[0] + bit.astype(jnp.int32), MEMBER_BITS - 1)
         ),
     )
-    dt = _time_reps(run, buckets, "verify_bt")
+    dt = _time_reps_args(
+        run, (buckets, table, popcounts, offsets), "verify_bt"
+    )
     pairs_per_s = R / dt
     hashes_per_s = R * NHASH / dt
     _log(

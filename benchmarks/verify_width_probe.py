@@ -47,22 +47,33 @@ def main() -> None:
     K = 15
     _log(f"verify width probe: backend={jax.default_backend()} iters={ITERS}")
 
-    def _repeat(body, perturb):
+    def _repeat(body):
+        # Operands are explicit ARGUMENTS: a closure would bake the
+        # (R, W) bitmaps into the HLO as literals — a couple hundred MB
+        # of constants that blow the remote-compile relay's request
+        # limit (HTTP 413) and multiply compile time. (Round 2's
+        # "relay rejects R=512 bodies" was this artifact.)
         @jax.jit
-        def run(x):
+        def run(bitmaps_or_table, popcounts, buckets, offsets):
             def step(i, acc):
-                return acc + body(perturb(x, acc % 2.0))
+                b = buckets.at[0].set(
+                    jnp.minimum(
+                        buckets[0] + (acc % 2.0).astype(jnp.int32),
+                        MEMBER_BITS - 1,
+                    )
+                )
+                return acc + body(bitmaps_or_table, popcounts, b, offsets)
 
             return jax.lax.fori_loop(0, ITERS, step, jnp.float32(0.0))
 
         return run
 
-    def _time(fn, x, name):
+    def _time(fn, args, name):
         t0 = time.perf_counter()
-        float(fn(x))
+        float(fn(*args))
         _log(f"{name}: compile+warmup {time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
-        float(fn(x))
+        float(fn(*args))
         return (time.perf_counter() - t0) / ITERS
 
     for R in (256, 512, 1024):
@@ -86,18 +97,16 @@ def main() -> None:
         bitmaps, popcounts, buckets, offsets = make_inputs(key)
         bitmaps.block_until_ready()
 
-        def body(b, bitmaps=bitmaps, popcounts=popcounts, offsets=offsets):
+        def body(bm, pc, b, off):
             ani, af = _forward_kernel(
-                bitmaps, popcounts, b, offsets, jnp.int32(NHASH),
+                bm, pc, b, off, jnp.int32(NHASH),
                 bits=MEMBER_BITS, k=K, min_hashes=8, min_ident=0.8,
             )
             return jnp.sum(ani) + jnp.sum(af)
 
-        perturb = lambda b, bit: b.at[0].set(
-            jnp.minimum(b[0] + bit.astype(jnp.int32), MEMBER_BITS - 1)
-        )
         try:
-            dt = _time(_repeat(body, perturb), buckets, f"word R={R}")
+            dt = _time(_repeat(body),
+                       (bitmaps, popcounts, buckets, offsets), f"word R={R}")
             _log(
                 f"word R={R}: {R/dt:.0f} directed-pairs/s "
                 f"({R*NHASH/dt/1e9:.2f}G lookups/s, {dt*1e3:.0f}ms/dispatch)"
@@ -110,15 +119,15 @@ def main() -> None:
             table = _bit_transpose_table(bitmaps)
             table.block_until_ready()
 
-            def body_bt(b, table=table, popcounts=popcounts,
-                        offsets=offsets):
+            def body_bt(tb, pc, b, off):
                 ani, af = _forward_kernel_bt(
-                    table, popcounts, b, offsets, jnp.int32(NHASH),
+                    tb, pc, b, off, jnp.int32(NHASH),
                     bits=MEMBER_BITS, k=K, min_hashes=8, min_ident=0.8,
                 )
                 return jnp.sum(ani) + jnp.sum(af)
 
-            dt = _time(_repeat(body_bt, perturb), buckets, f"bt R={R}")
+            dt = _time(_repeat(body_bt),
+                       (table, popcounts, buckets, offsets), f"bt R={R}")
             _log(
                 f"bt R={R}: {R/dt:.0f} directed-pairs/s "
                 f"({dt*1e3:.0f}ms/dispatch)"

@@ -46,10 +46,17 @@ class FragmentAniConfig:
     min_fragment_identity: float = defaults.NATIVE_FRAGMENT_MIN_IDENTITY
     # XLA's TPU gather is per-index bound (~60M rows/s on the v5e,
     # independent of row width — benchmarks/verify_gather_bench.py), so
-    # the per-position cost amortizes over the ref axis: 256 refs per
-    # dispatch measured 24.0K directed-pairs/s vs 8.0K at 64 refs on
-    # 375k-hash MAG streams.
-    max_refs_per_dispatch: int = 256
+    # the per-position cost amortizes over the ref axis: scaling 64 ->
+    # 256 -> 512 -> 1024 refs per dispatch measured 8.0K -> 24.0K ->
+    # ~1.65x -> ~1.9x directed-pairs/s on 375k-hash MAG streams
+    # (benchmarks/verify_width_probe.py; round 2 stopped at 256 because
+    # a bench-closure artifact baked the bitmaps into the HLO as
+    # literals and blew the remote-compile relay's size limit — the
+    # production kernels pass operands as arguments and compile fine).
+    # Long streams are still chunked down by the 256M-element
+    # (R x NPAD) intermediate budget in one_to_many_async, so 1024
+    # engages fully only for shorter genomes / strain-level rep sets.
+    max_refs_per_dispatch: int = 1024
     # LRU bounds on device-side per-genome caches (bitmaps are
     # member_bits/8 bytes each; query streams scale with genome size).
     max_cached_bitmaps: int = 512
@@ -460,10 +467,8 @@ class FragmentAniEngine:
         )
         # Bound the (R, N) hit-matrix intermediates to ~1GB of int32:
         # very long streams get fewer refs per dispatch.
-        # GALAH_TPU_VERIFY_REFS overrides the width cap — wider
-        # dispatches amortize the per-index gather cost further on
-        # hosts whose compile path accepts the larger programs (this
-        # rig's remote-compile relay rejects R=512 bodies).
+        # GALAH_TPU_VERIFY_REFS overrides the width cap (verified up to
+        # 1024 on the v5e — benchmarks/verify_width_probe.py).
         import os as _os
 
         r_cap = int(
