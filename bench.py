@@ -56,27 +56,13 @@ def _repeat_in_jit(jax, jnp, body, perturb):
     with a data dependence between iterations: `perturb(x, bit)` folds
     the previous result's low bit back into the input so XLA cannot
     hoist or CSE the body out of the loop. One dispatch, one scalar."""
-
-    @jax.jit
-    def run(x):
-        def step(i, acc):
-            xp = perturb(x, (acc % 2.0))
-            return acc + body(xp)
-
-        return jax.lax.fori_loop(0, _iters(), step, jnp.float32(0.0))
-
-    return run
+    return _repeat_in_jit_args(jax, jnp, body, perturb)
 
 
 def _time_reps(fn, x, name):
     """Compile+warmup, then time one repeated-body dispatch; returns
     seconds per body iteration."""
-    t0 = time.perf_counter()
-    float(fn(x))
-    _log(f"{name} compile+warmup {time.perf_counter() - t0:.1f}s")
-    t0 = time.perf_counter()
-    float(fn(x))
-    return (time.perf_counter() - t0) / _iters()
+    return _time_reps_args(fn, (x,), name)
 
 
 def _repeat_in_jit_args(jax, jnp, body, perturb):
@@ -284,14 +270,12 @@ def bench_verify_grouped(jax, jnp):
     if _small():
         R = 8
     else:
-        # The width production picks: cap chunked by the intermediate
-        # budget, floored to a power of two (one_to_many_async).
-        r_chunk = max(
-            8,
-            min(FragmentAniConfig().max_refs_per_dispatch,
-                (256 << 20) // NPAD),
+        # The width production picks (shared formula).
+        from galah_tpu.ops.fragment_ani import refs_per_dispatch
+
+        R = refs_per_dispatch(
+            NPAD, FragmentAniConfig().max_refs_per_dispatch
         )
-        R = 1 << (r_chunk.bit_length() - 1)
 
     @jax.jit
     def make_inputs(key):

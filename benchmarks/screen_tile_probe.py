@@ -61,15 +61,6 @@ def _time(fn, x, name):
     return (time.perf_counter() - t0) / ITERS
 
 
-def _unpack_bitmajor(jnp, xw, dt):
-    """(n, W) uint32 -> (n, 32*W) 0/1, bit-major word-minor: 32 shifted
-    copies of the lane-aligned word block concatenated along K."""
-    return jnp.concatenate(
-        [((xw >> jnp.uint32(s)) & jnp.uint32(1)).astype(dt) for s in range(32)],
-        axis=1,
-    )
-
-
 def _unpack_repeat(jnp, xw, dt):
     """(n, W) uint32 -> (n, W*32) word-major via repeat + per-lane shift."""
     n, w = xw.shape
@@ -90,6 +81,7 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
+    from galah_tpu.ops.packed_matmul import _unpack_bitmajor
     from galah_tpu.ops.prefilter import (
         _resident_screen_extract,
         _screen_cap_for,
@@ -156,7 +148,7 @@ def main() -> None:
 
     variants = {
         "fused_cur": lambda xw: _unpack_bits(xw, jnp.int8),
-        "fused_bm": lambda xw: _unpack_bitmajor(jnp, xw, jnp.int8),
+        "fused_bm": lambda xw: _unpack_bitmajor(xw, jnp.int8),
         "fused_rep": lambda xw: _unpack_repeat(jnp, xw, jnp.int8),
     }
     for name, up in variants.items():

@@ -63,6 +63,19 @@ class FragmentAniConfig:
     max_cached_queries: int = 128
 
 
+def refs_per_dispatch(npad: int, cap: int) -> int:
+    """Grouped-verify dispatch width for a stream padded to `npad`
+    hashes: the configured cap chunked down by a 256M-element budget on
+    the (R, NPAD) hit-matrix intermediates (~1GB of int32), floored at
+    8 and rounded DOWN to a power of two (the kernels pad the ref axis
+    UP to one, which would otherwise overshoot the budget by up to 2x
+    right after the division). Shared by one_to_many_async and
+    bench.py's verify bench so the bench always measures the width
+    production actually picks."""
+    r_chunk = max(8, min(cap, (256 << 20) // max(1, npad)))
+    return 1 << (r_chunk.bit_length() - 1)
+
+
 def _round_up(x: int, m: int) -> int:
     return max(m, ((x + m - 1) // m) * m)
 
@@ -475,11 +488,7 @@ class FragmentAniEngine:
             _os.environ.get("GALAH_TPU_VERIFY_REFS", 0)
         ) or cfg.max_refs_per_dispatch
         npad = int(buckets.shape[0])
-        r_chunk = max(8, min(r_cap, (256 << 20) // npad))
-        # Round DOWN to a power of two: the kernels pad the ref axis up
-        # to one, which would otherwise overshoot the budget by up to
-        # 2x right after the division.
-        r_chunk = 1 << (r_chunk.bit_length() - 1)
+        r_chunk = refs_per_dispatch(npad, r_cap)
         placed = _placed(device)
         mode = _verify_gather_mode()
         out = []

@@ -31,12 +31,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _unpack_bitmajor(xw: jax.Array) -> jax.Array:
-    """(R, KW) uint32 -> (R, 32*KW) 0/1 int8, bit-major: 32 shifted
-    lane-aligned copies concatenated along the K axis."""
+def _unpack_bitmajor(xw: jax.Array, dt=jnp.int8) -> jax.Array:
+    """(R, KW) uint32 -> (R, 32*KW) 0/1 in dtype dt, bit-major: 32
+    shifted lane-aligned copies concatenated along the K axis."""
     return jnp.concatenate(
         [
-            ((xw >> jnp.uint32(s)) & jnp.uint32(1)).astype(jnp.int8)
+            ((xw >> jnp.uint32(s)) & jnp.uint32(1)).astype(dt)
             for s in range(32)
         ],
         axis=1,

@@ -400,7 +400,10 @@ def _screen_counts_packed(si_pk: jax.Array, sj_pk: jax.Array,
     two paths are bit-identical through the f32 cast."""
     m, w = si_pk.shape
     n = sj_pk.shape[0]
-    if dtname == "int8" and jax.default_backend() not in ("cpu",):
+    # TPU backends only ("tpu" plus this container's tunneled "axon"):
+    # the kernel uses pltpu memory spaces, which do not lower on GPU —
+    # other accelerators keep the XLA unpack+dot.
+    if dtname == "int8" and jax.default_backend() in ("tpu", "axon"):
         tm = _pallas_tile(m, 1024)
         tn = _pallas_tile(n, 1024)
         kw = _pallas_tile(w, 128)
