@@ -185,14 +185,28 @@ def _containment(counts: jax.Array, a: jax.Array, b: jax.Array, bits_f: float):
     return jnp.minimum(c / denom, 1.0)
 
 
+# Measured production-tile rates (pairs-computed/s) per tile edge on a
+# v5e: fused Pallas unpack+matmul + collision correction + routed
+# extraction, 32-iteration in-jit timing (benchmarks/screen_tile_probe
+# .py, 2026-08-19). Bigger tiles raise MXU utilization but pad the
+# corpus to a coarser multiple; _screen_block_for trades the two off.
+_SCREEN_TILE_RATE = {
+    1024: 650e6,
+    2048: 1073e6,
+    4096: 1245e6,
+    8192: 1270e6,
+}
+
+
 def _screen_block_for(n: int) -> int:
-    """Tile edge for the single-device sweeps. Bigger tiles amortize
-    the per-tile extraction and dispatch costs AND raise the matmul's
-    own MXU utilization (v5e, int8 fused unpack+dot: 52% of peak at a
-    4096 tile -> 74% XLA / 84% Pallas at 8192 —
-    benchmarks/screen_tile_probe.py), while `min(. , next_pow2(n))`
-    keeps padding waste bounded for small corpora. CPU keeps 1024
-    (cache-sized). GALAH_TPU_SCREEN_BLOCK overrides."""
+    """Tile edge for the single-device sweeps: the edge minimizing the
+    sweep's modeled device time — triangle tile count at that edge
+    times pairs per tile, divided by the measured per-edge production
+    tile rate (_SCREEN_TILE_RATE). Padding waste is thereby priced
+    against MXU utilization: ~10k-genome corpora pick 2048 (a single
+    8192 block would compute 4x the real pairs), 100k picks 4096, 300k
+    picks 8192. CPU keeps 1024 (cache-sized). GALAH_TPU_SCREEN_BLOCK
+    overrides."""
     import os
 
     env = os.environ.get("GALAH_TPU_SCREEN_BLOCK")
@@ -200,8 +214,16 @@ def _screen_block_for(n: int) -> int:
         return int(env)
     if jax.default_backend() in ("cpu",):
         return 1024
-    pow2 = 1 << max(0, int(n - 1)).bit_length()
-    return min(8192, max(1024, pow2))
+    best, best_cost = 1024, float("inf")
+    for b, rate in _SCREEN_TILE_RATE.items():
+        t = max(1, -(-n // b))
+        computed = t * (t + 1) / 2 * b * b
+        cost = computed / rate
+        # Strict < prefers the SMALLER edge on ties; near-ties go to
+        # the larger edge (fewer dispatches) via a 2% tolerance.
+        if cost < best_cost * 0.98:
+            best, best_cost = b, cost
+    return best
 
 
 def _screen_cap_for(block: int) -> int:
