@@ -212,6 +212,184 @@ def _bitmap_from_buckets(buckets: jax.Array, words: int) -> jax.Array:
     )
 
 
+@partial(jax.jit, static_argnames=("words",), donate_argnums=(0,))
+def _pool_fill_buckets(pool, buckets2d, rows, words: int):
+    """Scatter B genomes' distinct bucket lists into pool rows.
+
+    buckets2d (B, M) int32 — padding slots carry words*32 (out of
+    range, dropped); rows (B,) int32 — padding entries point at the
+    trash row. Distinct buckets set distinct bits, so add == or:
+    bit-identical to the host packing."""
+    b = buckets2d.shape[0]
+    word_idx = buckets2d >> 5
+    val = jnp.uint32(1) << (buckets2d & 31).astype(jnp.uint32)
+    bm = (
+        jnp.zeros((b, words), jnp.uint32)
+        .at[jnp.arange(b, dtype=jnp.int32)[:, None], word_idx]
+        .add(val, mode="drop")
+    )
+    return pool.at[rows].set(bm)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _pool_fill_dense(pool, dense, rows):
+    return pool.at[rows].set(dense)
+
+
+@partial(jax.jit, static_argnames=("extra",), donate_argnums=(0,))
+def _pool_grow(pool, extra: int):
+    return jnp.concatenate(
+        [pool, jnp.zeros((extra, pool.shape[1]), jnp.uint32)]
+    )
+
+
+@jax.jit
+def _pool_stack(pool, rows):
+    return jnp.take(pool, rows, axis=0)
+
+
+class _BitmapPool:
+    """Fixed-shape device-side member-bitmap cache.
+
+    One (C, W) uint32 device array holds up to C genomes' member
+    bitmaps as rows; a host-side LRU maps genome key -> row. Row 0 is
+    the fill trash row (padding writes land there), row 1 stays
+    all-zero (stack padding). Fills batch every missing genome of a
+    request into pow2-bucketed (B, M) uploads and ONE jitted scatter
+    per shape bucket; per-dispatch ref stacks are ONE row gather.
+
+    Why not per-genome cached (W,) arrays assembled with jnp.stack: a
+    stack with N operands is a DISTINCT XLA program per N — the counts
+    vary with the corpus, so through the axon relay every verify run
+    recompiled them (202s of a 209s cold 256-genome run was compiles,
+    benchmarks/verify_phase_probe.py). Every program the pool executes
+    has a pow2-bucketed static shape, so the persistent compile cache
+    holds across runs AND corpora.
+    """
+
+    RESERVED = 2
+
+    def __init__(self, words: int, device, capacity: int, hard_cap: int):
+        from collections import OrderedDict
+
+        self.words = words
+        self.device = device
+        self.capacity = capacity
+        self.hard_cap = max(hard_cap, capacity)
+        self._rows: "OrderedDict[object, int]" = OrderedDict()
+        self._next = self.RESERVED
+        self._popc = np.zeros(self.RESERVED + capacity, np.float32)
+        with _placed(device):
+            self._pool = jnp.zeros(
+                (self.RESERVED + capacity, words), jnp.uint32
+            )
+
+    def _grow_to(self, new_cap: int) -> None:
+        extra = new_cap - self.capacity
+        with _placed(self.device):
+            self._pool = _pool_grow(self._pool, extra=extra)
+        self._popc = np.concatenate(
+            [self._popc, np.zeros(extra, np.float32)]
+        )
+        self.capacity = new_cap
+
+    def _row_for(self, key) -> int:
+        if self._next < self.RESERVED + self.capacity:
+            r = self._next
+            self._next += 1
+        else:
+            _, r = self._rows.popitem(last=False)  # LRU evict
+        self._rows[key] = r
+        return r
+
+    def ensure(self, keys, sketches) -> None:
+        """Make every (key, sketch) resident; one request's keys are
+        guaranteed to coexist (the pool grows past hard_cap if a single
+        request demands it)."""
+        missing: List[Tuple] = []
+        seen = set()
+        for k, s in zip(keys, sketches):
+            if k in seen:
+                continue
+            seen.add(k)
+            if k in self._rows:
+                self._rows.move_to_end(k)
+            else:
+                missing.append((k, s))
+        if not missing:
+            return
+        # Grow geometrically up to hard_cap (amortized; bounded program
+        # count), and unconditionally to fit a single oversized request
+        # — eviction below then never touches this request's keys,
+        # because present ones were just moved to the LRU tail and the
+        # missing ones are inserted behind them.
+        want = min(
+            max(len(self._rows) + len(missing), self.capacity),
+            max(self.hard_cap, len(seen)),
+        )
+        if want > self.capacity:
+            self._grow_to(1 << (want - 1).bit_length())
+
+        mode = _bitmap_upload_mode()
+        groups: dict = {}
+        for k, s in missing:
+            r = self._row_for(k)
+            self._popc[r] = float(s.member_popcount)
+            mb = s.member_buckets
+            mpad = max(1 << 12, 1 << (max(len(mb), 1) - 1).bit_length())
+            dense = mode == "dense" or (mode == "auto" and mpad >= self.words)
+            groups.setdefault((dense, 0 if dense else mpad), []).append(
+                (s, r)
+            )
+        for (dense, mpad), items in groups.items():
+            # Bound one upload to ~64MB.
+            step = max(8, (64 << 20) // (((mpad or self.words)) * 4))
+            for lo in range(0, len(items), step):
+                chunk = items[lo : lo + step]
+                bpad = max(8, 1 << (len(chunk) - 1).bit_length())
+                rows = np.zeros(bpad, np.int32)  # padding -> trash row 0
+                rows[: len(chunk)] = [r for _, r in chunk]
+                with _placed(self.device):
+                    if dense:
+                        buf = np.zeros((bpad, self.words), np.uint32)
+                        for i, (s, _) in enumerate(chunk):
+                            buf[i] = s.member_bitmap_words()
+                        self._pool = _pool_fill_dense(
+                            self._pool,
+                            jax.device_put(buf, self.device),
+                            jax.device_put(rows, self.device),
+                        )
+                    else:
+                        buf = np.full(
+                            (bpad, mpad), self.words * 32, np.int32
+                        )
+                        for i, (s, _) in enumerate(chunk):
+                            mb = s.member_buckets
+                            buf[i, : len(mb)] = mb
+                        self._pool = _pool_fill_buckets(
+                            self._pool,
+                            jax.device_put(buf, self.device),
+                            jax.device_put(rows, self.device),
+                            words=self.words,
+                        )
+
+    def stack(self, keys, gpad: int) -> Tuple[jax.Array, np.ndarray]:
+        """(gpad, W) uint32 bitmap stack + (gpad,) f32 popcounts for
+        `keys` (must be resident); padding rows are zero bitmaps."""
+        rows = np.ones(gpad, np.int32)  # padding -> zero row 1
+        pc = np.zeros(gpad, np.float32)
+        for i, k in enumerate(keys):
+            r = self._rows[k]
+            self._rows.move_to_end(k)
+            rows[i] = r
+            pc[i] = self._popc[r]
+        with _placed(self.device):
+            bm = _pool_stack(
+                self._pool, jax.device_put(rows, self.device)
+            )
+        return bm, pc
+
+
 def _bitmap_upload_mode() -> str:
     """How member bitmaps reach the device:
 
@@ -361,14 +539,12 @@ class FragmentAniEngine:
         from collections import OrderedDict
 
         self.cfg = cfg
-        self._bitmap_cache: "OrderedDict[object, Tuple[jax.Array, float]]" = (
-            OrderedDict()
-        )
+        self._pools: dict = {}  # device id -> _BitmapPool
         self._query_cache: "OrderedDict[object, Tuple]" = OrderedDict()
         self._table_cache: "OrderedDict[object, Tuple]" = OrderedDict()
 
     def clear(self) -> None:
-        self._bitmap_cache.clear()
+        self._pools.clear()
         self._query_cache.clear()
         self._table_cache.clear()
 
@@ -381,32 +557,28 @@ class FragmentAniEngine:
         describes is per-device."""
         return per_device_cap * max(1, len(verify_devices()))
 
-    def _bitmap(self, key, sk: NativeSketch, device=None) -> Tuple[jax.Array, float]:
-        key = (key, device.id if device is not None else -1)
-        if key in self._bitmap_cache:
-            self._bitmap_cache.move_to_end(key)
-        else:
-            # device_put(x, None) is uncommitted placement on the
-            # default device, same as jnp.asarray.
-            words = self.cfg.member_bits // 32
-            mb = sk.member_buckets
-            # Pow2-bucketed pad bounds the scatter's compile shapes.
-            mpad = max(1 << 12, 1 << (max(len(mb), 1) - 1).bit_length())
-            mode = _bitmap_upload_mode()
-            if mode == "buckets" or (mode == "auto" and mpad < words):
-                padded = np.full(mpad, self.cfg.member_bits, dtype=np.int32)
-                padded[: len(mb)] = mb
-                with _placed(device):
-                    bm = _bitmap_from_buckets(
-                        jax.device_put(padded, device), words
-                    )
-            else:
-                bm = jax.device_put(sk.member_bitmap_words(), device)
-            self._bitmap_cache[key] = (bm, float(sk.member_popcount))
-            cap = self._lru_cap(self.cfg.max_cached_bitmaps)
-            while len(self._bitmap_cache) > cap:
-                self._bitmap_cache.popitem(last=False)
-        return self._bitmap_cache[key]
+    def _pool(self, device) -> _BitmapPool:
+        did = device.id if device is not None else -1
+        pool = self._pools.get(did)
+        if pool is None:
+            pool = _BitmapPool(
+                self.cfg.member_bits // 32,
+                device,
+                capacity=64,
+                hard_cap=self.cfg.max_cached_bitmaps,
+            )
+            self._pools[did] = pool
+        return pool
+
+    def bitmap_stack(
+        self, keys, sketches, gpad: int, device=None
+    ) -> Tuple[jax.Array, np.ndarray]:
+        """(gpad, W) uint32 member-bitmap stack + (gpad,) f32 popcounts
+        for `keys`, from the per-device fixed-shape pool (padding rows
+        are zero bitmaps / zero popcounts)."""
+        pool = self._pool(device)
+        pool.ensure(keys, sketches)
+        return pool.stack(list(keys), gpad)
 
     def _ref_table(self, keys, chunk, rpad, device=None):
         """Bit-transposed table (and popcounts) for one ref group,
@@ -424,12 +596,8 @@ class FragmentAniEngine:
         )
         while len(self._table_cache) >= cap:
             self._table_cache.popitem(last=False)
-        pairs_bm = [self._bitmap(k_, s, device) for k_, s in zip(keys, chunk)]
+        bm, pc = self.bitmap_stack(list(keys), list(chunk), rpad, device)
         with _placed(device):
-            bm = jnp.zeros((rpad, W), dtype=jnp.uint32)
-            bm = bm.at[: len(chunk)].set(jnp.stack([b for b, _ in pairs_bm]))
-            pc = jnp.zeros((rpad,), dtype=jnp.float32)
-            pc = pc.at[: len(chunk)].set(jnp.asarray([p for _, p in pairs_bm]))
             table = _bit_transpose_table(bm)
         self._table_cache[ck] = (table, pc)
         return self._table_cache[ck]
@@ -521,23 +689,12 @@ class FragmentAniEngine:
                     )
                 out.append((ani, af, len(chunk)))
                 continue
-            pairs_bm = [
-                self._bitmap(k_, s, device) for k_, s in zip(keys, chunk)
-            ]
             # Bucket the ref-count axis to powers of two (floor 8) so
             # the kernel compiles for a handful of shapes, not every
             # chunk length.
             rpad = max(8, 1 << (len(chunk) - 1).bit_length())
-            W = cfg.member_bits // 32
+            bm, pc = self.bitmap_stack(list(keys), list(chunk), rpad, device)
             with placed:
-                bm = jnp.zeros((rpad, W), dtype=jnp.uint32)
-                bm = bm.at[: len(chunk)].set(
-                    jnp.stack([b for b, _ in pairs_bm])
-                )
-                pc = jnp.zeros((rpad,), dtype=jnp.float32)
-                pc = pc.at[: len(chunk)].set(
-                    jnp.asarray([p for _, p in pairs_bm])
-                )
                 ani, af = _forward_kernel(
                     bm,
                     pc,
