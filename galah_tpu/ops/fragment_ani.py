@@ -762,7 +762,7 @@ class FragmentAniEngine:
                     min_fragment_identity=cfg.min_fragment_identity,
                     max_bitmaps=max_bitmaps,
                 ),
-                self._bitmap,
+                self.bitmap_stack,
             )
         return self._pair_table_verifier
 

@@ -219,11 +219,12 @@ def _pair_table_kernel(
 class PairTableVerifier:
     """Host-side batcher for the pair-table kernel."""
 
-    def __init__(self, cfg: PairTableConfig, bitmap_fn) -> None:
-        """bitmap_fn(key, sketch, device=None) -> (device bitmap (W,),
-        popcount)."""
+    def __init__(self, cfg: PairTableConfig, bitmap_stack_fn) -> None:
+        """bitmap_stack_fn(keys, sketches, gpad, device=None) ->
+        ((gpad, W) uint32 device bitmap stack, (gpad,) f32 host
+        popcounts); padding rows are zero bitmaps."""
         self.cfg = cfg
-        self._bitmap_fn = bitmap_fn
+        self._bitmap_stack_fn = bitmap_stack_fn
 
     def run(
         self,
@@ -306,7 +307,6 @@ class PairTableVerifier:
 
     def _dispatch(self, batch: List[Tuple], sketches_by_key: Dict, device=None):
         cfg = self.cfg
-        W = cfg.member_bits // 32
 
         # unique sources in batch order
         src_order: List = []
@@ -355,20 +355,13 @@ class PairTableVerifier:
             if t not in tgt_row:
                 tgt_row[t] = len(tgt_order)
                 tgt_order.append(t)
-        bms = [
-            self._bitmap_fn(t, sketches_by_key[t], device) for t in tgt_order
-        ]
         G = cfg.max_bitmaps
         from galah_tpu.ops.fragment_ani import _placed
 
         placed = _placed(device)
-        with placed:
-            bitmaps = jnp.zeros((G, W), dtype=jnp.uint32)
-            bitmaps = bitmaps.at[: len(bms)].set(
-                jnp.stack([b for b, _ in bms])
-            )
-        popcounts = np.zeros(G, dtype=np.float32)
-        popcounts[: len(bms)] = [p for _, p in bms]
+        bitmaps, popcounts = self._bitmap_stack_fn(
+            tgt_order, [sketches_by_key[t] for t in tgt_order], G, device
+        )
 
         # per-pair descriptors
         P = cfg.max_pairs

@@ -124,7 +124,7 @@ def test_pair_table_splits_batches(monkeypatch):
                 max_unique_frags=1 << 7,
                 max_bitmaps=4,
             ),
-            eng._bitmap,
+            eng.bitmap_stack,
         )
         # within-family directed pairs
         directed = []
@@ -367,7 +367,7 @@ def test_ustream_bucket_boundary(monkeypatch):
                     min_fragment_hashes=params.min_fragment_hashes,
                     min_fragment_identity=0.8,
                 ),
-                eng._bitmap,
+                eng.bitmap_stack,
             )
             out = verifier.run(directed, sketches)
             monkeypatch.setattr(pt, "_shape_bucket", orig)

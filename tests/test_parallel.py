@@ -277,7 +277,7 @@ def test_verify_multidevice_matches_single(tmp_path, monkeypatch):
             min_fragment_hashes=ctx.params.min_fragment_hashes,
         ))
         res = eng.bidirectional(pairs, by_key)
-        dev_ids = {k[1] for k in eng._bitmap_cache}
+        dev_ids = set(eng._pools)
         return res, dev_ids
 
     single, ids1 = run(1)
@@ -318,10 +318,10 @@ def test_pairtable_multidevice_matches_single(tmp_path, monkeypatch):
                 min_fragment_hashes=ctx.params.min_fragment_hashes,
                 min_fragment_identity=0.8, max_pairs=8,
             ),
-            eng._bitmap,
+            eng.bitmap_stack,
         )
         res = ver.run(directed, by_key)
-        return res, {k[1] for k in eng._bitmap_cache}
+        return res, set(eng._pools)
 
     single, ids1 = run(1)
     multi, ids8 = run(8)
