@@ -645,12 +645,9 @@ def main() -> None:
     if os.environ.get("GALAH_TPU_PLATFORM") == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
-        )
-    except Exception:
-        pass
+    from galah_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
 
     _log(f"backend={jax.default_backend()}")
     init_done.set()

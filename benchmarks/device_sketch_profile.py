@@ -41,6 +41,10 @@ if os.environ.get("GALAH_TPU_PLATFORM") == "cpu":
 import jax
 import jax.numpy as jnp
 
+from galah_tpu.utils.platform import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 from galah_tpu.ops.device_sketch import (
     _lt64,
     _pack_indicator_words,

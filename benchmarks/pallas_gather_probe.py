@@ -28,6 +28,10 @@ import numpy as np  # noqa: E402
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
+
+from galah_tpu.utils.platform import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 from jax.experimental import pallas as pl  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 

@@ -80,6 +80,9 @@ def main() -> None:
     if os.environ.get("GALAH_TPU_PLATFORM") == "cpu":
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
+    from galah_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
 
     from galah_tpu.ops.packed_matmul import _unpack_bitmajor
     from galah_tpu.ops.prefilter import (

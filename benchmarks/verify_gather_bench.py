@@ -31,6 +31,10 @@ if os.environ.get("GALAH_TPU_PLATFORM") == "cpu":
 import jax
 import jax.numpy as jnp
 
+from galah_tpu.utils.platform import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 SMALL = bool(os.environ.get("GALAH_BENCH_SMALL"))
 R = 8 if SMALL else 64
 MEMBER_BITS = 1 << (16 if SMALL else 22)

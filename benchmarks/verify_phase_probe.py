@@ -65,6 +65,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from galah_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")

@@ -32,6 +32,9 @@ def main() -> None:
     if os.environ.get("GALAH_TPU_PLATFORM") == "cpu":
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
+    from galah_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
 
     from galah_tpu.ops.fragment_ani import (
         _bit_transpose_table,

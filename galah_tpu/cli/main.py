@@ -56,21 +56,9 @@ def main(argv=None) -> int:
     # Persistent XLA compilation cache: repeat runs with the same shape
     # buckets skip recompilation entirely (minutes per program on some
     # TPU setups). Disable with GALAH_TPU_NO_COMPILE_CACHE=1.
-    if not os.environ.get("GALAH_TPU_NO_COMPILE_CACHE"):
-        cache_dir = os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR",
-            os.path.join(
-                os.path.expanduser("~"), ".cache", "galah_tpu", "jax"
-            ),
-        )
-        try:
-            os.makedirs(cache_dir, exist_ok=True)
-            import jax
+    from galah_tpu.utils.platform import enable_compile_cache
 
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        except Exception:
-            pass
+    enable_compile_cache()
 
     parser = build_parser()
     args = parser.parse_args(argv)
