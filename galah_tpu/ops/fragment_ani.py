@@ -219,7 +219,13 @@ def _pool_fill_buckets(pool, buckets2d, rows, words: int):
     buckets2d (B, M) int32 — padding slots carry words*32 (out of
     range, dropped); rows (B,) int32 — padding entries point at the
     trash row. Distinct buckets set distinct bits, so add == or:
-    bit-identical to the host packing."""
+    bit-identical to the host packing. A (B, 3M) uint8 buckets2d is
+    the packed 24-bit transport (exact device decode; see
+    ops/pair_table.py::_pack24)."""
+    if buckets2d.dtype == jnp.uint8:
+        from galah_tpu.ops.pair_table import _unpack24
+
+        buckets2d = _unpack24(buckets2d)
     b = buckets2d.shape[0]
     word_idx = buckets2d >> 5
     val = jnp.uint32(1) << (buckets2d & 31).astype(jnp.uint32)
@@ -236,8 +242,10 @@ def _pool_fill_dense(pool, dense, rows):
     return pool.at[rows].set(dense)
 
 
-@partial(jax.jit, static_argnames=("extra",), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("extra",))
 def _pool_grow(pool, extra: int):
+    # No donation: the output shape differs from the input, so the
+    # buffer could never be reused and XLA warns on every grow.
     return jnp.concatenate(
         [pool, jnp.zeros((extra, pool.shape[1]), jnp.uint32)]
     )
@@ -366,6 +374,18 @@ class _BitmapPool:
                         for i, (s, _) in enumerate(chunk):
                             mb = s.member_buckets
                             buf[i, : len(mb)] = mb
+                        from galah_tpu.ops.pair_table import (
+                            _pack24,
+                            _stream_packing_enabled,
+                        )
+
+                        if (
+                            self.words * 32 < (1 << 24)
+                            and _stream_packing_enabled()
+                        ):
+                            # words*32 (= member_bits, the padding
+                            # sentinel) must itself fit in 24 bits.
+                            buf = _pack24(buf)
                         self._pool = _pool_fill_buckets(
                             self._pool,
                             jax.device_put(buf, self.device),
@@ -618,8 +638,23 @@ class FragmentAniEngine:
             buckets[:n] = sk.frag_buckets
             offsets = np.full(fpad + 1, n, dtype=np.int32)
             offsets[: f + 1] = sk.frag_offsets
+            from galah_tpu.ops.pair_table import (
+                _pack24,
+                _stream_packing_enabled,
+                _unpack24_jit,
+            )
+
+            if self.cfg.member_bits < (1 << 24) and _stream_packing_enabled():
+                # Ship 3 bytes per bucket over the relay; decode once
+                # on device so every consumer still sees int32.
+                with _placed(device):
+                    buckets_dev = _unpack24_jit(
+                        jax.device_put(_pack24(buckets), device)
+                    )
+            else:
+                buckets_dev = jax.device_put(buckets, device)
             self._query_cache[key] = (
-                jax.device_put(buckets, device),
+                buckets_dev,
                 jax.device_put(offsets, device),
                 jax.device_put(np.int32(n), device),
                 fpad,

@@ -64,6 +64,35 @@ def _shape_bucket(n: int, floor: int, cap: int) -> int:
     return min(b, cap)
 
 
+def _pack24(a: np.ndarray) -> np.ndarray:
+    """Pack non-negative int32 values < 2^24 into 3 bytes each.
+
+    Verify is upload-bound through the remote TPU relay; bucket
+    indices only need log2(member_bits) bits, so the int32 transport
+    wastes 25% of the wire for the default 2^22-bit member space. The
+    device decode (reshape + 3 shifts) is exact, so results are
+    bit-identical to the int32 path."""
+    flat = np.ascontiguousarray(a, dtype="<u4").reshape(-1)
+    return (
+        flat.view(np.uint8).reshape(-1, 4)[:, :3].reshape(a.shape[:-1] + (-1,))
+    ).copy()
+
+
+def _unpack24(packed):
+    """Device-side inverse of _pack24: (..., 3*M) uint8 -> (..., M) int32."""
+    b3 = packed.reshape(packed.shape[:-1] + (-1, 3)).astype(jnp.int32)
+    return b3[..., 0] | (b3[..., 1] << 8) | (b3[..., 2] << 16)
+
+
+_unpack24_jit = jax.jit(_unpack24)
+
+
+def _stream_packing_enabled() -> bool:
+    import os
+
+    return os.environ.get("GALAH_TPU_STREAM_PACK", "1") != "0"
+
+
 def _fast_cumsum(x):
     """Inclusive prefix sum of a long 1D array via a 2D hierarchical
     scan. XLA's TPU cumsum over one long axis is slow (a 2^21 int32
@@ -107,6 +136,8 @@ def _pair_table_kernel(
     min_ident: float,
 ):
     """Returns (ani_pct (P,), af (P,)) for the directed pairs."""
+    if ustream.dtype == jnp.uint8:
+        ustream = _unpack24(ustream)
     U = ustream.shape[0]
     UF = ufrag_offsets.shape[0] - 1
     P = pair_src_start.shape[0]
@@ -333,8 +364,13 @@ class PairTableVerifier:
             uh += len(sk.frag_buckets)
             uf += sk.n_fragments
 
-        # uint16 stream transport when bucket indices fit (small-contig
-        # configs): halves the dominant host->device upload.
+        # Narrow stream transport when bucket indices fit: uint16
+        # (small-contig configs) or packed 24-bit (default 2^22 member
+        # space) — verify is upload-bound over the remote relay, and
+        # the device decode is exact.
+        pack24 = (1 << 16) < cfg.member_bits < (1 << 24) and (
+            _stream_packing_enabled()
+        )
         stream_dtype = np.uint16 if cfg.member_bits <= (1 << 16) else np.int32
         # Upload only the filled prefix, pow4-bucketed: everything past
         # uh/uf feeds masked lanes only (valid_h/valid_f), so the kernel
@@ -344,6 +380,8 @@ class PairTableVerifier:
         ustream = np.zeros(ubkt, dtype=stream_dtype)
         if uh:
             ustream[:uh] = np.concatenate(ustream_parts).astype(stream_dtype)
+        if pack24:
+            ustream = _pack24(ustream)
         ufrag_offsets = np.full(fbkt + 1, uh, dtype=np.int32)
         uoff = np.concatenate(uoff_parts)
         ufrag_offsets[: len(uoff)] = uoff

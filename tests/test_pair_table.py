@@ -413,3 +413,45 @@ def test_bitmap_bucket_upload_parity(monkeypatch):
             )
     for verify in ("grouped", "pairtable"):
         assert res[("dense", verify)] == res[("buckets", verify)]
+
+
+def test_stream_pack24_roundtrip():
+    """_pack24/_unpack24 are exact inverses over the full 24-bit range."""
+    import jax.numpy as jnp
+
+    from galah_tpu.ops.pair_table import _pack24, _unpack24
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 1 << 24, size=4096, dtype=np.int64).astype(np.int32)
+    vals[:4] = [0, 1, (1 << 24) - 1, (1 << 22)]
+    got = np.asarray(_unpack24(jnp.asarray(_pack24(vals))))
+    assert np.array_equal(got, vals)
+    # 2D shape (pool bucket fills)
+    vals2 = vals.reshape(64, 64)
+    got2 = np.asarray(_unpack24(jnp.asarray(_pack24(vals2))))
+    assert np.array_equal(got2, vals2)
+
+
+def test_stream_pack24_engine_parity(monkeypatch):
+    """Packed 24-bit transport is bit-identical to the int32 path for
+    both verify kernels (the default 2^22 member space routes through
+    it; GALAH_TPU_STREAM_PACK=0 restores int32 uploads)."""
+    params = NativeSketchParams()
+    assert (1 << 16) < params.member_bits < (1 << 24)
+    paths = [
+        data("abisko4/73.20120800_S1X.13.fna"),
+        data("abisko4/73.20120600_S2D.19.fna"),
+        data("set1/500kb.fna"),
+    ]
+    sketches = {p: sketch_file_native(p, params) for p in paths}
+    pairs = [(paths[0], paths[1]), (paths[0], paths[2])]
+    res = {}
+    for pack in ("0", "1"):
+        monkeypatch.setenv("GALAH_TPU_STREAM_PACK", pack)
+        for verify in ("grouped", "pairtable"):
+            monkeypatch.setenv("GALAH_TPU_VERIFY", verify)
+            res[(pack, verify)] = _engine(params).bidirectional(
+                pairs, sketches
+            )
+    for verify in ("grouped", "pairtable"):
+        assert res[("0", verify)] == res[("1", verify)]
