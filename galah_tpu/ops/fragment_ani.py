@@ -785,10 +785,12 @@ class FragmentAniEngine:
             )
 
             cfg = self.cfg
-            # Size the bitmap-stack capacity to a ~64MB device budget so
-            # small-bitmap (contig) runs fit many more pairs per dispatch.
+            # Size the bitmap-stack capacity to a ~256MB device budget
+            # so the raised flat cap (not the bitmap count) binds
+            # pairs/dispatch for medium genomes; small-bitmap (contig)
+            # runs fit many more pairs per dispatch either way.
             bitmap_bytes = cfg.member_bits // 8
-            max_bitmaps = max(64, min(1024, (64 << 20) // bitmap_bytes))
+            max_bitmaps = max(64, min(1024, (256 << 20) // bitmap_bytes))
             self._pair_table_verifier = PairTableVerifier(
                 PairTableConfig(
                     member_bits=cfg.member_bits,

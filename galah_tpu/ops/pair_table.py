@@ -40,11 +40,15 @@ class PairTableConfig:
     k: int
     min_fragment_hashes: int
     min_fragment_identity: float
-    # Fixed dispatch capacities (single compiled shape):
-    max_flat_hashes: int = 1 << 21      # flat (pair-duplicated) hash slots
+    # Dispatch capacities (pow4-bucketed compiled shapes; the caps are
+    # the largest bucket). The flat cap dominates pairs/dispatch for
+    # medium genomes: 2^23 packs ~134 directed 500kb-genome pairs per
+    # dispatch (62.5k hashes each), amortizing the ~25ms relay latency;
+    # 2^23 x ~10 int32 temporaries = ~320MB HBM peak per dispatch.
+    max_flat_hashes: int = 1 << 23      # flat (pair-duplicated) hash slots
     max_flat_frags: int = 1 << 16       # flat fragment slots
     max_pairs: int = 1 << 12            # directed pairs per dispatch
-    max_unique_hashes: int = 1 << 21    # concatenated unique stream slots
+    max_unique_hashes: int = 1 << 22    # concatenated unique stream slots
     max_unique_frags: int = 1 << 16
     max_bitmaps: int = 256              # distinct target bitmaps
 
@@ -393,7 +397,13 @@ class PairTableVerifier:
             if t not in tgt_row:
                 tgt_row[t] = len(tgt_order)
                 tgt_order.append(t)
-        G = cfg.max_bitmaps
+        # Pow2-bucketed stack height: a full dispatch at the default
+        # member space would gather a 256MB cap-sized stack even for a
+        # 2-target batch; the kernel reads G from the operand shape.
+        G = min(
+            max(8, 1 << (max(len(tgt_order), 1) - 1).bit_length()),
+            cfg.max_bitmaps,
+        )
         from galah_tpu.ops.fragment_ani import _placed
 
         placed = _placed(device)
@@ -435,8 +445,14 @@ class PairTableVerifier:
                 jnp.asarray(pair_ref),
                 jnp.int32(fh),
                 jnp.int32(ff),
-                flatn=cfg.max_flat_hashes,
-                flatf=cfg.max_flat_frags,
+                # The flat (pair-duplicated) domain is pow4-bucketed
+                # like the unique buffers: positions past fh/ff feed
+                # masked lanes only, so results are bit-identical at
+                # any domain >= the fill, small dispatches don't pay
+                # the full cap's iota/cumsum work, and raising the cap
+                # costs partially-filled dispatches nothing.
+                flatn=_shape_bucket(fh, 1 << 15, cfg.max_flat_hashes),
+                flatf=_shape_bucket(ff, 1 << 10, cfg.max_flat_frags),
                 bits=cfg.member_bits,
                 k=cfg.k,
                 min_hashes=cfg.min_fragment_hashes,
