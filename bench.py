@@ -42,6 +42,67 @@ def _log(msg: str) -> None:
     print(f"bench: {msg}", file=sys.stderr, flush=True)
 
 
+# --- per-kernel drift guard -------------------------------------------------
+# Round 3's close artifact carried an unremarked 3.4x pair-table hit (a
+# bench-conditions artifact, but nothing would have caught a real one
+# either). Every kernel bench records its rate here; at the end each is
+# compared against the checked-in expected-rate table
+# (benchmarks/expected_rates.json, measured on the v5e) and any >1.5x
+# deviation prints a loud DRIFT line on stderr.
+
+_MEASURED: dict = {}
+
+
+def _record(name: str, value: float) -> float:
+    _MEASURED[name] = value
+    return value
+
+
+def check_drift(measured: dict, table: dict, log=_log) -> list:
+    """Compare measured rates against the expected-rate table; returns
+    the list of drifted metric names (and logs a DRIFT line for each).
+    Table entries: {name: {"expect": rate, "factor": tolerance}};
+    default tolerance factor 1.5 (flagged when measured < expect/f or
+    > expect*f — an unexplained jump UP usually means the bench stopped
+    measuring what it thinks it measures)."""
+    drifted = []
+    for name, spec in table.items():
+        if name.startswith("_") or name not in measured:
+            continue
+        expect = float(spec["expect"])
+        factor = float(spec.get("factor", 1.5))
+        got = measured[name]
+        if got <= 0 or expect <= 0:
+            continue
+        ratio = got / expect
+        if ratio > factor or ratio < 1.0 / factor:
+            drifted.append(name)
+            log(
+                f"DRIFT: {name} measured {got:.3g} vs expected "
+                f"{expect:.3g} ({ratio:.2f}x, tolerance {factor:.2g}x) "
+                "— investigate, then update "
+                "benchmarks/expected_rates.json"
+            )
+    return drifted
+
+
+def _check_drift_from_file() -> None:
+    import json as _json
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks",
+        "expected_rates.json",
+    )
+    try:
+        with open(path) as f:
+            table = _json.load(f)
+    except OSError:
+        return
+    if not check_drift(_MEASURED, table):
+        _log("drift check: all kernels within tolerance")
+
+
 def _small() -> bool:
     """GALAH_BENCH_SMALL=1 shrinks shapes for CPU smoke tests."""
     return bool(os.environ.get("GALAH_BENCH_SMALL"))
@@ -142,7 +203,7 @@ def bench_screen_matmul(jax, jnp, dtname=None):
         jax, jnp, screen, lambda xs, bit: xs.at[0, 0].set(bit.astype(dtype))
     )
     dt = _time_reps(run, x, f"screen[{dtname}]")
-    pairs_per_s = N * (N - 1) / 2 / dt
+    pairs_per_s = _record(f"screen_matmul_{dtname}", N * (N - 1) / 2 / dt)
     _log(
         f"screen_matmul[{dtname}]: {pairs_per_s/1e6:.1f}M pairs/s "
         f"({dt*1e3:.0f}ms/sweep)"
@@ -208,7 +269,7 @@ def bench_screen_production(jax, jnp):
         lambda xx, bit: xx.at[0, 0].set(bit.astype(jnp.uint32)),
     )
     dt = _time_reps(run, x, "screen_production") / len(tiles)
-    pairs_per_s = BLOCK * BLOCK / dt
+    pairs_per_s = _record("screen_production", BLOCK * BLOCK / dt)
     _log(
         f"screen_production[{dtn},block={BLOCK}]: "
         f"{pairs_per_s/1e6:.1f}M pairs/s "
@@ -244,7 +305,7 @@ def bench_screen_popcount(jax, jnp):
         lambda xs, bit: xs.at[0, 0].set(bit.astype(jnp.uint32)),
     )
     dt = _time_reps(run, x, "popcount")
-    pairs_per_s = N * N / dt  # full square (kernel computes all tiles)
+    pairs_per_s = _record("screen_popcount", N * N / dt)  # full square
     _log(
         f"screen_popcount: {pairs_per_s/1e6:.1f}M pairs/s "
         f"({dt*1e3:.0f}ms/sweep, full-square)"
@@ -311,7 +372,7 @@ def bench_verify_grouped(jax, jnp):
     dt = _time_reps_args(
         run, (buckets, bitmaps, popcounts, offsets), "verify"
     )
-    pairs_per_s = R / dt
+    pairs_per_s = _record("verify_grouped", R / dt)
     hashes_per_s = R * NHASH / dt
     _log(
         f"verify_grouped: {pairs_per_s:.0f} directed-pairs/s at "
@@ -375,7 +436,7 @@ def bench_verify_grouped_bt(jax, jnp):
     dt = _time_reps_args(
         run, (buckets, table, popcounts, offsets), "verify_bt"
     )
-    pairs_per_s = R / dt
+    pairs_per_s = _record("verify_grouped_bt", R / dt)
     hashes_per_s = R * NHASH / dt
     _log(
         f"verify_grouped_bt: {pairs_per_s:.0f} directed-pairs/s at "
@@ -432,9 +493,19 @@ def bench_verify_pairtable(jax, jnp):
         jnp2.asarray(pair_ref), jnp2.int32(n_flat), jnp2.int32(n_flat_frags),
     ]
 
+    # The PRODUCTION domain shapes for this fill (shared formula) — the
+    # bench must measure exactly what a real dispatch compiles.
+    # BENCH_r03's "3.4x pair-table regression" was this bench passing
+    # the (newly raised, 2^23) cap while production bucketed the domain
+    # to the 2^21 fill: the bench paid 4x the iota/cumsum work of any
+    # dispatch production ever issues. Not a kernel regression.
+    from galah_tpu.ops.pair_table import flat_domain_shapes
+
+    flatn, flatf = flat_domain_shapes(n_flat, n_flat_frags, cfg)
+
     def body(us):
         ani, af = _pair_table_kernel(
-            us, *args[1:], flatn=cfg.max_flat_hashes, flatf=cfg.max_flat_frags,
+            us, *args[1:], flatn=flatn, flatf=flatf,
             bits=cfg.member_bits, k=cfg.k,
             min_hashes=cfg.min_fragment_hashes,
             min_ident=cfg.min_fragment_identity,
@@ -448,7 +519,7 @@ def bench_verify_pairtable(jax, jnp):
         ),
     )
     dt = _time_reps(run, args[0], "pairtable")
-    pairs_per_s = P / dt
+    pairs_per_s = _record("verify_pairtable", P / dt)
     _log(
         f"verify_pairtable: {pairs_per_s/1e3:.1f}K directed-pairs/s "
         f"(contig shape, {dt*1e3:.0f}ms/dispatch)"
@@ -536,7 +607,7 @@ def bench_device_sketch(jax, jnp):
         lambda c, bit: c.at[0, 0].set(bit.astype(jnp.uint8)),
     )
     dt = _time_reps(run, codes, "device_sketch")
-    bases_per_s = G * P / dt
+    bases_per_s = _record("device_sketch", G * P / dt)
     _log(
         f"device_sketch[{'routed' if routed else 'scatter'}]: "
         f"{bases_per_s/1e6:.0f}M bases/s "
@@ -603,7 +674,7 @@ def bench_e2e(jax, jnp):
         phase_str = " ".join(
             f"{k}={v:.1f}s" for k, v in sorted(phases.items())
         )
-        rate = genomes * (genomes - 1) / 2 / wall
+        rate = _record("e2e_pairs_per_s", genomes * (genomes - 1) / 2 / wall)
         _log(
             f"e2e: {genomes}x{length//1000}kb derep {wall:.1f}s wall "
             f"({rate/1e3:.1f}K pairs/s e2e; gen {gen_s:.1f}s; "
@@ -683,6 +754,11 @@ def main() -> None:
                 fn(jax, jnp)
             except Exception as e:  # extras never break the headline
                 _log(f"{name} bench failed: {e!r}")
+
+    # Drift guard: expected rates are v5e measurements, so the check
+    # only runs at full shapes on an accelerator backend.
+    if not _small() and jax.default_backend() not in ("cpu",):
+        _check_drift_from_file()
 
     baseline_pairs_per_s = 1e6  # 32-core skani triangle, documented estimate
     print(

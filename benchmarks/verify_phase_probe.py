@@ -2,10 +2,13 @@
 
 The round-3 2048-genome scale run spends 68.9s of 94.0s in verify,
 while the pair-table kernel's measured rate says the device work is
-well under a second. Hypothesis: the phase is dominated by per-genome
-`_bitmap` builds (one ~25ms relay dispatch per genome in buckets mode,
-galah_tpu/ops/fragment_ani.py::FragmentAniEngine._bitmap) and by the
-varying-operand `jnp.stack` programs in PairTableVerifier._dispatch.
+well under a second. Hypothesis (validated; the fix became the pooled
+design): the phase was dominated by per-genome bitmap builds — one
+~25ms relay dispatch per genome in buckets mode, now batched into the
+fixed-shape per-device pool (FragmentAniEngine.bitmap_stack /
+ops/fragment_ani.py::_BitmapPool) — and by the varying-operand
+`jnp.stack` programs in PairTableVerifier._dispatch, now one pooled
+row gather.
 
 This probe times three back-to-back `bidirectional` runs over the SAME
 pair list with synthetic 500kb-genome-shaped sketches (62.5k member

@@ -213,21 +213,26 @@ def _bitmap_from_buckets(buckets: jax.Array, words: int) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("words",), donate_argnums=(0,))
-def _pool_fill_buckets(pool, buckets2d, rows, words: int):
+def _pool_fill_buckets(pool, buckets2d, rows, counts, words: int):
     """Scatter B genomes' distinct bucket lists into pool rows.
 
-    buckets2d (B, M) int32 — padding slots carry words*32 (out of
-    range, dropped); rows (B,) int32 — padding entries point at the
-    trash row. Distinct buckets set distinct bits, so add == or:
-    bit-identical to the host packing. A (B, 3M) uint8 buckets2d is
-    the packed 24-bit transport (exact device decode; see
-    ops/pair_table.py::_pack24)."""
+    buckets2d (B, M): int32, uint16 (narrow transport for member_bits
+    <= 2^16) or (B, 3M) uint8 (packed 24-bit transport, exact device
+    decode — ops/pair_table.py::_pack24). counts (B,) int32 masks each
+    row's padding tail (zero-filled on the wire; masked slots scatter
+    out of range and drop). rows (B,) int32 — padding entries point at
+    the trash row. Distinct buckets set distinct bits, so add == or:
+    bit-identical to the host packing."""
     if buckets2d.dtype == jnp.uint8:
         from galah_tpu.ops.pair_table import _unpack24
 
         buckets2d = _unpack24(buckets2d)
-    b = buckets2d.shape[0]
-    word_idx = buckets2d >> 5
+    elif buckets2d.dtype != jnp.int32:
+        buckets2d = buckets2d.astype(jnp.int32)
+    b, m = buckets2d.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, m), 1)
+    valid = col < counts[:, None]
+    word_idx = jnp.where(valid, buckets2d >> 5, words)  # OOB -> dropped
     val = jnp.uint32(1) << (buckets2d & 31).astype(jnp.uint32)
     bm = (
         jnp.zeros((b, words), jnp.uint32)
@@ -338,6 +343,24 @@ class _BitmapPool:
         if want > self.capacity:
             self._grow_to(1 << (want - 1).bit_length())
 
+        from galah_tpu.ops.pair_table import (
+            _pack24,
+            _stream_packing_enabled,
+        )
+
+        # Bytes per bucket index on the wire: uint16 for member spaces
+        # <= 2^16, packed 24-bit below 2^24, int32 above. The dense
+        # cutover compares ACTUAL wire bytes (bucket_bytes * mpad vs
+        # 4 * words), so enabling stream packing widens the range where
+        # the buckets upload stays the smaller one.
+        if not _stream_packing_enabled():
+            bucket_bytes = 4
+        elif self.words * 32 <= (1 << 16):
+            bucket_bytes = 2
+        elif self.words * 32 < (1 << 24):
+            bucket_bytes = 3
+        else:
+            bucket_bytes = 4
         mode = _bitmap_upload_mode()
         groups: dict = {}
         for k, s in missing:
@@ -345,7 +368,9 @@ class _BitmapPool:
             self._popc[r] = float(s.member_popcount)
             mb = s.member_buckets
             mpad = max(1 << 12, 1 << (max(len(mb), 1) - 1).bit_length())
-            dense = mode == "dense" or (mode == "auto" and mpad >= self.words)
+            dense = mode == "dense" or (
+                mode == "auto" and mpad * bucket_bytes >= self.words * 4
+            )
             groups.setdefault((dense, 0 if dense else mpad), []).append(
                 (s, r)
             )
@@ -368,28 +393,21 @@ class _BitmapPool:
                             jax.device_put(rows, self.device),
                         )
                     else:
-                        buf = np.full(
-                            (bpad, mpad), self.words * 32, np.int32
-                        )
+                        counts = np.zeros(bpad, np.int32)
+                        buf = np.zeros((bpad, mpad), np.int32)
                         for i, (s, _) in enumerate(chunk):
                             mb = s.member_buckets
                             buf[i, : len(mb)] = mb
-                        from galah_tpu.ops.pair_table import (
-                            _pack24,
-                            _stream_packing_enabled,
-                        )
-
-                        if (
-                            self.words * 32 < (1 << 24)
-                            and _stream_packing_enabled()
-                        ):
-                            # words*32 (= member_bits, the padding
-                            # sentinel) must itself fit in 24 bits.
+                            counts[i] = len(mb)
+                        if bucket_bytes == 2:
+                            buf = buf.astype(np.uint16)
+                        elif bucket_bytes == 3:
                             buf = _pack24(buf)
                         self._pool = _pool_fill_buckets(
                             self._pool,
                             jax.device_put(buf, self.device),
                             jax.device_put(rows, self.device),
+                            jax.device_put(counts, self.device),
                             words=self.words,
                         )
 
@@ -642,9 +660,18 @@ class FragmentAniEngine:
                 _pack24,
                 _stream_packing_enabled,
                 _unpack24_jit,
+                _widen_u16_jit,
             )
 
-            if self.cfg.member_bits < (1 << 24) and _stream_packing_enabled():
+            if self.cfg.member_bits <= (1 << 16) and _stream_packing_enabled():
+                # uint16 transport (2 bytes/bucket — 33% smaller than
+                # pack24) fits whenever the member space does; padding
+                # slots are zeros and the kernel masks them by n.
+                with _placed(device):
+                    buckets_dev = _widen_u16_jit(
+                        jax.device_put(buckets.astype(np.uint16), device)
+                    )
+            elif self.cfg.member_bits < (1 << 24) and _stream_packing_enabled():
                 # Ship 3 bytes per bucket over the relay; decode once
                 # on device so every consumer still sees int32.
                 with _placed(device):

@@ -60,12 +60,62 @@ def _shape_bucket(n: int, floor: int, cap: int) -> int:
     dispatch uploaded the full 8MB ustream even when <15% was filled —
     on a remote-tunnel TPU the verify stage is upload-bound and that
     padding WAS the wall. Pow4 buckets bound the compile-shape count at
-    4 per buffer (remote compiles cost minutes each) while capping pad
+    ~5 per buffer (remote compiles cost minutes each) while capping pad
     waste at 4x; full dispatches still hit the cap shape."""
     b = floor
     while b < n:
         b <<= 2
     return min(b, cap)
+
+
+def _bucket_level(n: int, floor: int) -> int:
+    """Pow4 bucket level: smallest L with floor << 2L >= n."""
+    lvl = 0
+    b = floor
+    while b < n:
+        b <<= 2
+        lvl += 1
+    return lvl
+
+
+def flat_domain_shapes(fh: int, ff: int, cfg: "PairTableConfig"):
+    """(flatn, flatf) compiled-domain shapes for a dispatch with fh
+    filled flat hash slots and ff filled flat fragment slots.
+
+    The hash and fragment domains share ONE pow4 size level (the max
+    the two fills need) instead of bucketing independently: the
+    fragment domain is <= 2^16 everywhere — its cumsums are negligible
+    next to the hash domain's — so coupling costs ~nothing while
+    cutting the compiled-shape product from #hash_buckets x
+    #frag_buckets to #levels (remote-relay compiles cost minutes per
+    program, so mixed-size corpora otherwise pay a large cold bill).
+    Shared with bench.py so the bench always measures the exact domain
+    production dispatches (BENCH_r03's 3.4x 'pair-table regression' was
+    the bench passing the RAISED cap while production bucketed to the
+    fill)."""
+    lvl = max(
+        _bucket_level(fh, 1 << 15),
+        _bucket_level(ff, 1 << 10),
+    )
+    return (
+        min((1 << 15) << (2 * lvl), cfg.max_flat_hashes),
+        min((1 << 10) << (2 * lvl), cfg.max_flat_frags),
+    )
+
+
+def unique_domain_shapes(uh: int, uf: int, cfg: "PairTableConfig"):
+    """(ubkt, fbkt) upload-buffer shapes for uh unique hash slots and
+    uf unique fragment slots; one shared pow4 level, as in
+    flat_domain_shapes (the fragment offsets buffer is <= 256KB — its
+    padding is free next to the MB-scale ustream)."""
+    lvl = max(
+        _bucket_level(uh, 1 << 15),
+        _bucket_level(uf, 1 << 10),
+    )
+    return (
+        min((1 << 15) << (2 * lvl), cfg.max_unique_hashes),
+        min((1 << 10) << (2 * lvl), cfg.max_unique_frags),
+    )
 
 
 def _pack24(a: np.ndarray) -> np.ndarray:
@@ -89,6 +139,10 @@ def _unpack24(packed):
 
 
 _unpack24_jit = jax.jit(_unpack24)
+
+# uint16 -> int32 widen for the narrow stream transport (member spaces
+# <= 2^16): decode once on device so every consumer sees int32.
+_widen_u16_jit = jax.jit(lambda x: x.astype(jnp.int32))
 
 
 def _stream_packing_enabled() -> bool:
@@ -379,8 +433,7 @@ class PairTableVerifier:
         # Upload only the filled prefix, pow4-bucketed: everything past
         # uh/uf feeds masked lanes only (valid_h/valid_f), so the kernel
         # result is bit-identical at any buffer length >= the fill.
-        ubkt = _shape_bucket(uh, 1 << 15, cfg.max_unique_hashes)
-        fbkt = _shape_bucket(uf, 1 << 10, cfg.max_unique_frags)
+        ubkt, fbkt = unique_domain_shapes(uh, uf, cfg)
         ustream = np.zeros(ubkt, dtype=stream_dtype)
         if uh:
             ustream[:uh] = np.concatenate(ustream_parts).astype(stream_dtype)
@@ -397,13 +450,12 @@ class PairTableVerifier:
             if t not in tgt_row:
                 tgt_row[t] = len(tgt_order)
                 tgt_order.append(t)
-        # Pow2-bucketed stack height: a full dispatch at the default
+        # Pow4-bucketed stack height: a full dispatch at the default
         # member space would gather a 256MB cap-sized stack even for a
         # 2-target batch; the kernel reads G from the operand shape.
-        G = min(
-            max(8, 1 << (max(len(tgt_order), 1) - 1).bit_length()),
-            cfg.max_bitmaps,
-        )
+        # Pow4 (not pow2) keeps the compiled-shape product bounded
+        # (the gather overshoot is an on-device HBM pass, cheap).
+        G = min(_shape_bucket(len(tgt_order), 8, cfg.max_bitmaps), cfg.max_bitmaps)
         from galah_tpu.ops.fragment_ani import _placed
 
         placed = _placed(device)
@@ -432,6 +484,12 @@ class PairTableVerifier:
         flat_start[len(batch):] = fh
         fragflat_start[len(batch):] = ff
 
+        # The flat (pair-duplicated) domain is pow4-bucketed like the
+        # unique buffers: positions past fh/ff feed masked lanes only,
+        # so results are bit-identical at any domain >= the fill, small
+        # dispatches don't pay the full cap's iota/cumsum work, and
+        # raising the cap costs partially-filled dispatches nothing.
+        flatn, flatf = flat_domain_shapes(fh, ff, cfg)
         with placed:
             ani, af = _pair_table_kernel(
                 jnp.asarray(ustream),
@@ -445,14 +503,8 @@ class PairTableVerifier:
                 jnp.asarray(pair_ref),
                 jnp.int32(fh),
                 jnp.int32(ff),
-                # The flat (pair-duplicated) domain is pow4-bucketed
-                # like the unique buffers: positions past fh/ff feed
-                # masked lanes only, so results are bit-identical at
-                # any domain >= the fill, small dispatches don't pay
-                # the full cap's iota/cumsum work, and raising the cap
-                # costs partially-filled dispatches nothing.
-                flatn=_shape_bucket(fh, 1 << 15, cfg.max_flat_hashes),
-                flatf=_shape_bucket(ff, 1 << 10, cfg.max_flat_frags),
+                flatn=flatn,
+                flatf=flatf,
                 bits=cfg.member_bits,
                 k=cfg.k,
                 min_hashes=cfg.min_fragment_hashes,

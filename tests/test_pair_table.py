@@ -322,6 +322,46 @@ def test_shape_bucket():
     assert _shape_bucket(100, 1 << 15, 1 << 13) == 1 << 13
 
 
+def test_domain_shapes_share_one_level():
+    """The hash and fragment domains bucket on ONE shared pow4 level
+    (ADVICE round 3: independent bucketing multiplied the compiled-
+    shape space; remote-relay compiles cost minutes each). The shape
+    pair is always >= the fill and the number of distinct pairs over
+    any fill mix is bounded by the level count (5), not the product."""
+    from galah_tpu.ops.pair_table import (
+        PairTableConfig,
+        flat_domain_shapes,
+        unique_domain_shapes,
+    )
+
+    cfg = PairTableConfig(
+        member_bits=1 << 16, k=15, min_fragment_hashes=8,
+        min_fragment_identity=0.8,
+    )
+    seen = set()
+    fills = [0, 1, 100, 1 << 10, 1 << 13, 1 << 15, 1 << 17,
+             (1 << 19) + 3, 1 << 21, 1 << 23]
+    ffills = [0, 7, 1 << 10, 1 << 12, (1 << 14) + 1, 1 << 16]
+    for fh in fills:
+        for ff in ffills:
+            flatn, flatf = flat_domain_shapes(fh, ff, cfg)
+            assert flatn >= min(fh, cfg.max_flat_hashes)
+            assert flatf >= min(ff, cfg.max_flat_frags)
+            assert flatn <= cfg.max_flat_hashes
+            assert flatf <= cfg.max_flat_frags
+            seen.add((flatn, flatf))
+    assert len(seen) <= 5, seen  # one shared level -> <=5 shape pairs
+
+    # same for the unique buffers, and the formulas agree at the floor
+    un = set()
+    for uh in fills:
+        for uf in ffills:
+            if uh > cfg.max_unique_hashes or uf > cfg.max_unique_frags:
+                continue
+            un.add(unique_domain_shapes(uh, uf, cfg))
+    assert len(un) <= 5, un
+
+
 def test_ustream_bucket_boundary(monkeypatch):
     """Fills just above a pow4 shape bucket edge must produce the same
     results as one far below it (the kernel masks everything past the
@@ -352,13 +392,32 @@ def test_ustream_bucket_boundary(monkeypatch):
         eng = _engine(params)
 
         def run_with(floor_shift):
-            # Shrink the bucket floor so the same fill crosses an edge.
+            # Shrink the bucket floors so the same fill crosses an edge.
             import galah_tpu.ops.pair_table as pt
 
-            orig = pt._shape_bucket
+            def shapes_with_floor(fh, ff, cfg, caph, capf):
+                lvl = max(
+                    pt._bucket_level(fh, 1 << floor_shift),
+                    pt._bucket_level(ff, 1 << max(floor_shift - 5, 1)),
+                )
+                return (
+                    min((1 << floor_shift) << (2 * lvl), caph),
+                    min((1 << max(floor_shift - 5, 1)) << (2 * lvl), capf),
+                )
+
+            orig_flat = pt.flat_domain_shapes
+            orig_uniq = pt.unique_domain_shapes
             monkeypatch.setattr(
-                pt, "_shape_bucket",
-                lambda n, floor, cap: orig(n, 1 << floor_shift, cap),
+                pt, "flat_domain_shapes",
+                lambda fh, ff, cfg: shapes_with_floor(
+                    fh, ff, cfg, cfg.max_flat_hashes, cfg.max_flat_frags
+                ),
+            )
+            monkeypatch.setattr(
+                pt, "unique_domain_shapes",
+                lambda uh, uf, cfg: shapes_with_floor(
+                    uh, uf, cfg, cfg.max_unique_hashes, cfg.max_unique_frags
+                ),
             )
             verifier = PairTableVerifier(
                 PairTableConfig(
@@ -370,7 +429,8 @@ def test_ustream_bucket_boundary(monkeypatch):
                 eng.bitmap_stack,
             )
             out = verifier.run(directed, sketches)
-            monkeypatch.setattr(pt, "_shape_bucket", orig)
+            monkeypatch.setattr(pt, "flat_domain_shapes", orig_flat)
+            monkeypatch.setattr(pt, "unique_domain_shapes", orig_uniq)
             return out
 
         tight = run_with(6)    # buffers hug the fill
