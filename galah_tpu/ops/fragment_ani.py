@@ -428,6 +428,313 @@ class _BitmapPool:
         return bm, pc
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _arena_fill(arena, vals2d, dsts, counts):
+    """Scatter B ragged rows into the 1D arena: row b's first counts[b]
+    entries land at arena[dsts[b]:dsts[b]+counts[b]]. vals2d (B, S)
+    int32/uint16 or (B, 3S) uint8 (24-bit transport); masked tail slots
+    scatter out of bounds and drop."""
+    if vals2d.dtype == jnp.uint8:
+        from galah_tpu.ops.pair_table import _unpack24
+
+        vals2d = _unpack24(vals2d)
+    elif vals2d.dtype != jnp.int32:
+        vals2d = vals2d.astype(jnp.int32)
+    b, s = vals2d.shape
+    cap = arena.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
+    idx = jnp.where(col < counts[:, None], dsts[:, None] + col, cap)
+    return arena.at[idx.reshape(-1)].set(
+        vals2d.reshape(-1), mode="drop"
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _arena_adopt(arena, src2d, rows, dsts, counts, base):
+    """Device-to-device arena fill from a batched source array: row
+    rows[b] of src2d, plus per-row constant base[b], lands at
+    arena[dsts[b]:...]. Used to adopt device-born sketch products
+    (fragment streams: base 0; absolute frag offsets: base = the
+    stream's arena offset) with zero host round trip."""
+    vals2d = jnp.take(src2d, rows, axis=0).astype(jnp.int32)
+    b, s = vals2d.shape
+    cap = arena.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
+    idx = jnp.where(col < counts[:, None], dsts[:, None] + col, cap)
+    return arena.at[idx.reshape(-1)].set(
+        (vals2d + base[:, None]).reshape(-1), mode="drop"
+    )
+
+
+class StreamArena:
+    """Persistent per-device arena for pair-table verify streams.
+
+    The pair-table kernel addresses unique source streams through
+    per-pair offset descriptors (pair_src_start / pair_ufrag_start), so
+    the `ustream` / `ufrag_offsets` operands need not be per-dispatch
+    uploads at all: this arena keeps every recently-used genome's
+    fragment stream and (absolute) fragment offsets resident in HBM.
+    A genome's stream is uploaded at most once per residency window —
+    repeat visits by the greedy clusterer (reference
+    src/clusterer.rs:182-259 re-pairs reps across calls) and by later
+    dispatches cost zero transfer — and device-born sketches are
+    adopted with no host round trip at all (`adopt`). This is the
+    device-resident analog of skani's in-process sketch->search handoff
+    (reference src/skani.rs:270-304).
+
+    Allocation is append-only with whole-arena reset when full (the
+    simple policy is safe: one dispatch's unique streams are bounded by
+    PairTableConfig.max_unique_hashes, far below the capacity, so a
+    reset always makes room; a corpus larger than the arena degrades to
+    roughly today's upload-per-dispatch behavior, never worse).
+    """
+
+    def __init__(
+        self,
+        device,
+        hash_capacity: int,
+        frag_capacity: int,
+    ) -> None:
+        self.device = device
+        self.hash_capacity = hash_capacity
+        self.frag_capacity = frag_capacity
+        self._map: dict = {}  # key -> (hash_off, offs_off)
+        self._hash_top = 0
+        self._offs_top = 0
+        with _placed(device):
+            self._hash = jnp.zeros((hash_capacity,), jnp.int32)
+            self._offs = jnp.zeros((frag_capacity,), jnp.int32)
+
+    @property
+    def buffers(self):
+        return self._hash, self._offs
+
+    def reset(self) -> None:
+        self._map.clear()
+        self._hash_top = 0
+        self._offs_top = 0
+
+    def _alloc(self, key, nh: int, nf: int):
+        """Reserve arena space for a stream of nh hashes / nf+1 offset
+        slots; resets the arena when full. Returns (hash_off, offs_off)
+        or None when the stream alone exceeds capacity."""
+        if nh > self.hash_capacity or nf + 1 > self.frag_capacity:
+            return None
+        if (
+            self._hash_top + nh > self.hash_capacity
+            or self._offs_top + nf + 1 > self.frag_capacity
+        ):
+            logger.info(
+                "stream arena full (%d/%d hashes); resetting",
+                self._hash_top, self.hash_capacity,
+            )
+            self.reset()
+        span = (self._hash_top, self._offs_top)
+        self._map[key] = span
+        self._hash_top += nh
+        self._offs_top += nf + 1
+        return span
+
+    def ensure(self, keys, sketches_by_key) -> dict:
+        """Make every key's stream resident (host-upload path); returns
+        {key: (hash_off, offs_off)}. Keys whose streams don't fit the
+        arena at all are absent from the result (callers fall back to
+        a per-dispatch upload). Uploads are batched by pow2 shape
+        buckets with the narrow transports (uint16 / packed 24-bit)."""
+        missing = []
+        for k in dict.fromkeys(keys):
+            if k in self._map:
+                continue
+            sk = sketches_by_key[k]
+            missing.append((k, sk))
+        # Allocate first (a reset mid-request must not orphan earlier
+        # fills of the same request: allocate everything, THEN check
+        # every span of this request survived, retrying once after a
+        # fresh reset if not).
+        for attempt in (0, 1):
+            for k, sk in missing:
+                if k not in self._map:
+                    self._alloc(k, len(sk.frag_buckets), sk.n_fragments)
+            alive = all(
+                k in self._map
+                for k, sk in missing
+                if len(sk.frag_buckets) <= self.hash_capacity
+                and sk.n_fragments + 1 <= self.frag_capacity
+            )
+            if alive:
+                break
+            self.reset()
+        self._fill_host(
+            [(k, sk) for k, sk in missing if k in self._map]
+        )
+        return {k: self._map[k] for k in keys if k in self._map}
+
+    def _transport(self, member_bits_hint: int):
+        from galah_tpu.ops.pair_table import _stream_packing_enabled
+
+        if not _stream_packing_enabled():
+            return "i32"
+        if member_bits_hint <= (1 << 16):
+            return "u16"
+        if member_bits_hint < (1 << 24):
+            return "p24"
+        return "i32"
+
+    def _fill_host(self, items) -> None:
+        if not items:
+            return
+        import numpy as _np
+
+        from galah_tpu.ops.pair_table import _pack24
+
+        # Group stream uploads by pow2 length bucket; offsets likewise.
+        groups: dict = {}
+        ogroups: dict = {}
+        for k, sk in items:
+            h_off, o_off = self._map[k]
+            nh = len(sk.frag_buckets)
+            nf = sk.n_fragments
+            spad = max(1 << 9, 1 << max(nh - 1, 1).bit_length())
+            fpad = max(1 << 7, 1 << max(nf, 1).bit_length())
+            groups.setdefault(spad, []).append((sk, h_off, nh))
+            ogroups.setdefault(fpad, []).append((sk, o_off, h_off, nf))
+        # Transport decided by the sketch params (int32 when unknown).
+        any_sk = items[0][1]
+        bits_hint = (
+            any_sk.params.member_bits
+            if any_sk.params is not None
+            else (1 << 24)
+        )
+        tname = self._transport(bits_hint)
+        for spad, rows in groups.items():
+            step = max(8, (64 << 20) // (spad * 4))
+            for lo in range(0, len(rows), step):
+                chunk = rows[lo : lo + step]
+                bpad = max(8, 1 << (len(chunk) - 1).bit_length())
+                buf = _np.zeros((bpad, spad), _np.int32)
+                dsts = _np.full(bpad, self.hash_capacity, _np.int32)
+                counts = _np.zeros(bpad, _np.int32)
+                for i, (sk, h_off, nh) in enumerate(chunk):
+                    buf[i, :nh] = sk.frag_buckets
+                    dsts[i] = h_off
+                    counts[i] = nh
+                if tname == "u16":
+                    wire = buf.astype(_np.uint16)
+                elif tname == "p24":
+                    wire = _pack24(buf)
+                else:
+                    wire = buf
+                with _placed(self.device):
+                    self._hash = _arena_fill(
+                        self._hash,
+                        jax.device_put(wire, self.device),
+                        jax.device_put(dsts, self.device),
+                        jax.device_put(counts, self.device),
+                    )
+        for fpad, rows in ogroups.items():
+            step = max(8, (64 << 20) // ((fpad + 1) * 4))
+            for lo in range(0, len(rows), step):
+                chunk = rows[lo : lo + step]
+                bpad = max(8, 1 << (len(chunk) - 1).bit_length())
+                buf = _np.zeros((bpad, fpad + 1), _np.int32)
+                dsts = _np.full(bpad, self.frag_capacity, _np.int32)
+                counts = _np.zeros(bpad, _np.int32)
+                for i, (sk, o_off, h_off, nf) in enumerate(chunk):
+                    # Absolute offsets: within-stream + arena position,
+                    # so the kernel's base arithmetic is unchanged.
+                    buf[i, : nf + 1] = (
+                        sk.frag_offsets.astype(_np.int64) + h_off
+                    ).astype(_np.int32)
+                    dsts[i] = o_off
+                    counts[i] = nf + 1
+                with _placed(self.device):
+                    self._offs = _arena_fill(
+                        self._offs,
+                        jax.device_put(buf, self.device),
+                        jax.device_put(dsts, self.device),
+                        jax.device_put(counts, self.device),
+                    )
+
+    def adopt(
+        self, keys, flat_dev, offsets_dev, rows, n_unique, n_frags
+    ) -> None:
+        """Adopt device-born sketch products: keys[i]'s stream is row
+        rows[i] of flat_dev (G, SEL) with n_unique[i] valid entries and
+        offsets row rows[i] of offsets_dev (G, F+1) with n_frags[i]+1
+        valid slots. Zero host round trip; entries already resident are
+        skipped."""
+        import numpy as _np
+
+        todo = [
+            i for i, k in enumerate(keys)
+            if k not in self._map
+        ]
+        if not todo:
+            return
+        for attempt in (0, 1):
+            for i in todo:
+                if keys[i] not in self._map:
+                    self._alloc(keys[i], int(n_unique[i]), int(n_frags[i]))
+            if all(
+                keys[i] in self._map for i in todo
+                if int(n_unique[i]) <= self.hash_capacity
+                and int(n_frags[i]) + 1 <= self.frag_capacity
+            ):
+                break
+            self.reset()
+        live = [i for i in todo if keys[i] in self._map]
+        if not live:
+            return
+        step = 1024
+        for lo in range(0, len(live), step):
+            chunk = live[lo : lo + step]
+            bpad = max(8, 1 << (len(chunk) - 1).bit_length())
+            src_rows = _np.zeros(bpad, _np.int32)
+            h_dsts = _np.full(bpad, self.hash_capacity, _np.int32)
+            o_dsts = _np.full(bpad, self.frag_capacity, _np.int32)
+            h_counts = _np.zeros(bpad, _np.int32)
+            o_counts = _np.zeros(bpad, _np.int32)
+            base = _np.zeros(bpad, _np.int32)
+            for b, i in enumerate(chunk):
+                h_off, o_off = self._map[keys[i]]
+                src_rows[b] = rows[i]
+                h_dsts[b] = h_off
+                o_dsts[b] = o_off
+                h_counts[b] = int(n_unique[i])
+                o_counts[b] = int(n_frags[i]) + 1
+                base[b] = h_off
+            with _placed(self.device):
+                put = lambda a: jax.device_put(a, self.device)
+                self._hash = _arena_adopt(
+                    self._hash, flat_dev, put(src_rows), put(h_dsts),
+                    put(h_counts), put(_np.zeros(bpad, _np.int32)),
+                )
+                self._offs = _arena_adopt(
+                    self._offs, offsets_dev, put(src_rows), put(o_dsts),
+                    put(o_counts), put(base),
+                )
+
+    def spans(self, keys):
+        """{key: (hash_off, offs_off)} for resident keys only."""
+        return {k: self._map[k] for k in keys if k in self._map}
+
+
+def _arena_capacities():
+    """(hash_capacity, frag_capacity) defaults: 2^26 int32 (256MB) on
+    accelerators — holds ~1000 MAG-scale streams or ~100k small-contig
+    streams — and 2^22 on CPU (tests; host RAM). Env:
+    GALAH_TPU_ARENA_HASHES / GALAH_TPU_ARENA_FRAGS."""
+    import os
+
+    hc = os.environ.get("GALAH_TPU_ARENA_HASHES")
+    fc = os.environ.get("GALAH_TPU_ARENA_FRAGS")
+    if jax.default_backend() in ("cpu",):
+        dh, df = 1 << 22, 1 << 18
+    else:
+        dh, df = 1 << 26, 1 << 22
+    return (int(hc) if hc else dh, int(fc) if fc else df)
+
+
 def _bitmap_upload_mode() -> str:
     """How member bitmaps reach the device:
 
@@ -578,13 +885,24 @@ class FragmentAniEngine:
 
         self.cfg = cfg
         self._pools: dict = {}  # device id -> _BitmapPool
+        self._arenas: dict = {}  # device id -> StreamArena
         self._query_cache: "OrderedDict[object, Tuple]" = OrderedDict()
         self._table_cache: "OrderedDict[object, Tuple]" = OrderedDict()
 
     def clear(self) -> None:
         self._pools.clear()
+        self._arenas.clear()
         self._query_cache.clear()
         self._table_cache.clear()
+
+    def stream_arena(self, device) -> "StreamArena":
+        did = device.id if device is not None else -1
+        arena = self._arenas.get(did)
+        if arena is None:
+            hc, fc = _arena_capacities()
+            arena = StreamArena(device, hc, fc)
+            self._arenas[did] = arena
+        return arena
 
     def _verify_devices(self):
         return verify_devices()
@@ -827,6 +1145,7 @@ class FragmentAniEngine:
                     max_bitmaps=max_bitmaps,
                 ),
                 self.bitmap_stack,
+                arena_fn=self.stream_arena,
             )
         return self._pair_table_verifier
 

@@ -305,15 +305,33 @@ def _pair_table_kernel(
     return ani, af
 
 
+def _arena_enabled() -> bool:
+    """Whether pair-table dispatches read unique streams from the
+    persistent device arena (ops/fragment_ani.py::StreamArena) instead
+    of re-uploading them per dispatch. GALAH_TPU_ARENA=0 restores the
+    per-dispatch upload (bit-identical; the kernel is unchanged)."""
+    import os
+
+    return os.environ.get("GALAH_TPU_ARENA", "1") != "0"
+
+
 class PairTableVerifier:
     """Host-side batcher for the pair-table kernel."""
 
-    def __init__(self, cfg: PairTableConfig, bitmap_stack_fn) -> None:
+    def __init__(
+        self, cfg: PairTableConfig, bitmap_stack_fn, arena_fn=None
+    ) -> None:
         """bitmap_stack_fn(keys, sketches, gpad, device=None) ->
         ((gpad, W) uint32 device bitmap stack, (gpad,) f32 host
-        popcounts); padding rows are zero bitmaps."""
+        popcounts); padding rows are zero bitmaps.
+        arena_fn(device) -> StreamArena (optional): when provided (and
+        GALAH_TPU_ARENA != 0), unique source streams are read from the
+        persistent per-device arena — uploaded at most once per genome
+        per residency window, or adopted device-to-device from the
+        device sketcher — instead of once per dispatch."""
         self.cfg = cfg
         self._bitmap_stack_fn = bitmap_stack_fn
+        self._arena_fn = arena_fn
 
     def run(
         self,
@@ -405,43 +423,65 @@ class PairTableVerifier:
                 src_order.append(s)
                 sk = sketches_by_key[s]
                 src_info[s] = sk
-        ustream_parts = []
-        uoff_parts = [np.zeros(1, dtype=np.int32)]
-        src_start: Dict = {}
-        src_ufrag_start: Dict = {}
-        uh = 0
-        uf = 0
-        for s in src_order:
-            sk = src_info[s]
-            src_start[s] = uh
-            src_ufrag_start[s] = uf
-            ustream_parts.append(sk.frag_buckets.astype(np.int32))
-            uoff_parts.append(
-                (sk.frag_offsets[1:] + uh).astype(np.int32)
-            )
-            uh += len(sk.frag_buckets)
-            uf += sk.n_fragments
 
-        # Narrow stream transport when bucket indices fit: uint16
-        # (small-contig configs) or packed 24-bit (default 2^22 member
-        # space) — verify is upload-bound over the remote relay, and
-        # the device decode is exact.
-        pack24 = (1 << 16) < cfg.member_bits < (1 << 24) and (
-            _stream_packing_enabled()
-        )
-        stream_dtype = np.uint16 if cfg.member_bits <= (1 << 16) else np.int32
-        # Upload only the filled prefix, pow4-bucketed: everything past
-        # uh/uf feeds masked lanes only (valid_h/valid_f), so the kernel
-        # result is bit-identical at any buffer length >= the fill.
-        ubkt, fbkt = unique_domain_shapes(uh, uf, cfg)
-        ustream = np.zeros(ubkt, dtype=stream_dtype)
-        if uh:
-            ustream[:uh] = np.concatenate(ustream_parts).astype(stream_dtype)
-        if pack24:
-            ustream = _pack24(ustream)
-        ufrag_offsets = np.full(fbkt + 1, uh, dtype=np.int32)
-        uoff = np.concatenate(uoff_parts)
-        ufrag_offsets[: len(uoff)] = uoff
+        # Stream placement: persistent device arena (default — each
+        # stream is resident once per window, dispatches upload only
+        # the tiny pair descriptors) or per-dispatch upload.
+        arena = None
+        spans: Dict = {}
+        if self._arena_fn is not None and _arena_enabled():
+            arena = self._arena_fn(device)
+            spans = arena.ensure(src_order, src_info)
+            if any(s not in spans for s in src_order):
+                arena, spans = None, {}  # oversized stream: upload path
+
+        if arena is not None:
+            src_start = {s: spans[s][0] for s in src_order}
+            src_ufrag_start = {s: spans[s][1] for s in src_order}
+            ustream_dev, ufrag_dev = arena.buffers
+        else:
+            uoff_parts = [np.zeros(1, dtype=np.int32)]
+            ustream_parts = []
+            src_start = {}
+            src_ufrag_start = {}
+            uh = 0
+            uf = 0
+            for s in src_order:
+                sk = src_info[s]
+                src_start[s] = uh
+                src_ufrag_start[s] = uf
+                ustream_parts.append(sk.frag_buckets.astype(np.int32))
+                uoff_parts.append(
+                    (sk.frag_offsets[1:] + uh).astype(np.int32)
+                )
+                uh += len(sk.frag_buckets)
+                uf += sk.n_fragments
+
+            # Narrow stream transport when bucket indices fit: uint16
+            # (small-contig configs) or packed 24-bit (default 2^22
+            # member space) — verify is upload-bound over the remote
+            # relay, and the device decode is exact.
+            pack24 = (1 << 16) < cfg.member_bits < (1 << 24) and (
+                _stream_packing_enabled()
+            )
+            stream_dtype = (
+                np.uint16 if cfg.member_bits <= (1 << 16) else np.int32
+            )
+            # Upload only the filled prefix, pow4-bucketed: everything
+            # past uh/uf feeds masked lanes only (valid_h/valid_f), so
+            # the kernel result is bit-identical at any buffer length
+            # >= the fill.
+            ubkt, fbkt = unique_domain_shapes(uh, uf, cfg)
+            ustream = np.zeros(ubkt, dtype=stream_dtype)
+            if uh:
+                ustream[:uh] = np.concatenate(ustream_parts).astype(
+                    stream_dtype
+                )
+            if pack24:
+                ustream = _pack24(ustream)
+            ufrag_offsets = np.full(fbkt + 1, uh, dtype=np.int32)
+            uoff = np.concatenate(uoff_parts)
+            ufrag_offsets[: len(uoff)] = uoff
 
         # distinct bitmaps
         tgt_order: List = []
@@ -490,10 +530,17 @@ class PairTableVerifier:
         # dispatches don't pay the full cap's iota/cumsum work, and
         # raising the cap costs partially-filled dispatches nothing.
         flatn, flatf = flat_domain_shapes(fh, ff, cfg)
+        if arena is not None:
+            with placed:
+                us_op, uo_op = ustream_dev, ufrag_dev
+        else:
+            with placed:
+                us_op = jnp.asarray(ustream)
+                uo_op = jnp.asarray(ufrag_offsets)
         with placed:
             ani, af = _pair_table_kernel(
-                jnp.asarray(ustream),
-                jnp.asarray(ufrag_offsets),
+                us_op,
+                uo_op,
                 bitmaps,
                 jnp.asarray(popcounts),
                 jnp.asarray(pair_src_start),

@@ -515,3 +515,87 @@ def test_stream_pack24_engine_parity(monkeypatch):
             )
     for verify in ("grouped", "pairtable"):
         assert res[("0", verify)] == res[("1", verify)]
+
+
+def _contig_fixture(tmp_path_factory=None):
+    import tempfile
+
+    from galah_tpu.sketch.fracminhash import sketch_contigs_native
+    from galah_tpu.utils.synth import make_contig_corpus
+
+    params = small_genome_params()
+    td = tempfile.mkdtemp(prefix="galah-arena-test-")
+    path = os.path.join(td, "c.fna")
+    names, fams = make_contig_corpus(
+        path, n_families=6, members_per_family=3,
+        contig_length=3000, within_ani=0.97, seed=9,
+    )
+    sketches = {s.name: s for s in sketch_contigs_native(path, params)}
+    directed = []
+    for fam in range(6):
+        mem = [n for n, f in zip(names, fams) if f == fam]
+        for a in mem:
+            for b in mem:
+                if a != b:
+                    directed.append((a, b))
+    return params, sketches, directed
+
+
+def test_arena_matches_upload_path(monkeypatch):
+    """Pair-table results through the persistent stream arena must be
+    bit-identical to the per-dispatch upload path (the kernel is
+    unchanged; only the ustream residency differs)."""
+    params, sketches, directed = _contig_fixture()
+
+    def run(arena: str):
+        monkeypatch.setenv("GALAH_TPU_ARENA", arena)
+        eng = _engine(params)
+        return eng._pair_table().run(directed, sketches)
+
+    with_arena = run("1")
+    without = run("0")
+    assert with_arena == without
+    assert len(with_arena) == len(directed)
+
+
+def test_arena_reset_on_overflow(monkeypatch):
+    """A tiny arena forces whole-arena resets mid-run; results must
+    stay identical (each dispatch re-ensures its own sources after a
+    reset, and in-flight dispatches hold the pre-reset buffers)."""
+    monkeypatch.setenv("GALAH_TPU_ARENA", "1")
+    params, sketches, directed = _contig_fixture()
+    # Size the arena to hold only ~2 streams: every dispatch resets.
+    max_nh = max(len(s.frag_buckets) for s in sketches.values())
+    max_nf = max(s.n_fragments for s in sketches.values())
+    monkeypatch.setenv("GALAH_TPU_ARENA_HASHES", str(2 * max_nh + 8))
+    monkeypatch.setenv("GALAH_TPU_ARENA_FRAGS", str(2 * (max_nf + 1) + 8))
+    tiny = _engine(params)._pair_table().run(directed, sketches)
+    monkeypatch.delenv("GALAH_TPU_ARENA_HASHES")
+    monkeypatch.delenv("GALAH_TPU_ARENA_FRAGS")
+    full = _engine(params)._pair_table().run(directed, sketches)
+    assert tiny == full
+
+
+def test_arena_uploads_each_stream_once(monkeypatch):
+    """Across repeated verifier runs (the greedy clusterer's access
+    pattern), a resident stream must not re-upload: the second run
+    performs no arena fills at all."""
+    monkeypatch.setenv("GALAH_TPU_ARENA", "1")
+    params, sketches, directed = _contig_fixture()
+    eng = _engine(params)
+    verifier = eng._pair_table()
+    first = verifier.run(directed, sketches)
+
+    import galah_tpu.ops.fragment_ani as fa
+
+    calls = []
+    orig = fa._arena_fill
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(fa, "_arena_fill", counting)
+    second = verifier.run(directed, sketches)
+    assert not calls, "resident streams re-uploaded"
+    assert first == second
