@@ -283,6 +283,20 @@ class NativeContext:
             return _LazySketchList(self._store, list(paths))
         return [self._store.get(p) for p in paths]
 
+    def _device_sink(self):
+        """Per-batch adoption callback for device sketching: hands the
+        on-device sketch products straight to the verify caches (bitmap
+        pool + stream arena) so the pipeline never re-uploads what the
+        device just computed. GALAH_TPU_RESIDENT=0 disables adoption
+        (host mirrors then feed every stage, as before)."""
+        if os.environ.get("GALAH_TPU_RESIDENT", "1") == "0":
+            return None
+
+        def sink(names, sketches, dev):
+            self.frag_engine.adopt_batch(names, sketches, dev)
+
+        return sink
+
     def _sketch_local(self, missing: Sequence[str]) -> None:
         if _use_device_sketch():
             # Accelerator sketching (ops/device_sketch.py): bit-identical
@@ -291,7 +305,10 @@ class NativeContext:
             from galah_tpu.ops.device_sketch import device_sketch_files
 
             for p, sk in zip(
-                missing, device_sketch_files(missing, self.params)
+                missing,
+                device_sketch_files(
+                    missing, self.params, sink=self._device_sink()
+                ),
             ):
                 self._store.put(p, sk)
         elif self.threads > 1 and len(missing) > 1:
@@ -326,7 +343,9 @@ class NativeContext:
 
                     for path, sks in zip(
                         missing,
-                        device_sketch_contig_files(missing, self.params),
+                        device_sketch_contig_files(
+                            missing, self.params, sink=self._device_sink()
+                        ),
                     ):
                         self._contig_store[path] = sks
                 else:

@@ -894,6 +894,7 @@ def device_sketch_contig_files(
     params: NativeSketchParams,
     *,
     max_batch_bytes: int = 256 << 20,
+    sink=None,
 ) -> List[List[NativeSketch]]:
     """One sketch per contig, per file, in file order — the device
     analog of sketch_contigs_native for --cluster-contigs (reference
@@ -952,7 +953,13 @@ def device_sketch_contig_files(
             clists = [[recs[pi][ci][1]] for pi, ci in chunk]
             del recs
             try:
-                got_sk = device_sketch_batch(cnames, clists, params)
+                if sink is not None:
+                    got_sk, dev = device_sketch_batch(
+                        cnames, clists, params, return_device=True
+                    )
+                    sink(cnames, got_sk, dev)
+                else:
+                    got_sk = device_sketch_batch(cnames, clists, params)
             except DeviceSketchOverflow:
                 logger.warning(
                     "device sketch overflow for a %d-contig batch; "
@@ -981,6 +988,7 @@ def device_sketch_files(
     params: NativeSketchParams,
     *,
     max_batch_bytes: int = 256 << 20,
+    sink=None,
 ) -> List[NativeSketch]:
     """Sketch whole genome files on device.
 
@@ -1040,7 +1048,16 @@ def device_sketch_files(
             )
             names = [paths[i] for i in chunk]
             try:
-                sketches = device_sketch_batch(names, lists, params)
+                if sink is not None:
+                    sketches, dev = device_sketch_batch(
+                        names, lists, params, return_device=True
+                    )
+                    # Hand the on-device products (bitmaps, streams,
+                    # offsets) to the caller BEFORE any host use so the
+                    # downstream pipeline never re-uploads them.
+                    sink(names, sketches, dev)
+                else:
+                    sketches = device_sketch_batch(names, lists, params)
             except DeviceSketchOverflow:
                 logger.warning(
                     "device sketch overflow for a %d-genome batch; "

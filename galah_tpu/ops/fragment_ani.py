@@ -247,6 +247,15 @@ def _pool_fill_dense(pool, dense, rows):
     return pool.at[rows].set(dense)
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _pool_adopt(pool, src, src_rows, dst_rows):
+    """Device-to-device pool fill: pool[dst_rows[b]] = src[src_rows[b]].
+    Both index arrays are pow2-padded; padding dst entries point at the
+    trash row 0. Adopts device-born member bitmaps with zero host
+    round trip."""
+    return pool.at[dst_rows].set(jnp.take(src, src_rows, axis=0))
+
+
 @partial(jax.jit, static_argnames=("extra",))
 def _pool_grow(pool, extra: int):
     # No donation: the output shape differs from the input, so the
@@ -411,6 +420,43 @@ class _BitmapPool:
                             words=self.words,
                         )
 
+    def adopt(self, keys, src_dev, src_rows, popcounts) -> None:
+        """Make keys resident by copying rows of a device-born (G, W)
+        bitmap array into the pool (no host round trip). popcounts are
+        host floats (known from the host-side sketch mirror)."""
+        todo = []
+        for i, k in enumerate(keys):
+            if k in self._rows:
+                self._rows.move_to_end(k)
+            else:
+                todo.append(i)
+        if not todo:
+            return
+        want = min(
+            max(len(self._rows) + len(todo), self.capacity),
+            max(self.hard_cap, len(todo)),
+        )
+        if want > self.capacity:
+            self._grow_to(1 << (want - 1).bit_length())
+        step = 4096
+        for lo in range(0, len(todo), step):
+            chunk = todo[lo : lo + step]
+            bpad = max(8, 1 << (len(chunk) - 1).bit_length())
+            srows = np.zeros(bpad, np.int32)
+            drows = np.zeros(bpad, np.int32)  # padding -> trash row 0
+            for b, i in enumerate(chunk):
+                r = self._row_for(keys[i])
+                self._popc[r] = float(popcounts[i])
+                srows[b] = src_rows[i]
+                drows[b] = r
+            with _placed(self.device):
+                self._pool = _pool_adopt(
+                    self._pool,
+                    src_dev,
+                    jax.device_put(srows, self.device),
+                    jax.device_put(drows, self.device),
+                )
+
     def stack(self, keys, gpad: int) -> Tuple[jax.Array, np.ndarray]:
         """(gpad, W) uint32 bitmap stack + (gpad,) f32 popcounts for
         `keys` (must be resident); padding rows are zero bitmaps."""
@@ -489,6 +535,13 @@ class StreamArena:
     roughly today's upload-per-dispatch behavior, never worse).
     """
 
+    # Physical buffers carry slack past the logical capacity so the
+    # grouped-path query reads (dynamic_slice at the genome's offset,
+    # size rounded up to the 2^14/2^9 padding buckets) never clamp-
+    # shift near the top of the arena.
+    HASH_SLACK = 1 << 14
+    OFFS_SLACK = (1 << 9) + 1
+
     def __init__(
         self,
         device,
@@ -502,8 +555,12 @@ class StreamArena:
         self._hash_top = 0
         self._offs_top = 0
         with _placed(device):
-            self._hash = jnp.zeros((hash_capacity,), jnp.int32)
-            self._offs = jnp.zeros((frag_capacity,), jnp.int32)
+            self._hash = jnp.zeros(
+                (hash_capacity + self.HASH_SLACK,), jnp.int32
+            )
+            self._offs = jnp.zeros(
+                (frag_capacity + self.OFFS_SLACK,), jnp.int32
+            )
 
     @property
     def buffers(self):
@@ -513,6 +570,10 @@ class StreamArena:
         self._map.clear()
         self._hash_top = 0
         self._offs_top = 0
+
+    def span(self, key):
+        """(hash_off, offs_off) if key is currently resident."""
+        return self._map.get(key)
 
     def _alloc(self, key, nh: int, nf: int):
         """Reserve arena space for a stream of nh hashes / nf+1 offset
@@ -719,6 +780,24 @@ class StreamArena:
         return {k: self._map[k] for k in keys if k in self._map}
 
 
+@partial(jax.jit, static_argnames=("npad", "fpad"))
+def _query_from_arena(hash_arena, offs_arena, h_off, o_off, n, f,
+                      npad: int, fpad: int):
+    """Build one genome's grouped-verify query arrays from its
+    resident arena span (device-to-device; no stream re-upload).
+    Returns ((npad,) int32 buckets zero-masked past n, (fpad+1,) int32
+    stream-relative offsets padded with n) — bit-identical to the host
+    upload path. The arena's physical slack guarantees the dynamic
+    slices never clamp-shift."""
+    b = jax.lax.dynamic_slice(hash_arena, (h_off,), (npad,))
+    idx = jnp.arange(npad, dtype=jnp.int32)
+    b = jnp.where(idx < n, b, 0)
+    o = jax.lax.dynamic_slice(offs_arena, (o_off,), (fpad + 1,))
+    oi = jnp.arange(fpad + 1, dtype=jnp.int32)
+    o = jnp.where(oi <= f, o - h_off, n)
+    return b, o
+
+
 def _arena_capacities():
     """(hash_capacity, frag_capacity) defaults: 2^26 int32 (256MB) on
     accelerators — holds ~1000 MAG-scale streams or ~100k small-contig
@@ -886,14 +965,38 @@ class FragmentAniEngine:
         self.cfg = cfg
         self._pools: dict = {}  # device id -> _BitmapPool
         self._arenas: dict = {}  # device id -> StreamArena
+        self._adopted: set = set()  # keys with device-born products
         self._query_cache: "OrderedDict[object, Tuple]" = OrderedDict()
         self._table_cache: "OrderedDict[object, Tuple]" = OrderedDict()
 
     def clear(self) -> None:
         self._pools.clear()
         self._arenas.clear()
+        self._adopted.clear()
         self._query_cache.clear()
         self._table_cache.clear()
+
+    def adopt_batch(self, keys, sketches, dev) -> None:
+        """Adopt one device-sketch batch's products into the default-
+        device caches with zero host round trip: member bitmaps fill
+        the bitmap pool, fragment streams + absolute offsets fill the
+        stream arena (serving pair-table dispatches directly and
+        grouped-path query arrays lazily via _query_from_arena). The
+        host sketch mirrors remain the fallback everywhere (non-default
+        devices, arena evictions, other processes). This is the
+        device-resident handoff the reference gets for free by running
+        in one process (src/skani.rs:270-304)."""
+        rows = list(range(len(keys)))
+        self._pool(None).adopt(
+            keys, dev["member_words"], rows,
+            [s.member_popcount for s in sketches],
+        )
+        self.stream_arena(None).adopt(
+            keys, dev["flat"], dev["offsets"], rows,
+            [len(s.frag_buckets) for s in sketches],
+            [s.n_fragments for s in sketches],
+        )
+        self._adopted.update(keys)
 
     def stream_arena(self, device) -> "StreamArena":
         did = device.id if device is not None else -1
@@ -959,6 +1062,7 @@ class FragmentAniEngine:
         return self._table_cache[ck]
 
     def _query_arrays(self, key, sk: NativeSketch, device=None):
+        raw_key = key
         key = (key, device.id if device is not None else -1)
         if key in self._query_cache:
             self._query_cache.move_to_end(key)
@@ -970,6 +1074,26 @@ class FragmentAniEngine:
             f = sk.n_fragments
             npad = _round_up(n, 1 << 14)
             fpad = _round_up(f, 1 << 9)
+            if device is None and raw_key in self._adopted:
+                span = self.stream_arena(None).span(raw_key)
+                if span is not None:
+                    # Device-born and still arena-resident: build the
+                    # padded query arrays on device (bit-identical to
+                    # the upload path; tests pin device-sketch parity).
+                    arena = self.stream_arena(None)
+                    h_arena, o_arena = arena.buffers
+                    b_dev, o_dev = _query_from_arena(
+                        h_arena, o_arena,
+                        jnp.int32(span[0]), jnp.int32(span[1]),
+                        jnp.int32(n), jnp.int32(f),
+                        npad=npad, fpad=fpad,
+                    )
+                    self._query_cache[key] = (
+                        b_dev, o_dev,
+                        jax.device_put(np.int32(n), device),
+                        fpad,
+                    )
+                    return self._query_cache[key]
             buckets = np.zeros(npad, dtype=np.int32)
             buckets[:n] = sk.frag_buckets
             offsets = np.full(fpad + 1, n, dtype=np.int32)
