@@ -113,6 +113,45 @@ def _shrink_bits(
     return dataclasses.replace(params, member_bits=member, prefilter_bits=pref)
 
 
+class _PrefRowCache:
+    """Device-resident packed prefilter rows from device sketching.
+
+    Holds references to device-sketch batches' (G, W) pref_words arrays
+    (keyed by unit name) so the screen's resident matrix can be
+    assembled device-to-device instead of re-uploading host-packed
+    rows. FIFO-bounded by bytes: evicted names fall back to the host
+    row (always available)."""
+
+    def __init__(self, budget_bytes: int) -> None:
+        from collections import deque
+
+        self._budget = budget_bytes
+        self._map: Dict[str, Tuple] = {}
+        self._batches: "deque" = deque()
+        self._bytes = 0
+
+    def adopt(self, names: Sequence[str], pref_words) -> None:
+        nb = int(np.prod(pref_words.shape)) * 4
+        if nb > self._budget:
+            return
+        while self._bytes + nb > self._budget and self._batches:
+            old_names, old_arr, old_nb = self._batches.popleft()
+            for i, nm in enumerate(old_names):
+                if self._map.get(nm) == (old_arr, i):
+                    del self._map[nm]
+            self._bytes -= old_nb
+        self._batches.append((list(names), pref_words, nb))
+        self._bytes += nb
+        for i, nm in enumerate(names):
+            self._map[nm] = (pref_words, i)
+
+    def get(self, name: str):
+        return self._map.get(name)
+
+    def __len__(self) -> int:
+        return len(self._map)
+
+
 class NativeContext:
     """Shared state for the native engine: sketch params, sketch store,
     and the device-side fragment-ANI engine."""
@@ -163,6 +202,11 @@ class NativeContext:
         else:
             self._store = _DictStore()
         self._contig_store: Dict[str, List[NativeSketch]] = {}
+        # Device-born packed prefilter rows for the screen (filled by
+        # the device-sketch sink; ~512MB FIFO budget, host fallback).
+        self._pref_cache = _PrefRowCache(
+            int(os.environ.get("GALAH_TPU_PREF_CACHE_BYTES", 512 << 20))
+        )
         self.frag_engine = FragmentAniEngine(
             FragmentAniConfig(
                 k=self.params.k,
@@ -294,8 +338,89 @@ class NativeContext:
 
         def sink(names, sketches, dev):
             self.frag_engine.adopt_batch(names, sketches, dev)
+            self._pref_cache.adopt(names, dev["pref_words"])
 
         return sink
+
+    def pref_matrix_builder(self, sketches: Sequence[NativeSketch],
+                            sizes_f: np.ndarray):
+        """matrix_builder for the resident packed screen: assembles the
+        (n_pad, W) matrix on device from device-born pref rows, with
+        host-packed uploads only for rows the cache lost. Returns None
+        (host assembly) when nothing is device-resident."""
+        if os.environ.get("GALAH_TPU_RESIDENT", "1") == "0":
+            return None
+        keys = [self.key_for(s) for s in sketches]
+        if not any(self._pref_cache.get(k) is not None for k in keys):
+            return None
+        bits = self.params.prefilter_bits
+        w = bits // 32
+
+        def build(n_pad: int):
+            import jax
+            import jax.numpy as jnp
+
+            from galah_tpu.ops.fragment_ani import (
+                _pool_adopt,
+                _pool_fill_dense,
+            )
+            from galah_tpu.ops.popcount_screen import pack_indicator
+
+            x = jnp.zeros((n_pad, w), jnp.uint32)
+            by_batch: Dict[int, List[Tuple[int, int]]] = {}
+            batch_arr: Dict[int, object] = {}
+            missing: List[int] = []
+            for i, key in enumerate(keys):
+                hit = self._pref_cache.get(key)
+                if hit is None:
+                    missing.append(i)
+                else:
+                    arr, row = hit
+                    by_batch.setdefault(id(arr), []).append((i, row))
+                    batch_arr[id(arr)] = arr
+            for bid, items in by_batch.items():
+                step = 8192
+                for lo in range(0, len(items), step):
+                    chunk = items[lo : lo + step]
+                    bpad = max(8, 1 << (len(chunk) - 1).bit_length())
+                    # padding -> duplicate of the first entry (set is
+                    # idempotent for identical rows)
+                    dst = np.full(bpad, chunk[0][0], np.int32)
+                    src = np.full(bpad, chunk[0][1], np.int32)
+                    for b, (i, row) in enumerate(chunk):
+                        dst[b] = i
+                        src[b] = row
+                    x = _pool_adopt(
+                        x, batch_arr[bid], jnp.asarray(src),
+                        jnp.asarray(dst),
+                    )
+            step = max(8, (64 << 20) // (w * 4))
+            for lo in range(0, len(missing), step):
+                chunk = missing[lo : lo + step]
+                bpad = max(8, 1 << (len(chunk) - 1).bit_length())
+                block = np.zeros((bpad, w), np.uint32)
+                dst = np.zeros(bpad, np.int32)
+                for b, i in enumerate(chunk):
+                    block[b] = pack_indicator(
+                        sketches[i].prefilter_buckets, bits
+                    )
+                    dst[b] = i
+                # pow2-pad with duplicates of the first row (identical
+                # content at a duplicate index: order-independent)
+                block[len(chunk):] = block[0]
+                dst[len(chunk):] = dst[0]
+                x = _pool_fill_dense(
+                    x, jax.device_put(block), jax.device_put(dst)
+                )
+            s_all = np.zeros(n_pad, dtype=np.float32)
+            s_all[: len(keys)] = sizes_f
+            logger.info(
+                "Resident screen matrix: %d device-born rows, %d "
+                "host-uploaded", len(keys) - len(missing), len(missing),
+            )
+            return x, jnp.asarray(s_all)
+
+        return build
 
     def _sketch_local(self, missing: Sequence[str]) -> None:
         if _use_device_sketch():
@@ -768,16 +893,26 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
         else:
             # Default: packed uint32 upload, on-device unpack, MXU
             # matmul (32x less host->device transfer than indicators).
+            # Device-born sketch rows assemble the resident matrix
+            # device-to-device (pref_matrix_builder) — zero re-upload.
             from galah_tpu.ops.prefilter import screen_triangle_packed
 
             bits = self.ctx.params.prefilter_bits
+            sizes_arr = np.asarray([s.n_prefilter for s in sketches])
             res = screen_triangle_packed(
                 _LazyPackedRows(sketches, bits),
-                np.asarray([s.n_prefilter for s in sketches]),
+                sizes_arr,
                 k,
                 min_cont,
                 bits,
                 cache_blocks=not self.ctx.low_memory,
+                matrix_builder=(
+                    None
+                    if self.ctx.low_memory
+                    else self.ctx.pref_matrix_builder(
+                        sketches, sizes_arr.astype(np.float32)
+                    )
+                ),
             )
         _dt = _time.perf_counter() - _t0
         m = metrics.current()

@@ -603,11 +603,16 @@ def screen_triangle_packed(
     bits: int,
     block: int = 0,
     cache_blocks: bool = True,
+    matrix_builder=None,
 ) -> ScreenResult:
     """Lower-triangle screen over packed uint32 bitmaps with on-device
     unpacking — the default path: same MXU matmul as screen_triangle at
     1/32nd the host->device transfer. block=0 picks the measured-best
-    tile edge for the backend (_screen_block_for)."""
+    tile edge for the backend (_screen_block_for).
+
+    matrix_builder(n_pad) -> (x_all, s_dev) | None: optional resident-
+    matrix supplier (engines/native.py builds it from device-born
+    sketch rows so the packed matrix never crosses the host link)."""
     n = len(packed)
     if n == 0:
         return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
@@ -641,14 +646,18 @@ def screen_triangle_packed(
     x_all = s_dev = None
     make_block = None
     if use_resident:
-        x_all_np = np.zeros((n_pad, w), dtype=np.uint32)
-        for t in range(n):
-            x_all_np[t] = packed[t]
-        s_all = np.zeros(n_pad, dtype=np.float32)
-        s_all[:n] = sizes_f
-        x_all = jnp.asarray(x_all_np)
-        s_dev = jnp.asarray(s_all)
-        del x_all_np
+        built = matrix_builder(n_pad) if matrix_builder is not None else None
+        if built is not None:
+            x_all, s_dev = built
+        else:
+            x_all_np = np.zeros((n_pad, w), dtype=np.uint32)
+            for t in range(n):
+                x_all_np[t] = packed[t]
+            s_all = np.zeros(n_pad, dtype=np.float32)
+            s_all[:n] = sizes_f
+            x_all = jnp.asarray(x_all_np)
+            s_dev = jnp.asarray(s_all)
+            del x_all_np
     else:
         dev_blocks = {}
 

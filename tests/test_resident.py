@@ -106,3 +106,59 @@ def test_resident_kill_switch(corpus, monkeypatch):
     host = _run(corpus, monkeypatch, device_sketch="0")
     no_adopt = _run(corpus, monkeypatch, device_sketch="1")
     assert no_adopt == host
+
+
+def test_device_born_screen_matrix_no_reupload(corpus, monkeypatch):
+    """Full distances() flow with the packed single-device screen: the
+    resident matrix is assembled from device-born pref rows and the
+    verify caches from adopted products — no host-upload fill runs
+    after sketching, and the sparse cache matches the host path."""
+    def full(device_sketch: str, forbid: bool):
+        monkeypatch.setenv("GALAH_TPU_SCREEN", "packed")
+        monkeypatch.setenv("GALAH_TPU_DEVICE_SKETCH", device_sketch)
+        monkeypatch.setenv("GALAH_TPU_VERIFY_DEVICES", "1")
+        ctx = NativeContext(max_genome_length=30_000)
+        pre = NativePreclusterer(90.0, 0.15, ctx)
+        sketches = ctx.sketch_many(corpus)
+        built = []
+        if forbid:
+            import galah_tpu.ops.fragment_ani as fa
+
+            def boom(name):
+                def fn(*a, **k):
+                    raise AssertionError(f"{name} ran (re-upload)")
+                return fn
+
+            for name in ("_arena_fill", "_pool_fill_buckets",
+                         "_pool_fill_dense"):
+                monkeypatch.setattr(fa, name, boom(name))
+            # Record that the device-resident matrix builder actually
+            # produced the matrix (None would silently fall back to
+            # the host-upload assembly, which this test must exclude).
+            orig_builder = ctx.pref_matrix_builder
+
+            def wrapped(*a, **k):
+                b = orig_builder(*a, **k)
+                assert b is not None, "no device-born pref rows cached"
+
+                def build(n_pad):
+                    out = b(n_pad)
+                    assert out is not None
+                    built.append(n_pad)
+                    return out
+
+                return build
+
+            monkeypatch.setattr(ctx, "pref_matrix_builder", wrapped)
+        try:
+            res = dict(pre._screen_and_verify(sketches).items())
+        finally:
+            monkeypatch.delenv("GALAH_TPU_SCREEN")
+        if forbid:
+            assert built, "resident matrix builder never ran"
+        return res
+
+    host = full("0", forbid=False)
+    resident = full("1", forbid=True)
+    assert resident == host
+    assert len(resident) >= 9
