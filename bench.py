@@ -538,6 +538,7 @@ def bench_device_sketch(jax, jnp):
         _psel_capacity,
         _sel_capacity,
         _sketch_batch_kernel,
+        _sketch_sort_scan,
     )
     from galah_tpu.sketch.fracminhash import NativeSketchParams
 
@@ -581,6 +582,7 @@ def bench_device_sketch(jax, jnp):
             routed=routed,
             max_psel=_psel_capacity(P - params.k + 1, params),
             frag_cap=0 if routed else _default_frag_cap(params),
+            sort_scan=routed and _sketch_sort_scan(),
         )
         # Consume EVERY output (pref/member words, flat, offsets,
         # counters, both overflow flags): summing only one would let

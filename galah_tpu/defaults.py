@@ -66,3 +66,20 @@ NATIVE_SMALL_MEMBER_BITS = 1 << 16
 # bitmap is widened whenever that cutoff would sit under 4x the
 # collision-noise std (engines/native.py::_widen_for_low_af).
 NATIVE_SCREEN_MARGIN = 0.5
+
+# --ani-semantics: how the native engine's ANI thresholds relate to the
+# reference toolchain's. "window" (default) compares the estimator's
+# own event-inclusive ANI against the thresholds verbatim;
+# "skani-calibrated" shifts thresholds by the measured, theory-pinned
+# indel bias so `--ani X` reproduces gap-excluded (skani-style) ANI
+# cuts on indel-bearing real genomes. The bias of a k-mer-window
+# estimator vs gap-excluded ANI is -p_indel*(k+len-1)/k per unit
+# divergence (benchmarks/RESULTS.md round 3; tests/
+# test_estimator_stress.py pins measurement to theory); the calibration
+# assumes the documented typical prokaryote indel load below.
+# Reference threshold semantics: src/skani.rs:718-788 (gap-excluded
+# chaining ANI), src/lib.rs:78-92 (default thresholds tuned for it).
+ANI_SEMANTICS = ("window", "skani-calibrated")
+DEFAULT_ANI_SEMANTICS = "window"
+CALIBRATION_INDEL_EVENTS_PER_SUB = 0.1   # ~1 indel per 10 substitutions
+CALIBRATION_MEAN_INDEL_LEN = 3.0

@@ -581,6 +581,33 @@ def _screen_backend() -> str:
     return "indicator" if jax.default_backend() == "cpu" else "packed"
 
 
+def calibrated_ani_threshold(
+    threshold_pct: float, semantics: str, k: int
+) -> float:
+    """Map a user-facing ANI threshold to the native estimator's scale.
+
+    "window": identity — thresholds compare against the estimator's own
+    event-inclusive ANI. "skani-calibrated": the estimator reads LOWER
+    than gap-excluded (skani) ANI by p_indel*(k+len-1)/k per unit
+    divergence (theory-pinned measurement: tests/
+    test_estimator_stress.py::test_indel_bias_matches_theory), so the
+    threshold shifts down by that bias at the documented typical indel
+    load — a pair whose gap-excluded ANI is exactly `threshold_pct`
+    then sits exactly at the shifted cut. Monotone in threshold_pct, so
+    cluster orderings never change; only where the knife falls does.
+    Reference semantics being reproduced: src/skani.rs:718-788."""
+    if semantics == "window":
+        return threshold_pct
+    if semantics != "skani-calibrated":
+        raise ValueError(f"unknown --ani-semantics {semantics!r}")
+    c = (
+        defaults.CALIBRATION_INDEL_EVENTS_PER_SUB
+        * (k + defaults.CALIBRATION_MEAN_INDEL_LEN - 1.0)
+        / k
+    )
+    return threshold_pct - c * (100.0 - threshold_pct)
+
+
 def _screen_min_containment(
     ani_threshold_pct: float, min_af: float, k: int
 ) -> float:
@@ -676,16 +703,22 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
         threshold: float,
         min_aligned_threshold: float,
         ctx: NativeContext,
+        ani_semantics: str = defaults.DEFAULT_ANI_SEMANTICS,
     ) -> None:
         """threshold: percent (e.g. 95.0); min_aligned_threshold:
         fraction (e.g. 0.15), as in the reference's SkaniPreclusterer
-        (src/skani.rs:12-18)."""
+        (src/skani.rs:12-18). ani_semantics "skani-calibrated" shifts
+        the threshold by the documented indel bias so the cut matches
+        gap-excluded ANI (the 85% accuracy guard applies to the
+        user-facing value, before calibration)."""
         if threshold < defaults.MIN_SUPPORTED_PRECLUSTER_ANI:
             raise ValueError(
                 "Error: the native engine produces inaccurate results with ANI "
                 f"less than 85%. Provided: {threshold:g}"
             )
-        self.threshold = threshold
+        self.threshold = calibrated_ani_threshold(
+            threshold, ani_semantics, ctx.params.k
+        )
         self.min_aligned_threshold = min_aligned_threshold
         self.ctx = ctx
         # The preclusterer owns the prefilter screen, so ITS
@@ -933,11 +966,15 @@ class NativeClusterer(ClusterDistanceFinder):
         min_aligned_threshold: float,
         ctx: NativeContext,
         af_fail_result: Optional[float] = 0.0,
+        ani_semantics: str = defaults.DEFAULT_ANI_SEMANTICS,
     ) -> None:
         """af_fail_result: value returned when the AF filter fails —
         0.0 for skani-compatible semantics (src/skani.rs:758-787), None
-        for fastANI-compatible (src/fastani.rs:56-68)."""
-        self.threshold = threshold
+        for fastANI-compatible (src/fastani.rs:56-68). ani_semantics:
+        see calibrated_ani_threshold."""
+        self.threshold = calibrated_ani_threshold(
+            threshold, ani_semantics, ctx.params.k
+        )
         self.min_aligned_threshold = min_aligned_threshold
         self.ctx = ctx
         self.af_fail_result = af_fail_result

@@ -426,6 +426,26 @@ def _words_from_sorted(sv, first, bits: int):
     return words, n_uniq
 
 
+def _sketch_sort_scan() -> bool:
+    """Whether the routed kernel's bitonic sorts compile as fori_loops
+    (ops/routing.py::bitonic_sort_scan) instead of unrolled networks —
+    bit-identical results; the loops cut the kernel's HLO by ~5x, which
+    is the difference between ~5-minute and sub-minute cold compiles
+    per genome-size bucket through the remote relay (BENCH_r03:
+    device_sketch compile+warmup 297.6s). Accelerators default to the
+    loops; CPU keeps the unrolled network (its compile is cheap and
+    XLA:CPU optimizes straight-line code better).
+    GALAH_TPU_SKETCH_SORT=scan|unrolled forces one."""
+    import os
+
+    mode = os.environ.get("GALAH_TPU_SKETCH_SORT")
+    if mode == "scan":
+        return True
+    if mode == "unrolled":
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
 def _sketch_one_routed(
     packed, inv_idx, length, bounds, bin2frag, *,
     k: int,
@@ -436,6 +456,7 @@ def _sketch_one_routed(
     max_frags: int,
     max_sel: int,
     max_psel: int,
+    sort_scan: bool = False,
 ):
     """Scatter-free formulation of _sketch_one (bit-identical outputs).
 
@@ -458,10 +479,13 @@ def _sketch_one_routed(
       packed words (never materializing uint8 indicators).
     """
     from galah_tpu.ops.routing import (
-        bitonic_sort_tiled as bitonic_sort,
+        bitonic_sort_scan,
+        bitonic_sort_tiled,
         monotone_compact_tiled as monotone_compact,
         monotone_expand_tiled as monotone_expand,
     )
+
+    bitonic_sort = bitonic_sort_scan if sort_scan else bitonic_sort_tiled
 
     P = packed.shape[0] * 4
     n = P - k + 1
@@ -575,12 +599,13 @@ def _sketch_one_routed(
     static_argnames=(
         "k", "member_bits", "prefilter_bits", "gthresh", "fthresh",
         "max_frags", "max_sel", "frag_cap", "routed", "max_psel",
+        "sort_scan",
     ),
 )
 def _sketch_batch_kernel(
     packed, inv_idx, lengths, bounds, bin2frag, *,
     k, member_bits, prefilter_bits, gthresh, fthresh, max_frags, max_sel,
-    frag_cap=0, routed=False, max_psel=0,
+    frag_cap=0, routed=False, max_psel=0, sort_scan=False,
 ):
     if routed:
         return jax.vmap(
@@ -591,6 +616,7 @@ def _sketch_batch_kernel(
                 gthresh=gthresh, fthresh=fthresh,
                 max_frags=max_frags, max_sel=max_sel,
                 max_psel=max_psel or max_sel,
+                sort_scan=sort_scan,
             )
         )(packed, inv_idx, lengths, bounds, bin2frag)
     return jax.vmap(
@@ -810,6 +836,7 @@ def device_sketch_batch(
         out = _sketch_batch_kernel(
             *kernel_args, routed=True,
             max_psel=_psel_capacity(P - params.k + 1, params),
+            sort_scan=_sketch_sort_scan(),
             **kernel_kw,
         )
     else:

@@ -457,6 +457,126 @@ def bitonic_sort_tiled(
     return [x.reshape(*lead, w) for x in cur]
 
 
+def _lex_gt(a_keys: Sequence[jax.Array], b_keys: Sequence[jax.Array]):
+    """Lexicographic a > b over parallel key arrays."""
+    gt = a_keys[0] > b_keys[0]
+    if len(a_keys) > 1:
+        eq = a_keys[0] == b_keys[0]
+        for k in range(1, len(a_keys)):
+            gt = gt | (eq & (a_keys[k] > b_keys[k]))
+            if k + 1 < len(a_keys):
+                eq = eq & (a_keys[k] == b_keys[k])
+    return gt
+
+
+def bitonic_sort_scan(
+    arrays: Sequence[jax.Array], n_keys: int = 1
+) -> List[jax.Array]:
+    """bitonic_sort_tiled compiled as fori_loops instead of log^2(W)
+    unrolled stages — bit-identical results (same compare-exchange
+    network in the same order, including equal-key payload swaps in
+    descending blocks).
+
+    Why: the unrolled network generates enormous HLO — at the device
+    sketcher's production widths (2^17-2^18) each sort is ~170 stages
+    of ~8 ops per carried array, and cold compiles through the remote
+    relay took ~5 minutes per shape bucket (BENCH_r03: device_sketch
+    compile+warmup 297.6s). Here each merge phase is TWO small loop
+    bodies (row-distance stages on the (R, 128) view, sub-lane stages
+    on the transposed view) with the exchange distance as a TRACED
+    value: partners are fetched with dynamic rolls along the
+    SECOND-minor axis (sublane-cheap, lane-aligned — never a minor-axis
+    shuffle), so every pass stays at memory speed while the compiled
+    program has O(log W) small bodies instead of O(log^2 W) stages.
+
+    Correctness of the roll-fetch: at exchange distance j (a power of
+    two), an element with bit j clear pairs UP (i+j stays inside its
+    2j block, so the roll's wraparound entries are never selected) and
+    an element with bit j set pairs DOWN; `where` picks the right roll.
+    """
+    arrays = list(arrays)
+    w = arrays[0].shape[-1]
+    assert w & (w - 1) == 0, f"bitonic width {w} not a power of two"
+    C = _LANES
+    if w < 4 * C:
+        return bitonic_sort(arrays, n_keys)
+    lead = arrays[0].shape[:-1]
+    r = w // C
+    lane_bits = C.bit_length() - 1
+
+    def t(xs):  # (..., R, C) <-> (..., C, R)
+        return [jnp.swapaxes(x, -1, -2) for x in xs]
+
+    # Row-layout direction/partner masks come from the row index; the
+    # transposed layout uses the column index for distances < C and the
+    # row index (its minor axis) for kk >= C.
+    row_iota_rc = jax.lax.broadcasted_iota(
+        jnp.int32, (*([1] * len(lead)), r, 1), len(lead)
+    )
+    col_iota_cr = jax.lax.broadcasted_iota(
+        jnp.int32, (*([1] * len(lead)), C, 1), len(lead)
+    )
+    row_iota_cr = jax.lax.broadcasted_iota(
+        jnp.int32, (*([1] * len(lead)), 1, r), len(lead) + 1
+    )
+
+    def exchange(arrs, axis_iota, dist, dir_mask):
+        """One compare-exchange at traced roll distance `dist` along
+        axis -2; dir_mask True where the block sorts ascending;
+        axis_iota indexes axis -2 (for the pair-bit test)."""
+        has_bit = (axis_iota & dist) != 0
+        partners = []
+        for a in arrs:
+            up = jnp.roll(a, -dist, axis=-2)
+            down = jnp.roll(a, dist, axis=-2)
+            partners.append(jnp.where(has_bit, down, up))
+        g_self = _lex_gt(arrs[:n_keys], partners[:n_keys])
+        g_partner = _lex_gt(partners[:n_keys], arrs[:n_keys])
+        g = jnp.where(has_bit, g_partner, g_self)  # gt(lo, hi) everywhere
+        swap = jnp.where(dir_mask, g, ~g)
+        return [
+            jnp.where(swap, p, a) for a, p in zip(arrs, partners)
+        ]
+
+    cur = [x.reshape(*lead, r, C) for x in arrays]
+    in_t = False
+    kk = 2
+    while kk <= w:
+        n_row = max(0, kk.bit_length() - 1 - lane_bits)  # stages with j >= C
+        n_sub = min(kk.bit_length() - 1, lane_bits)      # stages with j < C
+        if n_row:
+            if in_t:
+                cur = t(cur)
+                in_t = False
+            kr = kk // C  # >= 2 whenever n_row > 0
+            dirm = (row_iota_rc & kr) == 0
+
+            # j = kk >> (1+s) for s in [0, n_row): all >= C
+            def row_body(s, arrs, kk=kk, dirm=dirm):
+                jr = (kk >> (1 + s)) // C
+                return exchange(arrs, row_iota_rc, jr, dirm)
+
+            cur = jax.lax.fori_loop(0, n_row, row_body, cur)
+        if n_sub:
+            if not in_t:
+                cur = t(cur)
+                in_t = True
+            if kk >= C:
+                dirm = (row_iota_cr & (kk // C)) == 0
+            else:
+                dirm = (col_iota_cr & kk) == 0
+            j0 = min(kk >> 1, C >> 1)
+
+            def sub_body(s, arrs, j0=j0, dirm=dirm):
+                return exchange(arrs, col_iota_cr, j0 >> s, dirm)
+
+            cur = jax.lax.fori_loop(0, n_sub, sub_body, cur)
+        kk *= 2
+    if in_t:
+        cur = t(cur)
+    return [x.reshape(*lead, w) for x in cur]
+
+
 def _exchange(
     arrays: Sequence[jax.Array], kk: int, j: int, n_keys: int
 ) -> List[jax.Array]:

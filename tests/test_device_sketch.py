@@ -438,3 +438,24 @@ def test_use_device_sketch_gate(monkeypatch):
     assert native_mod._use_device_sketch() is False  # cpu backend
     # and the probe result is cached
     assert native_mod._LINK_PROBE_CACHE == {"use": False}
+
+
+def test_sort_scan_formulation_bit_identical(monkeypatch):
+    """The fori_loop sort formulation (GALAH_TPU_SKETCH_SORT=scan, the
+    accelerator default) must produce sketches bit-identical to the
+    unrolled network (the compile-time fix must not change results)."""
+    from galah_tpu.ops.device_sketch import device_sketch_batch
+
+    rng = np.random.default_rng(77)
+    params = _params_medium()
+    names = ["a", "b"]
+    seqs = [
+        [_random_seq(rng, 9000), _random_seq(rng, 2500)],
+        [_random_seq(rng, 30000)],
+    ]
+    monkeypatch.setenv("GALAH_TPU_SKETCH_SORT", "unrolled")
+    base = device_sketch_batch(names, seqs, params)
+    monkeypatch.setenv("GALAH_TPU_SKETCH_SORT", "scan")
+    scan = device_sketch_batch(names, seqs, params)
+    for b, s in zip(base, scan):
+        _assert_sketch_equal(b, s)

@@ -187,3 +187,64 @@ def test_bitonic_sort_tiled_two_keys():
         order = np.lexsort((k2[gi], k1[gi]))
         assert np.array_equal(s1[gi], k1[gi][order])
         assert np.array_equal(s2[gi], k2[gi][order])
+
+
+from galah_tpu.ops.routing import bitonic_sort_scan  # noqa: E402
+
+
+@pytest.mark.parametrize("w", [512, 2048, 1 << 14])
+def test_bitonic_sort_scan_matches_tiled(w):
+    """The fori_loop formulation must be BIT-identical to the unrolled
+    tiled network (same exchanges in the same order), including
+    payload placement under duplicate keys."""
+    rng = np.random.default_rng(w)
+    # duplicate-heavy keys to exercise equal-key payload swaps
+    keys = jnp.asarray(
+        rng.integers(0, 97, w, dtype=np.int64).astype(np.uint32)
+    )
+    payload = jnp.asarray(np.arange(w, dtype=np.int32))
+    ref = bitonic_sort_tiled([keys, payload], n_keys=1)
+    got = bitonic_sort_scan([keys, payload], n_keys=1)
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+
+
+def test_bitonic_sort_scan_two_keys_leading_dims():
+    rng = np.random.default_rng(3)
+    w = 4096
+    a = jnp.asarray(
+        rng.integers(0, 50, (3, w), dtype=np.int64).astype(np.int32)
+    )
+    b = jnp.asarray(
+        rng.integers(0, 50, (3, w), dtype=np.int64).astype(np.int32)
+    )
+    pay = jnp.asarray(
+        np.broadcast_to(np.arange(w, dtype=np.int32), (3, w)).copy()
+    )
+    ref = bitonic_sort_tiled([a, b, pay], n_keys=2)
+    got = bitonic_sort_scan([a, b, pay], n_keys=2)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+def test_bitonic_sort_scan_uint32_full_range():
+    rng = np.random.default_rng(11)
+    w = 2048
+    vals = rng.integers(0, 2**32, w, dtype=np.uint64).astype(np.uint32)
+    vals[:7] = 0xFFFFFFFF  # the padding sentinel must sort to the top
+    got = bitonic_sort_scan([jnp.asarray(vals)])[0]
+    np.testing.assert_array_equal(np.asarray(got), np.sort(vals))
+
+
+def test_bitonic_sort_scan_under_vmap():
+    import jax
+
+    rng = np.random.default_rng(5)
+    w = 1024
+    keys = jnp.asarray(
+        rng.integers(0, 2**32, (4, w), dtype=np.uint64).astype(np.uint32)
+    )
+    got = jax.vmap(lambda x: bitonic_sort_scan([x])[0])(keys)
+    np.testing.assert_array_equal(
+        np.asarray(got), np.sort(np.asarray(keys), axis=1)
+    )
