@@ -432,7 +432,8 @@ class NativeContext:
             for p, sk in zip(
                 missing,
                 device_sketch_files(
-                    missing, self.params, sink=self._device_sink()
+                    missing, self.params, sink=self._device_sink(),
+                    shadow_threads=self.threads,
                 ),
             ):
                 self._store.put(p, sk)

@@ -429,21 +429,19 @@ def _words_from_sorted(sv, first, bits: int):
 def _sketch_sort_scan() -> bool:
     """Whether the routed kernel's bitonic sorts compile as fori_loops
     (ops/routing.py::bitonic_sort_scan) instead of unrolled networks —
-    bit-identical results; the loops cut the kernel's HLO by ~5x, which
-    is the difference between ~5-minute and sub-minute cold compiles
-    per genome-size bucket through the remote relay (BENCH_r03:
-    device_sketch compile+warmup 297.6s). Accelerators default to the
-    loops; CPU keeps the unrolled network (its compile is cheap and
-    XLA:CPU optimizes straight-line code better).
-    GALAH_TPU_SKETCH_SORT=scan|unrolled forces one."""
+    bit-identical results. MEASURED NO-GO as a default on the v5e
+    (round 4, fresh compile cache, 32x1Mb shape): the loop formulation
+    compiled SLOWER through the remote relay (792s vs 297.6s cold) and
+    ran 12% slower (189M vs 216M bases/s) — XLA:TPU's loop analysis
+    costs more than the straight-line graph it replaces, and the
+    dynamic-distance rolls defeat the static-layout optimization the
+    unrolled network gets. Kept behind GALAH_TPU_SKETCH_SORT=scan for
+    future toolchains; the production cold-compile answer is compile
+    shadowing (sketch on host while the device program compiles — see
+    engines/native.py) on top of the persistent compile cache."""
     import os
 
-    mode = os.environ.get("GALAH_TPU_SKETCH_SORT")
-    if mode == "scan":
-        return True
-    if mode == "unrolled":
-        return False
-    return jax.default_backend() not in ("cpu",)
+    return os.environ.get("GALAH_TPU_SKETCH_SORT") == "scan"
 
 
 def _sketch_one_routed(
@@ -1014,8 +1012,9 @@ def device_sketch_files(
     paths: Sequence[str],
     params: NativeSketchParams,
     *,
-    max_batch_bytes: int = 256 << 20,
+    max_batch_bytes: int = 32 << 20,
     sink=None,
+    shadow_threads: int = 0,
 ) -> List[NativeSketch]:
     """Sketch whole genome files on device.
 
@@ -1050,6 +1049,9 @@ def device_sketch_files(
     # Pass 2 — re-read per dispatched batch, prefetching the next
     # batch's FASTA on a reader thread while the device computes the
     # current one (read time rivals hash time on production hosts).
+    # Chunks target ~32MB of padded sequence (the measured-efficient
+    # 32x1Mb batch shape) so a corpus spans several dispatches — which
+    # also gives COMPILE SHADOWING something to chew on (below).
     chunks: List[List[int]] = []
     for P, idxs in sorted(buckets.items()):
         per = max(
@@ -1059,20 +1061,87 @@ def device_sketch_files(
         for start in range(0, len(idxs), per):
             chunks.append(idxs[start : start + per])
 
+    import threading
     from concurrent.futures import ThreadPoolExecutor
+
+    # Compile shadowing: a cold compile of the routed kernel costs
+    # minutes through a remote-compile relay (~5 min per new shape
+    # bucket; the persistent cache makes it once-ever, but SOMEONE
+    # pays the first run). While the first device batch is stuck in
+    # compile, a host thread claims chunks from the END of the queue
+    # and sketches them with the bit-identical C++/numpy sketcher, so
+    # the pipeline makes full-speed progress through the stall. The
+    # shadow stops claiming once the first device batch completes
+    # (warm runs lose at most one chunk of device residency).
+    # GALAH_TPU_SKETCH_SHADOW=0 disables.
+    lock = threading.Lock()
+    claimed = [False] * len(chunks)
+    device_hot = threading.Event()
+
+    def claim(from_end: bool):
+        with lock:
+            order = (
+                range(len(chunks) - 1, -1, -1) if from_end
+                else range(len(chunks))
+            )
+            for ci in order:
+                if not claimed[ci]:
+                    claimed[ci] = True
+                    return ci
+        return None
+
+    def host_shadow():
+        from galah_tpu.sketch.fracminhash import sketch_file_native
+
+        done = 0
+        with ThreadPoolExecutor(max_workers=shadow_threads) as ex:
+            while not device_hot.is_set():
+                ci = claim(from_end=True)
+                if ci is None:
+                    break
+                chunk = chunks[ci]
+                for i, sk in zip(
+                    chunk,
+                    ex.map(
+                        lambda i: sketch_file_native(paths[i], params),
+                        chunk,
+                    ),
+                ):
+                    out[i] = sk
+                done += 1
+        if done:
+            logger.info(
+                "compile shadow: host sketched %d/%d chunks while the "
+                "device program compiled", done, len(chunks),
+            )
+
+    shadow_t = None
+    if (
+        shadow_threads > 0
+        and len(chunks) > 1
+        and os.environ.get("GALAH_TPU_SKETCH_SHADOW", "1") != "0"
+    ):
+        shadow_t = threading.Thread(target=host_shadow, daemon=True)
+        shadow_t.start()
 
     def _read_chunk(chunk):
         return [read_fasta_sequences(paths[i]) for i in chunk]
 
     with ThreadPoolExecutor(max_workers=1) as reader:
-        pending = reader.submit(_read_chunk, chunks[0]) if chunks else None
-        for ci, chunk in enumerate(chunks):
-            lists = pending.result()
+        ci = claim(from_end=False)
+        pending = (
+            (ci, reader.submit(_read_chunk, chunks[ci]))
+            if ci is not None else None
+        )
+        while pending is not None:
+            ci, fut = pending
+            lists = fut.result()
+            nci = claim(from_end=False)
             pending = (
-                reader.submit(_read_chunk, chunks[ci + 1])
-                if ci + 1 < len(chunks)
-                else None
+                (nci, reader.submit(_read_chunk, chunks[nci]))
+                if nci is not None else None
             )
+            chunk = chunks[ci]
             names = [paths[i] for i in chunk]
             try:
                 if sink is not None:
@@ -1099,6 +1168,10 @@ def device_sketch_files(
                     sketch_sequences_native(n, s, params)
                     for n, s in zip(names, lists)
                 ]
+            device_hot.set()
             for i, sk in zip(chunk, sketches):
                 out[i] = sk
+    if shadow_t is not None:
+        shadow_t.join()
+    assert all(sk is not None for sk in out)
     return out  # type: ignore[return-value]

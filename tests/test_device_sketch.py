@@ -459,3 +459,64 @@ def test_sort_scan_formulation_bit_identical(monkeypatch):
     scan = device_sketch_batch(names, seqs, params)
     for b, s in zip(base, scan):
         _assert_sketch_equal(b, s)
+
+
+def test_compile_shadowing_correct_and_engaged(tmp_path, monkeypatch):
+    """While the first device batch is stalled (compile stand-in: a
+    slowed dispatch), the host shadow claims tail chunks; the combined
+    output must equal pure host sketching for every genome, and the
+    shadow must actually have claimed work."""
+    import time
+
+    import galah_tpu.ops.device_sketch as ds
+    from galah_tpu.sketch.fracminhash import sketch_file_native
+
+    rng = np.random.default_rng(31)
+    params = _params_medium()
+    paths = []
+    for i in range(12):
+        p = tmp_path / f"g{i}.fna"
+        with open(p, "w") as f:
+            f.write(">c0\n" + _random_seq(rng, 6000 + 13 * i).decode() + "\n")
+        paths.append(str(p))
+
+    calls = []
+    orig = ds.device_sketch_batch
+
+    def slow_batch(*a, **k):
+        if not calls:
+            time.sleep(0.5)  # first dispatch "compiles"
+        calls.append(len(a[0]))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ds, "device_sketch_batch", slow_batch)
+    # tiny chunks -> many of them -> the shadow has a tail to eat
+    got = ds.device_sketch_files(
+        paths, params, max_batch_bytes=1 << 14, shadow_threads=2
+    )
+    hosts = [sketch_file_native(p, params) for p in paths]
+    for g, h in zip(got, hosts):
+        assert g.name == h.name
+        _assert_sketch_equal(g, h)
+    # the device did NOT process every chunk (shadow claimed some)
+    assert sum(calls) < len(paths), calls
+
+
+def test_compile_shadowing_kill_switch(tmp_path, monkeypatch):
+    import galah_tpu.ops.device_sketch as ds
+    from galah_tpu.sketch.fracminhash import sketch_file_native
+
+    monkeypatch.setenv("GALAH_TPU_SKETCH_SHADOW", "0")
+    rng = np.random.default_rng(32)
+    params = _params_medium()
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"g{i}.fna"
+        with open(p, "w") as f:
+            f.write(">c0\n" + _random_seq(rng, 5000).decode() + "\n")
+        paths.append(str(p))
+    got = ds.device_sketch_files(
+        paths, params, max_batch_bytes=1 << 13, shadow_threads=2
+    )
+    for g, h in zip(got, (sketch_file_native(p, params) for p in paths)):
+        _assert_sketch_equal(g, h)
