@@ -275,6 +275,18 @@ def bench_screen_production(jax, jnp):
         f"{pairs_per_s/1e6:.1f}M pairs/s "
         f"({dt*1e3:.2f}ms/tile incl. unpack + sparse extraction)"
     )
+    # Model-vs-measured: the block chooser's cost model rides on the
+    # _SCREEN_TILE_RATE table; print the deviation so staleness is
+    # visible in every round artifact (round 3's table ran 15% hot).
+    from galah_tpu.ops.prefilter import _SCREEN_TILE_RATE
+
+    model = _SCREEN_TILE_RATE.get(BLOCK)
+    if model:
+        _log(
+            f"screen tile model check: table[{BLOCK}]={model/1e6:.0f}M "
+            f"measured={pairs_per_s/1e6:.0f}M "
+            f"({pairs_per_s/model*100:.0f}% of model)"
+        )
     return pairs_per_s
 
 

@@ -487,53 +487,29 @@ class NativeContext:
         return out
 
 
-_LINK_PROBE_CACHE: Dict[str, bool] = {}
-
-
 def _use_device_sketch() -> bool:
     """Whether the sketch stage runs on the accelerator.
 
-    GALAH_TPU_DEVICE_SKETCH=1/0 forces it. Unset: probe the
-    host->device link once (an 8MB device_put) and flip device
-    sketching ON when the accelerator is a TPU behind a fast link —
-    the routed kernel sketches at ~218M bases/s on a v5e (RESULTS.md
-    round 3), beating the 4-core host C++ sketcher (~150M), but its
-    2-bit-packed upload (0.25 bytes/base) only keeps pace when the
-    link moves >= ~100MB/s (PCIe yes; this rig's ~MB/s relay tunnel
-    no). The probe costs one round-trip transfer and is cached per
-    process. Timing is by fetching the buffer back to host — NOT
-    block_until_ready(), which does not reliably block on the axon
-    relay backend (CLAUDE.md), so an upload-only timing could read
-    as microseconds and wrongly flip device sketching on over the
-    slow tunnel."""
+    GALAH_TPU_DEVICE_SKETCH=1/0 forces it; otherwise ON for any
+    non-CPU backend. Through round 3 this was gated on a measured
+    link-speed probe (device sketching's 2-bit upload only beat host
+    hashing when the link moved >=100MB/s), but the device-resident
+    pipeline changed the economics: device-born sketches feed the
+    screen matrix and verify caches with ZERO further upload, so
+    device sketching moves 0.25 bytes/base TOTAL where host sketching
+    moves ~0.75 bytes/base of sketch products (packed streams + member
+    buckets + pref rows) — a ~3x wire saving on ANY link speed, on top
+    of removing the host hashing stage. Cold-compile stalls are
+    shadowed by host sketching (ops/device_sketch.py::
+    device_sketch_files), so the old probe's remaining rationale is
+    gone. CPU backends keep host sketching (the 'device' would be the
+    same host, and the C++ sketcher is faster than XLA:CPU here)."""
     env = os.environ.get("GALAH_TPU_DEVICE_SKETCH")
     if env is not None:
         return env == "1"
-    if "use" in _LINK_PROBE_CACHE:
-        return _LINK_PROBE_CACHE["use"]
-    import time
-
     import jax
 
-    use = False
-    if jax.default_backend() not in ("cpu",):
-        try:
-            buf = np.zeros(4 << 20, dtype=np.uint8)
-            t0 = time.perf_counter()
-            dev = jax.device_put(buf)
-            fetched = jax.device_get(dev)
-            dt = time.perf_counter() - t0
-            assert fetched[-1] == 0  # force the fetch to complete
-            mbps = 2 * (4 << 20) / max(dt, 1e-9) / 1e6
-            use = mbps >= 100.0
-            logger.info(
-                "Device link probe: %.0f MB/s -> %s sketching",
-                mbps, "device" if use else "host",
-            )
-        except Exception:
-            use = False
-    _LINK_PROBE_CACHE["use"] = use
-    return use
+    return jax.default_backend() not in ("cpu",)
 
 
 class _LazyIndicatorRows:

@@ -1066,17 +1066,35 @@ def device_sketch_files(
 
     # Compile shadowing: a cold compile of the routed kernel costs
     # minutes through a remote-compile relay (~5 min per new shape
-    # bucket; the persistent cache makes it once-ever, but SOMEONE
-    # pays the first run). While the first device batch is stuck in
-    # compile, a host thread claims chunks from the END of the queue
-    # and sketches them with the bit-identical C++/numpy sketcher, so
-    # the pipeline makes full-speed progress through the stall. The
-    # shadow stops claiming once the first device batch completes
-    # (warm runs lose at most one chunk of device residency).
+    # bucket; the persistent cache makes it once-ever, but SOMEONE pays
+    # the first run). The device loop runs on a worker thread; while
+    # its first batch is stuck in compile, the host shadow (this
+    # thread) claims chunks from the END of the queue and sketches them
+    # with the bit-identical C++/numpy sketcher. If the host finishes
+    # EVERYTHING (including stealing the device's in-flight chunks)
+    # before the device produces its first batch, the call returns
+    # immediately — the compile completes in the background, populating
+    # the persistent cache for every later run, with its late results
+    # discarded (identical values; adoption is abandoned under a lock
+    # so the verify caches are never mutated after handoff). A cold
+    # compile therefore never appears in any run's wall clock. Warm
+    # runs: the first device batch lands quickly, the shadow stops
+    # claiming, and at most ~one chunk loses device residency.
     # GALAH_TPU_SKETCH_SHADOW=0 disables.
     lock = threading.Lock()
     claimed = [False] * len(chunks)
+    in_flight: dict = {}  # chunks claimed by the device, not yet done
     device_hot = threading.Event()
+    sink_lock = threading.Lock()
+    abandoned = threading.Event()
+
+    if sink is not None:
+        def guarded_sink(names, sketches, dev, _sink=sink):
+            with sink_lock:
+                if not abandoned.is_set():
+                    _sink(names, sketches, dev)
+    else:
+        guarded_sink = None
 
     def claim(from_end: bool):
         with lock:
@@ -1090,88 +1108,127 @@ def device_sketch_files(
                     return ci
         return None
 
-    def host_shadow():
-        from galah_tpu.sketch.fracminhash import sketch_file_native
-
-        done = 0
-        with ThreadPoolExecutor(max_workers=shadow_threads) as ex:
-            while not device_hot.is_set():
-                ci = claim(from_end=True)
-                if ci is None:
-                    break
-                chunk = chunks[ci]
-                for i, sk in zip(
-                    chunk,
-                    ex.map(
-                        lambda i: sketch_file_native(paths[i], params),
-                        chunk,
-                    ),
-                ):
-                    out[i] = sk
-                done += 1
-        if done:
-            logger.info(
-                "compile shadow: host sketched %d/%d chunks while the "
-                "device program compiled", done, len(chunks),
-            )
-
-    shadow_t = None
-    if (
-        shadow_threads > 0
-        and len(chunks) > 1
-        and os.environ.get("GALAH_TPU_SKETCH_SHADOW", "1") != "0"
-    ):
-        shadow_t = threading.Thread(target=host_shadow, daemon=True)
-        shadow_t.start()
-
     def _read_chunk(chunk):
         return [read_fasta_sequences(paths[i]) for i in chunk]
 
-    with ThreadPoolExecutor(max_workers=1) as reader:
-        ci = claim(from_end=False)
-        pending = (
-            (ci, reader.submit(_read_chunk, chunks[ci]))
-            if ci is not None else None
-        )
-        while pending is not None:
-            ci, fut = pending
-            lists = fut.result()
-            nci = claim(from_end=False)
-            pending = (
-                (nci, reader.submit(_read_chunk, chunks[nci]))
-                if nci is not None else None
+    def process_on_device(ci, lists):
+        chunk = chunks[ci]
+        names = [paths[i] for i in chunk]
+        try:
+            if guarded_sink is not None:
+                sketches, dev = device_sketch_batch(
+                    names, lists, params, return_device=True
+                )
+                # Hand the on-device products (bitmaps, streams,
+                # offsets) to the caller BEFORE any host use so the
+                # downstream pipeline never re-uploads them.
+                guarded_sink(names, sketches, dev)
+            else:
+                sketches = device_sketch_batch(names, lists, params)
+        except DeviceSketchOverflow:
+            logger.warning(
+                "device sketch overflow for a %d-genome batch; "
+                "falling back to host sketching",
+                len(chunk),
             )
-            chunk = chunks[ci]
-            names = [paths[i] for i in chunk]
-            try:
-                if sink is not None:
-                    sketches, dev = device_sketch_batch(
-                        names, lists, params, return_device=True
-                    )
-                    # Hand the on-device products (bitmaps, streams,
-                    # offsets) to the caller BEFORE any host use so the
-                    # downstream pipeline never re-uploads them.
-                    sink(names, sketches, dev)
-                else:
-                    sketches = device_sketch_batch(names, lists, params)
-            except DeviceSketchOverflow:
-                logger.warning(
-                    "device sketch overflow for a %d-genome batch; "
-                    "falling back to host sketching",
-                    len(chunk),
-                )
-                from galah_tpu.sketch.fracminhash import (
-                    sketch_sequences_native,
-                )
+            from galah_tpu.sketch.fracminhash import (
+                sketch_sequences_native,
+            )
 
-                sketches = [
-                    sketch_sequences_native(n, s, params)
-                    for n, s in zip(names, lists)
-                ]
-            device_hot.set()
-            for i, sk in zip(chunk, sketches):
+            sketches = [
+                sketch_sequences_native(n, s, params)
+                for n, s in zip(names, lists)
+            ]
+        for i, sk in zip(chunk, sketches):
+            out[i] = sk
+        in_flight.pop(ci, None)
+        device_hot.set()
+
+    def device_worker():
+        # Claim-ahead prefetch: read the next chunk's FASTA while the
+        # device computes the current one (read time rivals hash time
+        # on production hosts).
+        with ThreadPoolExecutor(max_workers=1) as reader:
+            ci = claim(from_end=False)
+            if ci is None:
+                device_hot.set()
+                return
+            in_flight[ci] = True
+            fut = reader.submit(_read_chunk, chunks[ci])
+            while True:
+                lists = fut.result()
+                nci = claim(from_end=False)
+                if nci is not None:
+                    in_flight[nci] = True
+                    nfut = reader.submit(_read_chunk, chunks[nci])
+                process_on_device(ci, lists)
+                if nci is None:
+                    return
+                ci, fut = nci, nfut
+
+    shadow = (
+        shadow_threads > 0
+        and len(chunks) > 1
+        and os.environ.get("GALAH_TPU_SKETCH_SHADOW", "1") != "0"
+    )
+    if not shadow:
+        device_worker()
+        assert all(sk is not None for sk in out)
+        return out  # type: ignore[return-value]
+
+    dev_t = threading.Thread(target=device_worker, daemon=True)
+    dev_t.start()
+
+    from galah_tpu.sketch.fracminhash import sketch_file_native
+
+    done_chunks = 0
+    with ThreadPoolExecutor(max_workers=shadow_threads) as ex:
+        while not device_hot.is_set():
+            ci = claim(from_end=True)
+            if ci is None:
+                break
+            for i, sk in zip(
+                chunks[ci],
+                ex.map(
+                    lambda i: sketch_file_native(paths[i], params),
+                    chunks[ci],
+                ),
+            ):
                 out[i] = sk
-    if shadow_t is not None:
-        shadow_t.join()
+            done_chunks += 1
+        # Steal the device's in-flight chunks if it is still compiling:
+        # both sides may compute them (bit-identical; last write wins).
+        if not device_hot.is_set():
+            for ci in list(in_flight):
+                for i, sk in zip(
+                    chunks[ci],
+                    ex.map(
+                        lambda i: sketch_file_native(paths[i], params),
+                        chunks[ci],
+                    ),
+                ):
+                    out[i] = sk
+                done_chunks += 1
+    if done_chunks:
+        logger.info(
+            "compile shadow: host sketched %d/%d chunks while the "
+            "device program compiled", done_chunks, len(chunks),
+        )
+    # Wait for the device unless the host already produced everything —
+    # in that case abandon the in-flight device batch to the background
+    # (its compile still lands in the persistent cache).
+    while dev_t.is_alive():
+        if all(sk is not None for sk in out):
+            with sink_lock:
+                abandoned.set()
+            logger.info(
+                "compile shadow: host finished the corpus first; "
+                "leaving the device compile to finish in the "
+                "background (persistent-cache warm-up)"
+            )
+            break
+        dev_t.join(timeout=0.25)
     assert all(sk is not None for sk in out)
-    return out  # type: ignore[return-value]
+    # Return a snapshot: the abandoned device thread may still write
+    # (identical-value) entries into `out` after we return.
+    return list(out)  # type: ignore[return-value]

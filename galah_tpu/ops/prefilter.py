@@ -187,14 +187,19 @@ def _containment(counts: jax.Array, a: jax.Array, b: jax.Array, bits_f: float):
 
 # Measured production-tile rates (pairs-computed/s) per tile edge on a
 # v5e: fused Pallas unpack+matmul + collision correction + routed
-# extraction, 32-iteration in-jit timing (benchmarks/screen_tile_probe
-# .py, 2026-08-19). Bigger tiles raise MXU utilization but pad the
-# corpus to a coarser multiple; _screen_block_for trades the two off.
+# extraction, 16-iteration in-jit timing (benchmarks/screen_tile_probe
+# .py, 2026-08-20 — full-block refresh after the round-3 table ran up
+# to 35% hot against driver measurements; bench.py now prints
+# model-vs-measured every run so staleness is visible). The same probe
+# run put the production tile at 95-98% of its bare fused matmul at
+# every edge >= 2048 (extraction epilogue <= 5%). Bigger tiles raise
+# MXU utilization but pad the corpus to a coarser multiple;
+# _screen_block_for trades the two off.
 _SCREEN_TILE_RATE = {
-    1024: 650e6,
-    2048: 1073e6,
-    4096: 1245e6,
-    8192: 1270e6,
+    1024: 424e6,
+    2048: 834e6,
+    4096: 1166e6,
+    8192: 1289e6,
 }
 
 

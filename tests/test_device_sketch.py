@@ -425,8 +425,9 @@ def test_kernel_formulations_bit_identical(monkeypatch, kernel):
 
 
 def test_use_device_sketch_gate(monkeypatch):
-    """Env forces win over the link probe; the CPU backend never
-    defaults to device sketching (probe only engages on accelerators)."""
+    """Env forces win; accelerators default ON (the device-resident
+    pipeline makes device sketching the minimum-bytes path on any
+    link); the CPU backend never defaults to device sketching."""
     from galah_tpu.engines import native as native_mod
 
     monkeypatch.setenv("GALAH_TPU_DEVICE_SKETCH", "1")
@@ -434,15 +435,13 @@ def test_use_device_sketch_gate(monkeypatch):
     monkeypatch.setenv("GALAH_TPU_DEVICE_SKETCH", "0")
     assert native_mod._use_device_sketch() is False
     monkeypatch.delenv("GALAH_TPU_DEVICE_SKETCH")
-    monkeypatch.setattr(native_mod, "_LINK_PROBE_CACHE", {})
     assert native_mod._use_device_sketch() is False  # cpu backend
-    # and the probe result is cached
-    assert native_mod._LINK_PROBE_CACHE == {"use": False}
 
 
 def test_sort_scan_formulation_bit_identical(monkeypatch):
-    """The fori_loop sort formulation (GALAH_TPU_SKETCH_SORT=scan, the
-    accelerator default) must produce sketches bit-identical to the
+    """The fori_loop sort formulation (GALAH_TPU_SKETCH_SORT=scan,
+    kept as an option; measured NO-GO as a default on the v5e) must
+    produce sketches bit-identical to the
     unrolled network (the compile-time fix must not change results)."""
     from galah_tpu.ops.device_sketch import device_sketch_batch
 
