@@ -11,7 +11,18 @@ Usage:
       --length 500000 [--platform cpu|tpu] [--ani 95]
 """
 
+
 from __future__ import annotations
+
+import os
+import sys
+
+# Make the repo importable when run as `python benchmarks/<name>.py`.
+# Do NOT rely on PYTHONPATH for TPU runs: on this rig the axon PJRT
+# plugin fails to register when PYTHONPATH is set AT ALL (any value),
+# leaving jax with "Unable to initialize backend 'axon'".
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import argparse
 import json

@@ -11,6 +11,16 @@ Usage: python benchmarks/skani_crosscheck.py GENOME.fna [GENOME.fna ...]
        (defaults to the reference abisko4 MAGs when run with no args)
 """
 
+import os
+import sys
+
+# Make the repo importable when run as `python benchmarks/<name>.py`.
+# Do NOT rely on PYTHONPATH for TPU runs: on this rig the axon PJRT
+# plugin fails to register when PYTHONPATH is set AT ALL (any value),
+# leaving jax with "Unable to initialize backend 'axon'".
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import csv
 import glob
 import shutil

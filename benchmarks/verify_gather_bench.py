@@ -17,6 +17,16 @@ CPU smoke:    GALAH_BENCH_SMALL=1 GALAH_TPU_PLATFORM=cpu python ...
 
 import os
 import sys
+
+# Make the repo importable when run as `python benchmarks/<name>.py`.
+# Do NOT rely on PYTHONPATH for TPU runs: on this rig the axon PJRT
+# plugin fails to register when PYTHONPATH is set AT ALL (any value),
+# leaving jax with "Unable to initialize backend 'axon'".
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+import os
+import sys
 import time
 from functools import partial
 

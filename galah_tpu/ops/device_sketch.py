@@ -1168,7 +1168,7 @@ def device_sketch_files(
 
     shadow = (
         shadow_threads > 0
-        and len(chunks) > 1
+        and len(chunks) >= 1
         and os.environ.get("GALAH_TPU_SKETCH_SHADOW", "1") != "0"
     )
     if not shadow:
@@ -1181,25 +1181,21 @@ def device_sketch_files(
 
     from galah_tpu.sketch.fracminhash import sketch_file_native
 
+    # Grace window before the shadow claims anything: a WARM device
+    # lands its first batch within it, and the shadow then does nothing
+    # — host-claimed chunks lose device residency (their streams and
+    # bitmaps re-upload at verify), which on a slow link costs far more
+    # than the sub-second of host sketching the shadow would save. Only
+    # a genuinely stalled device (cold kernel compile: minutes) is
+    # worth shadowing. GALAH_TPU_SHADOW_GRACE seconds, default 30.
+    grace = float(os.environ.get("GALAH_TPU_SHADOW_GRACE", "30"))
     done_chunks = 0
-    with ThreadPoolExecutor(max_workers=shadow_threads) as ex:
-        while not device_hot.is_set():
-            ci = claim(from_end=True)
-            if ci is None:
-                break
-            for i, sk in zip(
-                chunks[ci],
-                ex.map(
-                    lambda i: sketch_file_native(paths[i], params),
-                    chunks[ci],
-                ),
-            ):
-                out[i] = sk
-            done_chunks += 1
-        # Steal the device's in-flight chunks if it is still compiling:
-        # both sides may compute them (bit-identical; last write wins).
-        if not device_hot.is_set():
-            for ci in list(in_flight):
+    if not device_hot.wait(timeout=grace):
+        with ThreadPoolExecutor(max_workers=shadow_threads) as ex:
+            while not device_hot.is_set():
+                ci = claim(from_end=True)
+                if ci is None:
+                    break
                 for i, sk in zip(
                     chunks[ci],
                     ex.map(
@@ -1209,6 +1205,20 @@ def device_sketch_files(
                 ):
                     out[i] = sk
                 done_chunks += 1
+            # Steal the device's in-flight chunks if it is still
+            # compiling: both sides may compute them (bit-identical;
+            # last write wins).
+            if not device_hot.is_set():
+                for ci in list(in_flight):
+                    for i, sk in zip(
+                        chunks[ci],
+                        ex.map(
+                            lambda i: sketch_file_native(paths[i], params),
+                            chunks[ci],
+                        ),
+                    ):
+                        out[i] = sk
+                    done_chunks += 1
     if done_chunks:
         logger.info(
             "compile shadow: host sketched %d/%d chunks while the "

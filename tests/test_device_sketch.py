@@ -489,6 +489,8 @@ def test_compile_shadowing_correct_and_engaged(tmp_path, monkeypatch):
         return orig(*a, **k)
 
     monkeypatch.setattr(ds, "device_sketch_batch", slow_batch)
+    # tiny grace so the 0.5s "compile" counts as a stall
+    monkeypatch.setenv("GALAH_TPU_SHADOW_GRACE", "0.05")
     # tiny chunks -> many of them -> the shadow has a tail to eat
     got = ds.device_sketch_files(
         paths, params, max_batch_bytes=1 << 14, shadow_threads=2
@@ -519,3 +521,34 @@ def test_compile_shadowing_kill_switch(tmp_path, monkeypatch):
     )
     for g, h in zip(got, (sketch_file_native(p, params) for p in paths)):
         _assert_sketch_equal(g, h)
+
+
+def test_shadow_grace_keeps_warm_runs_device_resident(tmp_path, monkeypatch):
+    """A device whose first batch lands within the grace window must
+    keep ALL chunks device-processed (no shadow claims: host-claimed
+    chunks would lose residency and re-upload at verify)."""
+    import galah_tpu.ops.device_sketch as ds
+
+    rng = np.random.default_rng(33)
+    params = _params_medium()
+    paths = []
+    for i in range(8):
+        p = tmp_path / f"g{i}.fna"
+        with open(p, "w") as f:
+            f.write(">c0\n" + _random_seq(rng, 4000).decode() + "\n")
+        paths.append(str(p))
+
+    calls = []
+    orig = ds.device_sketch_batch
+
+    def counting(*a, **k):
+        calls.append(len(a[0]))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ds, "device_sketch_batch", counting)
+    monkeypatch.setenv("GALAH_TPU_SHADOW_GRACE", "30")
+    got = ds.device_sketch_files(
+        paths, params, max_batch_bytes=1 << 13, shadow_threads=2
+    )
+    assert sum(calls) == len(paths), calls  # every chunk on device
+    assert all(g is not None for g in got)
