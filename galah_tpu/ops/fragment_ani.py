@@ -799,10 +799,11 @@ def _query_from_arena(hash_arena, offs_arena, h_off, o_off, n, f,
 
 
 def _arena_capacities():
-    """(hash_capacity, frag_capacity) defaults: 2^26 int32 (256MB) on
-    accelerators — holds ~1000 MAG-scale streams or ~100k small-contig
-    streams — and 2^22 on CPU (tests; host RAM). Env:
-    GALAH_TPU_ARENA_HASHES / GALAH_TPU_ARENA_FRAGS."""
+    """(hash_capacity, frag_capacity) defaults: 2^27 int32 (512MB) on
+    accelerators — holds ~2000 MAG-scale streams or ~250k small-contig
+    streams (2^26 thrashed on the 2048-genome chip e2e) — and 2^22 on
+    CPU (tests; host RAM). Env: GALAH_TPU_ARENA_HASHES /
+    GALAH_TPU_ARENA_FRAGS."""
     import os
 
     hc = os.environ.get("GALAH_TPU_ARENA_HASHES")
@@ -810,7 +811,7 @@ def _arena_capacities():
     if jax.default_backend() in ("cpu",):
         dh, df = 1 << 22, 1 << 18
     else:
-        dh, df = 1 << 26, 1 << 22
+        dh, df = 1 << 27, 1 << 23
     return (int(hc) if hc else dh, int(fc) if fc else df)
 
 
@@ -1020,11 +1021,20 @@ class FragmentAniEngine:
         did = device.id if device is not None else -1
         pool = self._pools.get(did)
         if pool is None:
+            words = self.cfg.member_bits // 32
+            hard_cap = self.cfg.max_cached_bitmaps
+            if jax.default_backend() not in ("cpu",):
+                # Accelerators size the bitmap residency to ~2GB of HBM
+                # (v5e: 16GB total): at the default 2^22-bit member
+                # space that is 4096 genomes resident — the config's
+                # 512 floor caused LRU thrash (re-uploads) on 2048+
+                # genome corpora.
+                hard_cap = max(hard_cap, (2 << 30) // (words * 4))
             pool = _BitmapPool(
-                self.cfg.member_bits // 32,
+                words,
                 device,
                 capacity=64,
-                hard_cap=self.cfg.max_cached_bitmaps,
+                hard_cap=hard_cap,
             )
             self._pools[did] = pool
         return pool
