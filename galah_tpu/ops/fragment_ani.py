@@ -1270,6 +1270,14 @@ class FragmentAniEngine:
             # runs fit many more pairs per dispatch either way.
             bitmap_bytes = cfg.member_bits // 8
             max_bitmaps = max(64, min(1024, (256 << 20) // bitmap_bytes))
+            # Dispatch sizing was A/B-measured on the v5e relay
+            # (benchmarks/verify_dispatch_probe.py, round 4): a MAG-
+            # scale dispatch (134 x 62.5k-hash pairs, 2^23 flat) costs
+            # ~250ms host-issued — mostly per-dispatch relay+gather
+            # cost — and RAISING the cap to 2^25 (392 pairs) measured
+            # WORSE per pair (534 -> 357 directed-pairs/s: the relay's
+            # per-dispatch cost scales super-linearly with program
+            # size). The 2^23 default stands on both backends.
             self._pair_table_verifier = PairTableVerifier(
                 PairTableConfig(
                     member_bits=cfg.member_bits,
