@@ -601,32 +601,42 @@ class StreamArena:
         {key: (hash_off, offs_off)}. Keys whose streams don't fit the
         arena at all are absent from the result (callers fall back to
         a per-dispatch upload). Uploads are batched by pow2 shape
-        buckets with the narrow transports (uint16 / packed 24-bit)."""
-        missing = []
-        for k in dict.fromkeys(keys):
-            if k in self._map:
-                continue
-            sk = sketches_by_key[k]
-            missing.append((k, sk))
-        # Allocate first (a reset mid-request must not orphan earlier
-        # fills of the same request: allocate everything, THEN check
-        # every span of this request survived, retrying once after a
-        # fresh reset if not).
-        for attempt in (0, 1):
-            for k, sk in missing:
-                if k not in self._map:
-                    self._alloc(k, len(sk.frag_buckets), sk.n_fragments)
-            alive = all(
-                k in self._map
-                for k, sk in missing
-                if len(sk.frag_buckets) <= self.hash_capacity
+        buckets with the narrow transports (uint16 / packed 24-bit).
+
+        Reset safety: _alloc may reset the arena mid-request, dropping
+        BOTH earlier allocations of this request and previously-
+        resident keys the request relies on. Each attempt therefore
+        recomputes what's missing from the CURRENT map (so evicted
+        pre-request residents are re-allocated too), and every key
+        allocated in ANY attempt is (re)filled at its final span."""
+        uniq = list(dict.fromkeys(keys))
+
+        def fits(sk):
+            return (
+                len(sk.frag_buckets) <= self.hash_capacity
                 and sk.n_fragments + 1 <= self.frag_capacity
             )
-            if alive:
+
+        fresh: set = set()
+        for attempt in (0, 1):
+            for k in uniq:
+                if k not in self._map and fits(sketches_by_key[k]):
+                    sk = sketches_by_key[k]
+                    self._alloc(k, len(sk.frag_buckets), sk.n_fragments)
+                    fresh.add(k)
+            if all(
+                k in self._map
+                for k in uniq
+                if fits(sketches_by_key[k])
+            ):
                 break
             self.reset()
         self._fill_host(
-            [(k, sk) for k, sk in missing if k in self._map]
+            [
+                (k, sketches_by_key[k])
+                for k in uniq
+                if k in fresh and k in self._map
+            ]
         )
         return {k: self._map[k] for k in keys if k in self._map}
 
