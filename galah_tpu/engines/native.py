@@ -470,7 +470,8 @@ class NativeContext:
                     for path, sks in zip(
                         missing,
                         device_sketch_contig_files(
-                            missing, self.params, sink=self._device_sink()
+                            missing, self.params, sink=self._device_sink(),
+                            shadow_threads=self.threads,
                         ),
                     ):
                         self._contig_store[path] = sks

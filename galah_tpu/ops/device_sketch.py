@@ -914,12 +914,148 @@ def _batch_genome_cap(P: int, params: NativeSketchParams) -> int:
     return max(1, _device_resident_budget() // max(per_genome, 1))
 
 
+
+# Device threads abandoned to the background (their compile still
+# populating the persistent cache) are joined at interpreter exit:
+# tearing down the process mid-XLA-compile segfaults in LLVM. In a
+# real run the compile finishes long before the pipeline does; only a
+# process that exits immediately after sketching waits here.
+_ABANDONED_THREADS: List = []
+
+
+def _join_abandoned_at_exit() -> None:
+    for t in _ABANDONED_THREADS:
+        if t.is_alive():
+            logger.info(
+                "waiting for a background sketch compile to finish "
+                "before exit (persistent-cache warm-up)"
+            )
+            t.join(timeout=1800)
+    _ABANDONED_THREADS.clear()
+
+
+def _run_shadowed(
+    n_chunks: int,
+    read_chunk,
+    process_on_device,
+    process_on_host,
+    all_done,
+    shadow_threads: int,
+    on_abandon=None,
+):
+    """Claim/steal scaffold shared by the genome- and contig-file
+    device sketchers (see device_sketch_files for the full rationale):
+    a device worker thread processes chunks front-to-back with
+    claim-ahead read prefetch; after a grace window, a host shadow
+    claims chunks from the END (and finally steals the device's
+    in-flight chunks) so a cold kernel compile never stalls the
+    pipeline; if the host completes everything first the call returns
+    immediately and the device compile finishes in the background.
+
+    read_chunk(ci) -> data (host reading); process_on_device(ci, data)
+    and process_on_host(ci, executor) fill the caller's outputs
+    (bit-identical, so double-computation of stolen chunks is benign);
+    all_done() -> bool over the caller's outputs. Returns True when
+    the device worker was abandoned to the background (callers then
+    must gate any late cache adoption — see the guarded sink)."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    lock = threading.Lock()
+    claimed = [False] * n_chunks
+    in_flight: dict = {}
+    device_hot = threading.Event()
+
+    def claim(from_end: bool):
+        with lock:
+            order = (
+                range(n_chunks - 1, -1, -1) if from_end
+                else range(n_chunks)
+            )
+            for ci in order:
+                if not claimed[ci]:
+                    claimed[ci] = True
+                    return ci
+        return None
+
+    def device_worker():
+        with ThreadPoolExecutor(max_workers=1) as reader:
+            ci = claim(from_end=False)
+            if ci is None:
+                device_hot.set()
+                return
+            in_flight[ci] = True
+            fut = reader.submit(read_chunk, ci)
+            while True:
+                data = fut.result()
+                nci = claim(from_end=False)
+                if nci is not None:
+                    in_flight[nci] = True
+                    nfut = reader.submit(read_chunk, nci)
+                process_on_device(ci, data)
+                in_flight.pop(ci, None)
+                device_hot.set()
+                if nci is None:
+                    return
+                ci, fut = nci, nfut
+
+    shadow = (
+        shadow_threads > 0
+        and n_chunks >= 1
+        and os.environ.get("GALAH_TPU_SKETCH_SHADOW", "1") != "0"
+    )
+    if not shadow:
+        device_worker()
+        return False
+
+    dev_t = threading.Thread(target=device_worker, daemon=True)
+    dev_t.start()
+
+    grace = float(os.environ.get("GALAH_TPU_SHADOW_GRACE", "30"))
+    done_chunks = 0
+    if not device_hot.wait(timeout=grace):
+        with ThreadPoolExecutor(max_workers=shadow_threads) as ex:
+            while not device_hot.is_set():
+                ci = claim(from_end=True)
+                if ci is None:
+                    break
+                process_on_host(ci, ex)
+                done_chunks += 1
+            if not device_hot.is_set():
+                for ci in list(in_flight):
+                    process_on_host(ci, ex)
+                    done_chunks += 1
+    if done_chunks:
+        logger.info(
+            "compile shadow: host sketched %d/%d chunks while the "
+            "device program compiled", done_chunks, n_chunks,
+        )
+    while dev_t.is_alive():
+        if all_done():
+            if on_abandon is not None:
+                on_abandon()
+            if not _ABANDONED_THREADS:
+                import atexit
+
+                atexit.register(_join_abandoned_at_exit)
+            _ABANDONED_THREADS.append(dev_t)
+            logger.info(
+                "compile shadow: host finished the corpus first; "
+                "leaving the device compile to finish in the "
+                "background (persistent-cache warm-up)"
+            )
+            return True
+        dev_t.join(timeout=0.25)
+    return False
+
+
 def device_sketch_contig_files(
     paths: Sequence[str],
     params: NativeSketchParams,
     *,
     max_batch_bytes: int = 256 << 20,
     sink=None,
+    shadow_threads: int = 0,
 ) -> List[List[NativeSketch]]:
     """One sketch per contig, per file, in file order — the device
     analog of sketch_contigs_native for --cluster-contigs (reference
@@ -953,51 +1089,101 @@ def device_sketch_contig_files(
 
     # Pass 2 — dispatch per bucket chunk; entries within a bucket are
     # in (file, contig) order, so each chunk touches a contiguous run
-    # of files and each (chunk, file) pair is read once.
+    # of files and each (chunk, file) pair is read once. The chunk loop
+    # runs under the shared compile-shadow scaffold (_run_shadowed):
+    # cold kernel compiles are hidden by host sketching, as in
+    # device_sketch_files.
+    chunk_descs: List[List[Tuple[int, int]]] = []
     for P, items in sorted(buckets.items()):
         per = max(
             1,
             min(max_batch_bytes // max(P, 1), _batch_genome_cap(P, params)),
         )
         for start in range(0, len(items), per):
-            chunk = items[start : start + per]
-            wanted: dict = {}
-            for pi, ci in chunk:
-                wanted.setdefault(pi, set()).add(ci)
-            recs: dict = {}
-            for pi, want in wanted.items():
-                last = max(want)
-                got = {}
-                for idx, rec in enumerate(read_fasta(paths[pi])):
-                    if idx in want:
-                        got[idx] = (rec.contig_name, rec.seq)
-                    if idx >= last:
-                        break
-                recs[pi] = got
-            cnames = [recs[pi][ci][0] for pi, ci in chunk]
-            clists = [[recs[pi][ci][1]] for pi, ci in chunk]
-            del recs
-            try:
-                if sink is not None:
-                    got_sk, dev = device_sketch_batch(
-                        cnames, clists, params, return_device=True
-                    )
-                    sink(cnames, got_sk, dev)
-                else:
-                    got_sk = device_sketch_batch(cnames, clists, params)
-            except DeviceSketchOverflow:
-                logger.warning(
-                    "device sketch overflow for a %d-contig batch; "
-                    "falling back to host sketching",
-                    len(chunk),
+            chunk_descs.append(items[start : start + per])
+
+    import threading
+
+    sink_lock = threading.Lock()
+    abandoned = threading.Event()
+
+    if sink is not None:
+        def guarded_sink(names, sketches, dev, _sink=sink):
+            with sink_lock:
+                if not abandoned.is_set():
+                    _sink(names, sketches, dev)
+    else:
+        guarded_sink = None
+
+    def read_chunk(ci):
+        chunk = chunk_descs[ci]
+        wanted: dict = {}
+        for pi, cj in chunk:
+            wanted.setdefault(pi, set()).add(cj)
+        recs: dict = {}
+        for pi, want in wanted.items():
+            last = max(want)
+            got = {}
+            for idx, rec in enumerate(read_fasta(paths[pi])):
+                if idx in want:
+                    got[idx] = (rec.contig_name, rec.seq)
+                if idx >= last:
+                    break
+            recs[pi] = got
+        cnames = [recs[pi][cj][0] for pi, cj in chunk]
+        clists = [[recs[pi][cj][1]] for pi, cj in chunk]
+        return cnames, clists
+
+    def process_on_device(ci, data):
+        cnames, clists = data
+        chunk = chunk_descs[ci]
+        try:
+            if guarded_sink is not None:
+                got_sk, dev = device_sketch_batch(
+                    cnames, clists, params, return_device=True
                 )
-                got_sk = [
-                    sketch_sequences_native(n, s, params)
-                    for n, s in zip(cnames, clists)
-                ]
-            for (pi, ci), sk in zip(chunk, got_sk):
-                out[pi][ci] = sk
-    return out  # type: ignore[return-value]
+                guarded_sink(cnames, got_sk, dev)
+            else:
+                got_sk = device_sketch_batch(cnames, clists, params)
+        except DeviceSketchOverflow:
+            logger.warning(
+                "device sketch overflow for a %d-contig batch; "
+                "falling back to host sketching",
+                len(chunk),
+            )
+            got_sk = [
+                sketch_sequences_native(n, s, params)
+                for n, s in zip(cnames, clists)
+            ]
+        for (pi, cj), sk in zip(chunk, got_sk):
+            out[pi][cj] = sk
+
+    def process_on_host(ci, ex):
+        cnames, clists = read_chunk(ci)
+        for (pi, cj), sk in zip(
+            chunk_descs[ci],
+            ex.map(
+                lambda t: sketch_sequences_native(t[0], t[1], params),
+                zip(cnames, clists),
+            ),
+        ):
+            out[pi][cj] = sk
+
+    def all_done():
+        return all(sk is not None for row in out for sk in row)
+
+    def on_abandon():
+        with sink_lock:
+            abandoned.set()
+
+    _run_shadowed(
+        len(chunk_descs), read_chunk, process_on_device,
+        process_on_host, all_done, shadow_threads, on_abandon=on_abandon,
+    )
+    assert all_done()
+    # Snapshot: an abandoned device thread may still write identical-
+    # value entries after return.
+    return [list(row) for row in out]  # type: ignore[return-value]
 
 
 def _words_to_buckets(words: np.ndarray) -> np.ndarray:
@@ -1062,29 +1248,17 @@ def device_sketch_files(
             chunks.append(idxs[start : start + per])
 
     import threading
-    from concurrent.futures import ThreadPoolExecutor
 
-    # Compile shadowing: a cold compile of the routed kernel costs
-    # minutes through a remote-compile relay (~5 min per new shape
-    # bucket; the persistent cache makes it once-ever, but SOMEONE pays
-    # the first run). The device loop runs on a worker thread; while
-    # its first batch is stuck in compile, the host shadow (this
-    # thread) claims chunks from the END of the queue and sketches them
-    # with the bit-identical C++/numpy sketcher. If the host finishes
-    # EVERYTHING (including stealing the device's in-flight chunks)
-    # before the device produces its first batch, the call returns
-    # immediately — the compile completes in the background, populating
-    # the persistent cache for every later run, with its late results
-    # discarded (identical values; adoption is abandoned under a lock
-    # so the verify caches are never mutated after handoff). A cold
-    # compile therefore never appears in any run's wall clock. Warm
-    # runs: the first device batch lands quickly, the shadow stops
-    # claiming, and at most ~one chunk loses device residency.
-    # GALAH_TPU_SKETCH_SHADOW=0 disables.
-    lock = threading.Lock()
-    claimed = [False] * len(chunks)
-    in_flight: dict = {}  # chunks claimed by the device, not yet done
-    device_hot = threading.Event()
+    # Compile shadowing (see _run_shadowed): a cold compile of the
+    # routed kernel costs minutes through a remote-compile relay; the
+    # device loop runs on a worker thread while the host shadow (after
+    # a grace window) sketches chunks from the END of the queue with
+    # the bit-identical C++/numpy sketcher, steals the device's
+    # in-flight chunks if needed, and lets the call return as soon as
+    # the corpus is done — the background compile still lands in the
+    # persistent cache, with its late results discarded (identical
+    # values) and cache adoption abandoned under a lock.
+    # GALAH_TPU_SKETCH_SHADOW=0 disables; GALAH_TPU_SHADOW_GRACE tunes.
     sink_lock = threading.Lock()
     abandoned = threading.Event()
 
@@ -1096,20 +1270,8 @@ def device_sketch_files(
     else:
         guarded_sink = None
 
-    def claim(from_end: bool):
-        with lock:
-            order = (
-                range(len(chunks) - 1, -1, -1) if from_end
-                else range(len(chunks))
-            )
-            for ci in order:
-                if not claimed[ci]:
-                    claimed[ci] = True
-                    return ci
-        return None
-
-    def _read_chunk(chunk):
-        return [read_fasta_sequences(paths[i]) for i in chunk]
+    def read_chunk(ci):
+        return [read_fasta_sequences(paths[i]) for i in chunks[ci]]
 
     def process_on_device(ci, lists):
         chunk = chunks[ci]
@@ -1141,104 +1303,31 @@ def device_sketch_files(
             ]
         for i, sk in zip(chunk, sketches):
             out[i] = sk
-        in_flight.pop(ci, None)
-        device_hot.set()
 
-    def device_worker():
-        # Claim-ahead prefetch: read the next chunk's FASTA while the
-        # device computes the current one (read time rivals hash time
-        # on production hosts).
-        with ThreadPoolExecutor(max_workers=1) as reader:
-            ci = claim(from_end=False)
-            if ci is None:
-                device_hot.set()
-                return
-            in_flight[ci] = True
-            fut = reader.submit(_read_chunk, chunks[ci])
-            while True:
-                lists = fut.result()
-                nci = claim(from_end=False)
-                if nci is not None:
-                    in_flight[nci] = True
-                    nfut = reader.submit(_read_chunk, chunks[nci])
-                process_on_device(ci, lists)
-                if nci is None:
-                    return
-                ci, fut = nci, nfut
+    def process_on_host(ci, ex):
+        from galah_tpu.sketch.fracminhash import sketch_file_native
 
-    shadow = (
-        shadow_threads > 0
-        and len(chunks) >= 1
-        and os.environ.get("GALAH_TPU_SKETCH_SHADOW", "1") != "0"
+        for i, sk in zip(
+            chunks[ci],
+            ex.map(
+                lambda i: sketch_file_native(paths[i], params),
+                chunks[ci],
+            ),
+        ):
+            out[i] = sk
+
+    def all_done():
+        return all(sk is not None for sk in out)
+
+    def on_abandon():
+        with sink_lock:
+            abandoned.set()
+
+    _run_shadowed(
+        len(chunks), read_chunk, process_on_device, process_on_host,
+        all_done, shadow_threads, on_abandon=on_abandon,
     )
-    if not shadow:
-        device_worker()
-        assert all(sk is not None for sk in out)
-        return out  # type: ignore[return-value]
-
-    dev_t = threading.Thread(target=device_worker, daemon=True)
-    dev_t.start()
-
-    from galah_tpu.sketch.fracminhash import sketch_file_native
-
-    # Grace window before the shadow claims anything: a WARM device
-    # lands its first batch within it, and the shadow then does nothing
-    # — host-claimed chunks lose device residency (their streams and
-    # bitmaps re-upload at verify), which on a slow link costs far more
-    # than the sub-second of host sketching the shadow would save. Only
-    # a genuinely stalled device (cold kernel compile: minutes) is
-    # worth shadowing. GALAH_TPU_SHADOW_GRACE seconds, default 30.
-    grace = float(os.environ.get("GALAH_TPU_SHADOW_GRACE", "30"))
-    done_chunks = 0
-    if not device_hot.wait(timeout=grace):
-        with ThreadPoolExecutor(max_workers=shadow_threads) as ex:
-            while not device_hot.is_set():
-                ci = claim(from_end=True)
-                if ci is None:
-                    break
-                for i, sk in zip(
-                    chunks[ci],
-                    ex.map(
-                        lambda i: sketch_file_native(paths[i], params),
-                        chunks[ci],
-                    ),
-                ):
-                    out[i] = sk
-                done_chunks += 1
-            # Steal the device's in-flight chunks if it is still
-            # compiling: both sides may compute them (bit-identical;
-            # last write wins).
-            if not device_hot.is_set():
-                for ci in list(in_flight):
-                    for i, sk in zip(
-                        chunks[ci],
-                        ex.map(
-                            lambda i: sketch_file_native(paths[i], params),
-                            chunks[ci],
-                        ),
-                    ):
-                        out[i] = sk
-                    done_chunks += 1
-    if done_chunks:
-        logger.info(
-            "compile shadow: host sketched %d/%d chunks while the "
-            "device program compiled", done_chunks, len(chunks),
-        )
-    # Wait for the device unless the host already produced everything —
-    # in that case abandon the in-flight device batch to the background
-    # (its compile still lands in the persistent cache).
-    while dev_t.is_alive():
-        if all(sk is not None for sk in out):
-            with sink_lock:
-                abandoned.set()
-            logger.info(
-                "compile shadow: host finished the corpus first; "
-                "leaving the device compile to finish in the "
-                "background (persistent-cache warm-up)"
-            )
-            break
-        dev_t.join(timeout=0.25)
-    assert all(sk is not None for sk in out)
-    # Return a snapshot: the abandoned device thread may still write
-    # (identical-value) entries into `out` after we return.
+    assert all_done()
+    # Snapshot: an abandoned device thread may still write identical-
+    # value entries into `out` after we return.
     return list(out)  # type: ignore[return-value]

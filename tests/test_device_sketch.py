@@ -495,6 +495,7 @@ def test_compile_shadowing_correct_and_engaged(tmp_path, monkeypatch):
     got = ds.device_sketch_files(
         paths, params, max_batch_bytes=1 << 14, shadow_threads=2
     )
+    ds._join_abandoned_at_exit()  # don't leak the background thread
     hosts = [sketch_file_native(p, params) for p in paths]
     for g, h in zip(got, hosts):
         assert g.name == h.name
@@ -552,3 +553,45 @@ def test_shadow_grace_keeps_warm_runs_device_resident(tmp_path, monkeypatch):
     )
     assert sum(calls) == len(paths), calls  # every chunk on device
     assert all(g is not None for g in got)
+
+
+def test_contig_shadowing_correct(tmp_path, monkeypatch):
+    """Contig-mode compile shadowing: a stalled first device batch must
+    leave outputs bit-identical to pure host sketching (the shared
+    _run_shadowed scaffold, contig leg)."""
+    import time
+
+    import galah_tpu.ops.device_sketch as ds
+    from galah_tpu.sketch.fracminhash import sketch_contigs_native
+
+    rng = np.random.default_rng(41)
+    params = _params_medium()
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"f{i}.fna"
+        with open(p, "w") as f:
+            for j in range(6):
+                f.write(f">c{i}_{j}\n")
+                f.write(_random_seq(rng, 2000 + 37 * j).decode() + "\n")
+        paths.append(str(p))
+
+    calls = []
+    orig = ds.device_sketch_batch
+
+    def slow_batch(*a, **k):
+        if not calls:
+            time.sleep(0.5)
+        calls.append(len(a[0]))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ds, "device_sketch_batch", slow_batch)
+    monkeypatch.setenv("GALAH_TPU_SHADOW_GRACE", "0.05")
+    got = ds.device_sketch_contig_files(
+        paths, params, max_batch_bytes=1 << 13, shadow_threads=2
+    )
+    ds._join_abandoned_at_exit()  # don't leak the background thread
+    for p, sks in zip(paths, got):
+        hosts = sketch_contigs_native(p, params)
+        assert [s.name for s in sks] == [h.name for h in hosts]
+        for d, h in zip(sks, hosts):
+            _assert_sketch_equal(d, h)
