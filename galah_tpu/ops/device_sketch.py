@@ -965,6 +965,7 @@ def _run_shadowed(
     claimed = [False] * n_chunks
     in_flight: dict = {}
     device_hot = threading.Event()
+    first_read_done = threading.Event()
 
     def claim(from_end: bool):
         with lock:
@@ -983,11 +984,13 @@ def _run_shadowed(
             ci = claim(from_end=False)
             if ci is None:
                 device_hot.set()
+                first_read_done.set()
                 return
             in_flight[ci] = True
             fut = reader.submit(read_chunk, ci)
             while True:
                 data = fut.result()
+                first_read_done.set()
                 nci = claim(from_end=False)
                 if nci is not None:
                     in_flight[nci] = True
@@ -1011,8 +1014,12 @@ def _run_shadowed(
     dev_t = threading.Thread(target=device_worker, daemon=True)
     dev_t.start()
 
+    # The grace clock starts when the first chunk's READ completes —
+    # a slow FASTA read is not a compile stall, and a needlessly
+    # engaged shadow costs GIL contention and device residency.
     grace = float(os.environ.get("GALAH_TPU_SHADOW_GRACE", "30"))
     done_chunks = 0
+    first_read_done.wait()
     if not device_hot.wait(timeout=grace):
         with ThreadPoolExecutor(max_workers=shadow_threads) as ex:
             while not device_hot.is_set():
