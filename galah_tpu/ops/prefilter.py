@@ -86,6 +86,45 @@ def _resident_screen_extract(
     return cnt, ii, jj, vals.astype(jnp.bfloat16)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("block", "cap", "is_diag", "dtname"),
+)
+def _resident_screen_extract_group(
+    x_all, sizes, bis, bjs, bits_f, min_cont, *,
+    block: int, cap: int, is_diag: bool, dtname: str,
+):
+    """K tiles of the resident sweep in ONE dispatch (lax.map over the
+    (bi, bj) lists): on a remote-relay backend each host-issued
+    dispatch costs hundreds of ms REGARDLESS of its size and dispatches
+    do not overlap (benchmarks/verify_dispatch_probe.py), so the
+    325-tile 100k-contig sweep was relay-bound at 140-2300s while its
+    device compute is seconds. Grouping divides both the dispatch count
+    and the result-fetch count by K; memory stays one tile's
+    temporaries plus (K, cap) outputs. Bit-identical to per-tile
+    dispatches (same kernel body, jit-inlined)."""
+    return jax.lax.map(
+        lambda t: _resident_screen_extract(
+            x_all, sizes, t[0], t[1], bits_f, min_cont,
+            block=block, cap=cap, is_diag=is_diag, dtname=dtname,
+        ),
+        (bis, bjs),
+    )
+
+
+def _screen_tile_group() -> int:
+    """Tiles per resident-screen dispatch. >1 amortizes per-dispatch
+    relay cost; 1 restores per-tile dispatches (CPU default — no relay,
+    and lax.map would serialize what XLA:CPU parallelizes across
+    calls). GALAH_TPU_SCREEN_TILE_GROUP overrides."""
+    import os
+
+    env = os.environ.get("GALAH_TPU_SCREEN_TILE_GROUP")
+    if env:
+        return max(1, int(env))
+    return 1 if jax.default_backend() in ("cpu",) else 8
+
+
 @partial(jax.jit, static_argnames=("cap", "is_diag", "dtname"))
 def _block_screen_extract_packed(
     si_pk: jax.Array,
@@ -689,9 +728,7 @@ def screen_triangle_packed(
         sj, aj = (si, ai) if bj == bi else make_block(bj)
         return si, sj, ai, aj
 
-    def drain(item) -> None:
-        bi, bj, res = item
-
+    def drain_one(bi: int, bj: int, res) -> None:
         def dense_cont():
             si, sj, ai, aj = dense_blocks(bi, bj)
             return np.array(
@@ -717,23 +754,67 @@ def screen_triangle_packed(
             keep_rows=n, keep_cols=n, pairs=pairs, anis=anis,
         )
 
+    def drain(item) -> None:
+        if item[0] == "g":
+            # Grouped tiles: pull each stacked output once, then drain
+            # per tile from the host copies.
+            _, grp, res = item
+            cnts = np.asarray(res[0])
+            iis = np.asarray(res[1])
+            jjs = np.asarray(res[2])
+            vss = np.asarray(res[3])
+            for t, (bi, bj) in enumerate(grp):
+                drain_one(bi, bj, (cnts[t], iis[t], jjs[t], vss[t]))
+        else:
+            _, (bi, bj), res = item
+            drain_one(bi, bj, res)
+
     # Sliding-window issue/drain: at most TILE_WINDOW tile results are
     # in flight, so device result buffers and host pulls stay O(window)
     # for arbitrarily long sweeps (previously the whole sweep's results
     # were issued before any drain).
     pending: deque = deque()
     if use_resident:
+        # Tiles dispatch in GROUPS of `group` per RPC (lax.map): the
+        # per-dispatch relay cost dominated large sweeps. Diagonal and
+        # off-diagonal tiles batch separately (is_diag is static);
+        # remainders go as single-tile dispatches, so exactly two
+        # compiled shapes exist per (block, cap, dtname).
+        group = _screen_tile_group()
+        bufs = {True: [], False: []}
+
+        def issue(buf, is_diag: bool, force: bool) -> None:
+            while len(buf) >= group or (force and buf):
+                grp = buf[: group if len(buf) >= group else 1]
+                del buf[: len(grp)]
+                if len(grp) == 1:
+                    bi, bj = grp[0]
+                    res = _resident_screen_extract(
+                        x_all, s_dev, jnp.int32(bi), jnp.int32(bj),
+                        block=block, bits_f=float(bits),
+                        min_cont=min_cont_f, cap=cap, is_diag=is_diag,
+                        dtname=dtn,
+                    )
+                    pending.append(("s", grp[0], res))
+                else:
+                    res = _resident_screen_extract_group(
+                        x_all, s_dev,
+                        jnp.asarray([t[0] for t in grp], jnp.int32),
+                        jnp.asarray([t[1] for t in grp], jnp.int32),
+                        jnp.float32(bits), jnp.float32(min_cont_f),
+                        block=block, cap=cap, is_diag=is_diag,
+                        dtname=dtn,
+                    )
+                    pending.append(("g", grp, res))
+                while len(pending) > TILE_WINDOW:
+                    drain(pending.popleft())
+
         for bi in range(nblocks):
             for bj in range(bi, nblocks):
-                res = _resident_screen_extract(
-                    x_all, s_dev, jnp.int32(bi), jnp.int32(bj),
-                    block=block, bits_f=float(bits),
-                    min_cont=min_cont_f, cap=cap, is_diag=bj == bi,
-                    dtname=dtn,
-                )
-                pending.append((bi, bj, res))
-                if len(pending) > TILE_WINDOW:
-                    drain(pending.popleft())
+                bufs[bj == bi].append((bi, bj))
+                issue(bufs[bj == bi], bj == bi, force=False)
+        issue(bufs[True], True, force=True)
+        issue(bufs[False], False, force=True)
     else:
         for bi in range(math.ceil(n / block)):
             si, ai = get_block(bi) if cache_blocks else make_block(bi)
@@ -749,7 +830,7 @@ def screen_triangle_packed(
                 # Do NOT keep the device blocks alive in the window — in
                 # streaming (low-memory) mode that would pin every
                 # tile's buffers; overflow re-makes them instead.
-                pending.append((bi, bj, res))
+                pending.append(("s", (bi, bj), res))
                 if len(pending) > TILE_WINDOW:
                     drain(pending.popleft())
     while pending:

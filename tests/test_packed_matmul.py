@@ -62,3 +62,44 @@ def test_packed_intersect_matmul_shape_validation():
     a = jnp.zeros((128, 64), jnp.uint32)
     with pytest.raises(ValueError, match="mismatch"):
         packed_intersect_matmul(a, b, tm=128, tn=128, kw=32, interpret=True)
+
+
+def test_grouped_tile_dispatch_matches_single(monkeypatch):
+    """GALAH_TPU_SCREEN_TILE_GROUP>1 batches resident-sweep tiles into
+    lax.map dispatches; results must be identical to per-tile
+    dispatches (same kernel body)."""
+    import numpy as np
+
+    from galah_tpu.ops.popcount_screen import pack_indicator
+    from galah_tpu.ops.prefilter import screen_triangle_packed
+
+    rng = np.random.default_rng(17)
+    n, bits = 700, 4096
+    ind = (rng.random((n, bits)) < 0.06).astype(np.uint8)
+    # plant duplicates so hits exist, including on a diagonal tile
+    ind[1] = ind[0]
+    ind[650] = ind[649]
+    sizes = ind.sum(axis=1)
+    packed = [
+        np.packbits(row.astype(bool), bitorder="little").view(np.uint32)
+        for row in ind
+    ]
+
+    def run(group):
+        monkeypatch.setenv("GALAH_TPU_SCREEN_TILE_GROUP", str(group))
+        monkeypatch.setenv("GALAH_TPU_SCREEN_BLOCK", "128")
+        res = screen_triangle_packed(
+            packed, sizes, k=15, min_containment=0.3, bits=bits
+        )
+        monkeypatch.delenv("GALAH_TPU_SCREEN_BLOCK")
+        order = np.lexsort((res.pairs[:, 1], res.pairs[:, 0]))
+        return res.pairs[order], res.ani_est[order]
+
+    p1, a1 = run(1)
+    p3, a3 = run(3)
+    p8, a8 = run(8)
+    np.testing.assert_array_equal(p1, p3)
+    np.testing.assert_array_equal(p1, p8)
+    np.testing.assert_array_equal(a1, a3)
+    np.testing.assert_array_equal(a1, a8)
+    assert len(p1) >= 2
