@@ -898,9 +898,7 @@ def screen_rectangle_packed(
 
     ref_block0 = nq_pad // block
 
-    def drain(item) -> None:
-        bi, bj, res = item
-
+    def drain_one(bi: int, bj: int, res) -> None:
         def dense_cont():
             lo_i, lo_j = bi * block, nq_pad + bj * block
             return np.array(
@@ -925,18 +923,53 @@ def screen_rectangle_packed(
             keep_rows=nq, keep_cols=nr, pairs=pairs, anis=anis,
         )
 
+    def drain(item) -> None:
+        if item[0] == "g":
+            _, grp, res = item
+            cnts, iis, jjs, vss = (np.asarray(r) for r in res)
+            for t, (bi, bj) in enumerate(grp):
+                drain_one(bi, bj, (cnts[t], iis[t], jjs[t], vss[t]))
+        else:
+            _, (bi, bj), res = item
+            drain_one(bi, bj, res)
+
+    # Tiles dispatch in GROUPS per RPC exactly as in the triangle sweep
+    # above (all rectangle tiles share is_diag=False, so a single
+    # compiled group shape per (block, cap, dtname) exists here).
     pending: deque = deque()
+    group = _screen_tile_group()
+    buf: List = []
+
+    def issue(force: bool) -> None:
+        while len(buf) >= group or (force and buf):
+            grp = buf[: group if len(buf) >= group else 1]
+            del buf[: len(grp)]
+            if len(grp) == 1:
+                bi, bj = grp[0]
+                res = _resident_screen_extract(
+                    x_all, s_dev, jnp.int32(bi), jnp.int32(ref_block0 + bj),
+                    block=block, bits_f=float(bits),
+                    min_cont=min_cont_f, cap=cap, is_diag=False,
+                    dtname=dtn,
+                )
+                pending.append(("s", grp[0], res))
+            else:
+                res = _resident_screen_extract_group(
+                    x_all, s_dev,
+                    jnp.asarray([t[0] for t in grp], jnp.int32),
+                    jnp.asarray([ref_block0 + t[1] for t in grp], jnp.int32),
+                    jnp.float32(bits), jnp.float32(min_cont_f),
+                    block=block, cap=cap, is_diag=False, dtname=dtn,
+                )
+                pending.append(("g", grp, res))
+            while len(pending) > TILE_WINDOW:
+                drain(pending.popleft())
+
     for bi in range(nq_pad // block):
         for bj in range(nr_pad // block):
-            res = _resident_screen_extract(
-                x_all, s_dev, jnp.int32(bi), jnp.int32(ref_block0 + bj),
-                block=block, bits_f=float(bits),
-                min_cont=min_cont_f, cap=cap, is_diag=False,
-                dtname=dtn,
-            )
-            pending.append((bi, bj, res))
-            if len(pending) > TILE_WINDOW:
-                drain(pending.popleft())
+            buf.append((bi, bj))
+            issue(force=False)
+    issue(force=True)
     while pending:
         drain(pending.popleft())
 

@@ -103,3 +103,37 @@ def test_grouped_tile_dispatch_matches_single(monkeypatch):
     np.testing.assert_array_equal(a1, a3)
     np.testing.assert_array_equal(a1, a8)
     assert len(p1) >= 2
+
+
+def test_grouped_rectangle_dispatch_matches_single(monkeypatch):
+    """The rectangle (reference-mode) resident sweep groups tiles the
+    same way; results must be identical to per-tile dispatches."""
+    import numpy as np
+
+    from galah_tpu.ops.prefilter import screen_rectangle_packed
+
+    rng = np.random.default_rng(23)
+    nq, nr, bits = 500, 300, 4096
+    qi = (rng.random((nq, bits)) < 0.06).astype(np.uint8)
+    ri = (rng.random((nr, bits)) < 0.06).astype(np.uint8)
+    ri[5] = qi[3]  # plant a hit
+    ri[250] = qi[480]
+    qs = qi.sum(axis=1)
+    rs = ri.sum(axis=1)
+    qp = [np.packbits(r.astype(bool), bitorder="little").view(np.uint32) for r in qi]
+    rp = [np.packbits(r.astype(bool), bitorder="little").view(np.uint32) for r in ri]
+
+    def run(group):
+        monkeypatch.setenv("GALAH_TPU_SCREEN_TILE_GROUP", str(group))
+        monkeypatch.setenv("GALAH_TPU_SCREEN_BLOCK", "128")
+        res = screen_rectangle_packed(qp, qs, rp, rs, k=15,
+                                      min_containment=0.3, bits=bits)
+        monkeypatch.delenv("GALAH_TPU_SCREEN_BLOCK")
+        order = np.lexsort((res.pairs[:, 1], res.pairs[:, 0]))
+        return res.pairs[order], res.ani_est[order]
+
+    p1, a1 = run(1)
+    p3, a3 = run(3)
+    np.testing.assert_array_equal(p1, p3)
+    np.testing.assert_array_equal(a1, a3)
+    assert len(p1) >= 2
