@@ -95,21 +95,92 @@ def _resident_screen_extract_group(
     block: int, cap: int, is_diag: bool, dtname: str,
 ):
     """K tiles of the resident sweep in ONE dispatch (lax.map over the
-    (bi, bj) lists): on a remote-relay backend each host-issued
-    dispatch costs hundreds of ms REGARDLESS of its size and dispatches
-    do not overlap (benchmarks/verify_dispatch_probe.py), so the
-    325-tile 100k-contig sweep was relay-bound at 140-2300s while its
-    device compute is seconds. Grouping divides both the dispatch count
-    and the result-fetch count by K; memory stays one tile's
-    temporaries plus (K, cap) outputs. Bit-identical to per-tile
-    dispatches (same kernel body, jit-inlined)."""
-    return jax.lax.map(
+    (bi, bj) lists), compacted into ONE packed int32 result buffer: on
+    a remote-relay backend each host-issued dispatch costs hundreds of
+    ms REGARDLESS of its size and dispatches do not overlap
+    (benchmarks/verify_dispatch_probe.py), so the 325-tile 100k-contig
+    sweep was relay-bound at 140-2300s while its device compute is
+    seconds. Grouping divides the dispatch count by K; the compaction
+    divides the result-fetch bytes by ~K*10/6 more (the K*(cap,)
+    per-tile buffers are typically <1% full — survivors concatenate
+    into a single (cap,) region via a monotone searchsorted gather, so
+    the fetch is one buffer of K + cap + cap/2 int32 words instead of
+    4K buffers of cap words).
+
+    Layout: [cnts (K,) int32 | codes (cap,) int32 = ii*block + jj |
+    vals (cap/2,) int32 = two bf16 bit patterns per word]. Per-tile
+    survivor order (row-major) is preserved, so decoding is
+    bit-identical to per-tile dispatches. Tiles whose cnt is the
+    row-overflow marker (<0) or exceeds cap contribute zero entries
+    (the drain re-extracts/denses them — same contract as single
+    tiles); if the group's total survivors exceed cap the host
+    re-dispatches the tiles singly (detectable from the cnts alone)."""
+    cnts, iis, jjs, vss = jax.lax.map(
         lambda t: _resident_screen_extract(
             x_all, sizes, t[0], t[1], bits_f, min_cont,
             block=block, cap=cap, is_diag=is_diag, dtname=dtname,
         ),
         (bis, bjs),
     )
+    k_tiles = cnts.shape[0]
+    cnts = cnts.astype(jnp.int32)
+    valid = jnp.where((cnts >= 0) & (cnts <= cap), cnts, 0)
+    off = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(valid, dtype=jnp.int32)]
+    )
+    total = off[-1]
+    d = jnp.arange(cap, dtype=jnp.int32)
+    t_of = jnp.clip(
+        jnp.searchsorted(off, d, side="right").astype(jnp.int32) - 1,
+        0, k_tiles - 1,
+    )
+    src = jnp.clip(t_of * cap + (d - off[t_of]), 0, k_tiles * cap - 1)
+    ok = d < jnp.minimum(total, cap)
+    codes = jnp.where(
+        ok,
+        iis.reshape(-1)[src] * block + jjs.reshape(-1)[src],
+        0,
+    ).astype(jnp.int32)
+    v16 = jax.lax.bitcast_convert_type(
+        vss.reshape(-1)[src], jnp.uint16
+    ).astype(jnp.uint32)
+    v16 = jnp.where(ok, v16, 0)
+    vals_pk = jax.lax.bitcast_convert_type(
+        v16[0::2] | (v16[1::2] << 16), jnp.int32
+    )
+    return jnp.concatenate([cnts, codes, vals_pk])
+
+
+def _decode_group_result(buf: np.ndarray, k_tiles: int, cap: int, block: int):
+    """Host-side decode of _resident_screen_extract_group's packed
+    buffer. Returns (cnts, per_tile) where per_tile is a list of
+    (cnt, ii, jj, vals) ready for _drain_tile — or (cnts, None) when
+    the group's survivors overflowed the shared cap region and the
+    caller must re-dispatch the tiles singly."""
+    import ml_dtypes
+
+    cnts = buf[:k_tiles]
+    valid = np.where((cnts >= 0) & (cnts <= cap), cnts, 0)
+    if int(valid.sum()) > cap:
+        return cnts, None
+    codes = buf[k_tiles : k_tiles + cap]
+    vp = buf[k_tiles + cap :].view(np.uint32)
+    v16 = np.empty(cap, np.uint16)
+    v16[0::2] = (vp & 0xFFFF).astype(np.uint16)
+    v16[1::2] = (vp >> 16).astype(np.uint16)
+    vals = v16.view(ml_dtypes.bfloat16)
+    per_tile = []
+    off = 0
+    for t in range(k_tiles):
+        v = int(valid[t])
+        per_tile.append((
+            int(cnts[t]),
+            (codes[off : off + v] // block).astype(np.int32),
+            (codes[off : off + v] % block).astype(np.int32),
+            vals[off : off + v],
+        ))
+        off += v
+    return cnts, per_tile
 
 
 def _screen_tile_group() -> int:
@@ -756,15 +827,25 @@ def screen_triangle_packed(
 
     def drain(item) -> None:
         if item[0] == "g":
-            # Grouped tiles: pull each stacked output once, then drain
-            # per tile from the host copies.
+            # Grouped tiles: ONE packed-buffer pull, decoded per tile.
             _, grp, res = item
-            cnts = np.asarray(res[0])
-            iis = np.asarray(res[1])
-            jjs = np.asarray(res[2])
-            vss = np.asarray(res[3])
-            for t, (bi, bj) in enumerate(grp):
-                drain_one(bi, bj, (cnts[t], iis[t], jjs[t], vss[t]))
+            _, per_tile = _decode_group_result(
+                np.asarray(res), len(grp), cap, block
+            )
+            if per_tile is None:
+                # Group-cap overflow (survivors > cap across the K
+                # tiles): re-dispatch singly — rare, dense corpora only.
+                for bi, bj in grp:
+                    res1 = _resident_screen_extract(
+                        x_all, s_dev, jnp.int32(bi), jnp.int32(bj),
+                        block=block, bits_f=float(bits),
+                        min_cont=min_cont_f, cap=cap, is_diag=bj == bi,
+                        dtname=dtn,
+                    )
+                    drain_one(bi, bj, res1)
+            else:
+                for t, (bi, bj) in enumerate(grp):
+                    drain_one(bi, bj, per_tile[t])
         else:
             _, (bi, bj), res = item
             drain_one(bi, bj, res)
@@ -926,9 +1007,22 @@ def screen_rectangle_packed(
     def drain(item) -> None:
         if item[0] == "g":
             _, grp, res = item
-            cnts, iis, jjs, vss = (np.asarray(r) for r in res)
-            for t, (bi, bj) in enumerate(grp):
-                drain_one(bi, bj, (cnts[t], iis[t], jjs[t], vss[t]))
+            _, per_tile = _decode_group_result(
+                np.asarray(res), len(grp), cap, block
+            )
+            if per_tile is None:
+                for bi, bj in grp:
+                    res1 = _resident_screen_extract(
+                        x_all, s_dev, jnp.int32(bi),
+                        jnp.int32(ref_block0 + bj),
+                        block=block, bits_f=float(bits),
+                        min_cont=min_cont_f, cap=cap, is_diag=False,
+                        dtname=dtn,
+                    )
+                    drain_one(bi, bj, res1)
+            else:
+                for t, (bi, bj) in enumerate(grp):
+                    drain_one(bi, bj, per_tile[t])
         else:
             _, (bi, bj), res = item
             drain_one(bi, bj, res)

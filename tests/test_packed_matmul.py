@@ -137,3 +137,38 @@ def test_grouped_rectangle_dispatch_matches_single(monkeypatch):
     np.testing.assert_array_equal(p1, p3)
     np.testing.assert_array_equal(a1, a3)
     assert len(p1) >= 2
+
+
+def test_grouped_dispatch_group_cap_overflow_fallback(monkeypatch):
+    """When a group's total survivors exceed the shared cap region the
+    drain re-dispatches tiles singly; a fully-dense corpus (every pair
+    passes) exercises that path and must match per-tile results."""
+    import numpy as np
+
+    from galah_tpu.ops.prefilter import screen_triangle_packed
+
+    rng = np.random.default_rng(31)
+    n, bits = 600, 4096
+    base = (rng.random(bits) < 0.06).astype(np.uint8)
+    ind = np.tile(base, (n, 1))  # identical rows: all pairs hit
+    sizes = ind.sum(axis=1)
+    packed = [
+        np.packbits(row.astype(bool), bitorder="little").view(np.uint32)
+        for row in ind
+    ]
+
+    def run(group):
+        monkeypatch.setenv("GALAH_TPU_SCREEN_TILE_GROUP", str(group))
+        monkeypatch.setenv("GALAH_TPU_SCREEN_BLOCK", "128")
+        res = screen_triangle_packed(
+            packed, sizes, k=15, min_containment=0.0, bits=bits
+        )
+        monkeypatch.delenv("GALAH_TPU_SCREEN_BLOCK")
+        order = np.lexsort((res.pairs[:, 1], res.pairs[:, 0]))
+        return res.pairs[order], res.ani_est[order]
+
+    p1, a1 = run(1)
+    p4, a4 = run(4)
+    np.testing.assert_array_equal(p1, p4)
+    np.testing.assert_array_equal(a1, a4)
+    assert len(p1) == n * (n - 1) // 2
