@@ -890,6 +890,19 @@ def _bit_transpose_table(bitmaps: jax.Array) -> jax.Array:
     jax.jit,
     static_argnames=("bits", "k", "min_hashes", "min_ident"),
 )
+def _forward_kernel_bt_packed(*args, **kwargs):
+    """_forward_kernel_bt with (ani, af) concatenated into one (2R,)
+    buffer: one result fetch per chunk instead of two slice-dispatches
+    plus two fetches (every host-visible array is an RPC over the
+    remote relay; see ops/pair_table.py::_pair_table_kernel_packed)."""
+    ani, af = _forward_kernel_bt(*args, **kwargs)
+    return jnp.concatenate([ani, af])
+
+
+@partial(
+    jax.jit,
+    static_argnames=("bits", "k", "min_hashes", "min_ident"),
+)
 def _forward_kernel_bt(
     table,        # (bits, R//32) uint32 — bucket-major bit table
     popcounts,    # (R,) f32
@@ -920,6 +933,17 @@ def _forward_kernel_bt(
     return _ani_af_from_counts(
         m, M[None, :], popcounts, float(bits), k, min_hashes, min_ident
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("bits", "k", "min_hashes", "min_ident"),
+)
+def _forward_kernel_packed(*args, **kwargs):
+    """_forward_kernel with (ani, af) concatenated into one (2R,)
+    buffer — same single-fetch rationale as _forward_kernel_bt_packed."""
+    ani, af = _forward_kernel(*args, **kwargs)
+    return jnp.concatenate([ani, af])
 
 
 @partial(
@@ -1160,8 +1184,9 @@ class FragmentAniEngine:
     ) -> List[Tuple]:
         """Issue ANI/AF dispatches of `query`'s fragments against each
         ref's bitmap without blocking. Returns a list of
-        (ani_dev, af_dev, chunk_len) — convert after issuing everything
-        so device round trips pipeline instead of serializing.
+        (packed_dev (2*rpad,) f32 = [ani | af], rpad, chunk_len) —
+        convert after issuing everything so device round trips pipeline
+        instead of serializing; one fetch per chunk.
 
         `device` places the whole group (inputs and execution) on one
         local device so independent source groups run on different
@@ -1208,10 +1233,10 @@ class FragmentAniEngine:
                     tuple(keys), chunk, rpad_bt, device
                 )
                 with placed:
-                    ani, af = _forward_kernel_bt(
+                    packed = _forward_kernel_bt_packed(
                         table, pc, buckets, offsets, n, **kw
                     )
-                out.append((ani, af, len(chunk)))
+                out.append((packed, rpad_bt, len(chunk)))
                 continue
             # Bucket the ref-count axis to powers of two (floor 8) so
             # the kernel compiles for a handful of shapes, not every
@@ -1219,7 +1244,7 @@ class FragmentAniEngine:
             rpad = max(8, 1 << (len(chunk) - 1).bit_length())
             bm, pc = self.bitmap_stack(list(keys), list(chunk), rpad, device)
             with placed:
-                ani, af = _forward_kernel(
+                packed = _forward_kernel_packed(
                     bm,
                     pc,
                     buckets,
@@ -1227,8 +1252,18 @@ class FragmentAniEngine:
                     n,
                     **kw,
                 )
-            out.append((ani, af, len(chunk)))
+            out.append((packed, rpad, len(chunk)))
         return out
+
+    @staticmethod
+    def _unpack_chunks(chunks) -> Tuple[np.ndarray, np.ndarray]:
+        """Fetch each chunk's packed [ani | af] buffer once and split."""
+        anis, afs = [], []
+        for packed, rpad, ln in chunks:
+            buf = np.asarray(packed)
+            anis.append(buf[:ln])
+            afs.append(buf[rpad : rpad + ln])
+        return np.concatenate(anis), np.concatenate(afs)
 
     def one_to_many(
         self,
@@ -1240,9 +1275,7 @@ class FragmentAniEngine:
         """ANI/AF of `query`'s fragments against each ref's bitmap.
         Returns (ani_pct (R,), af (R,))."""
         chunks = self.one_to_many_async(query, query_key, refs, ref_keys)
-        anis = [np.asarray(a[:ln]) for a, _, ln in chunks]
-        afs = [np.asarray(f[:ln]) for _, f, ln in chunks]
-        return np.concatenate(anis), np.concatenate(afs)
+        return self._unpack_chunks(chunks)
 
     def pair_ani(
         self,
@@ -1422,12 +1455,7 @@ class FragmentAniEngine:
                 )
                 issued.append((src, targets, chunks))
             for src, targets, chunks in issued:
-                anis = np.concatenate(
-                    [np.asarray(a[:ln]) for a, _, ln in chunks]
-                )
-                afs = np.concatenate(
-                    [np.asarray(f[:ln]) for _, f, ln in chunks]
-                )
+                anis, afs = self._unpack_chunks(chunks)
                 for t, x, y in zip(targets, anis, afs):
                     fwd[(src, t)] = (float(x), float(y))
         out = {}

@@ -174,6 +174,22 @@ def _fast_cumsum(x):
     jax.jit,
     static_argnames=("flatn", "flatf", "bits", "k", "min_hashes", "min_ident"),
 )
+def _pair_table_kernel_packed(*args, **kwargs):
+    """_pair_table_kernel with its two (P,) f32 outputs concatenated
+    into one (2P,) buffer: over the remote relay every host-visible
+    array costs a fetch RPC, and slicing a device array to `len(batch)`
+    costs a dispatch RPC — returning one full-size packed buffer turns
+    2 slice-dispatches + 2 fetches per verify batch into 1 fetch (the
+    (2P,) buffer is ~32KB; latency dominates bytes). The host slices
+    after the fetch."""
+    ani, af = _pair_table_kernel(*args, **kwargs)
+    return jnp.concatenate([ani, af])
+
+
+@partial(
+    jax.jit,
+    static_argnames=("flatn", "flatf", "bits", "k", "min_hashes", "min_ident"),
+)
 def _pair_table_kernel(
     ustream,              # (U,) int32 — concatenated unique source streams
     ufrag_offsets,        # (UF+1,) int32 — global fragment offsets into ustream
@@ -405,9 +421,10 @@ class PairTableVerifier:
                 batch.append((src, tgt))
         flush()
 
-        for pairs, anis, afs in issued:
-            a = np.asarray(anis)
-            f = np.asarray(afs)
+        for pairs, pcap, out in issued:
+            buf = np.asarray(out)
+            a = buf[:pcap]
+            f = buf[pcap : pcap + pcap]
             for i, pr in enumerate(pairs):
                 results[pr] = (float(a[i]), float(f[i]))
         return results
@@ -538,7 +555,7 @@ class PairTableVerifier:
                 us_op = jnp.asarray(ustream)
                 uo_op = jnp.asarray(ufrag_offsets)
         with placed:
-            ani, af = _pair_table_kernel(
+            out = _pair_table_kernel_packed(
                 us_op,
                 uo_op,
                 bitmaps,
@@ -557,7 +574,7 @@ class PairTableVerifier:
                 min_hashes=cfg.min_fragment_hashes,
                 min_ident=cfg.min_fragment_identity,
             )
-        return (list(batch), ani[: len(batch)], af[: len(batch)])
+        return (list(batch), P, out)
 
 
 class _Usage:
