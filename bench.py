@@ -502,7 +502,8 @@ def bench_verify_pairtable(jax, jnp):
         jnp2.asarray(ustream), jnp2.asarray(ufrag_offsets), bitmaps, popcounts,
         jnp2.asarray(pair_src_start), jnp2.asarray(flat_start),
         jnp2.asarray(pair_ufrag_start), jnp2.asarray(fragflat_start),
-        jnp2.asarray(pair_ref), jnp2.int32(n_flat), jnp2.int32(n_flat_frags),
+        jnp2.asarray(pair_ref), jnp2.asarray(pair_ref),
+        jnp2.int32(n_flat), jnp2.int32(n_flat_frags),
     ]
 
     # The PRODUCTION domain shapes for this fill (shared formula) — the

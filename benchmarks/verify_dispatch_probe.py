@@ -93,11 +93,12 @@ def main() -> None:
         pus=jnp.asarray(pair_ufrag_start),
         ffs=jnp.asarray(fragflat_start),
         pr=jnp.asarray(pair_ref),
+        prow=jnp.asarray(pair_ref),
     )
 
     ops = tuple(dev[k] for k in
                 ("ustream", "uoff", "bitmaps", "popc", "pss", "fs",
-                 "pus", "ffs", "pr"))
+                 "pus", "ffs", "pr", "prow"))
 
     def one(nf):
         return _pair_table_kernel(

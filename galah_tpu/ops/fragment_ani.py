@@ -457,6 +457,23 @@ class _BitmapPool:
                     jax.device_put(drows, self.device),
                 )
 
+    def row_map(
+        self, keys, gpad: int
+    ) -> Tuple[jax.Array, np.ndarray, np.ndarray]:
+        """(pool (C, W) uint32 device buffer, rows (gpad,) int32,
+        popcounts (gpad,) f32) for `keys` (must be resident) — the
+        no-gather alternative to stack(): kernels address the pool
+        directly through the row ids. Padding rows map to the
+        all-zero reserved row 1."""
+        rows = np.ones(gpad, np.int32)
+        pc = np.zeros(gpad, np.float32)
+        for i, k in enumerate(keys):
+            r = self._rows[k]
+            self._rows.move_to_end(k)
+            rows[i] = r
+            pc[i] = self._popc[r]
+        return self._pool, rows, pc
+
     def stack(self, keys, gpad: int) -> Tuple[jax.Array, np.ndarray]:
         """(gpad, W) uint32 bitmap stack + (gpad,) f32 popcounts for
         `keys` (must be resident); padding rows are zero bitmaps."""
@@ -1083,6 +1100,16 @@ class FragmentAniEngine:
         pool.ensure(keys, sketches)
         return pool.stack(list(keys), gpad)
 
+    def bitmap_pool_rows(
+        self, keys, sketches, gpad: int, device=None
+    ) -> Tuple[jax.Array, np.ndarray, np.ndarray]:
+        """(pool device buffer, (gpad,) rows, (gpad,) popcounts) for
+        `keys` — bitmap_stack without the per-dispatch stack-gather
+        dispatch (see _BitmapPool.row_map)."""
+        pool = self._pool(device)
+        pool.ensure(keys, sketches)
+        return pool.row_map(list(keys), gpad)
+
     def _ref_table(self, keys, chunk, rpad, device=None):
         """Bit-transposed table (and popcounts) for one ref group,
         LRU-cached by the ref-key tuple: the greedy clusterer verifies
@@ -1331,6 +1358,7 @@ class FragmentAniEngine:
                 ),
                 self.bitmap_stack,
                 arena_fn=self.stream_arena,
+                pool_rows_fn=self.bitmap_pool_rows,
             )
         return self._pair_table_verifier
 

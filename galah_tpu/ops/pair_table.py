@@ -199,7 +199,11 @@ def _pair_table_kernel(
     pair_flat_start,      # (P+1,) int32 — ascending; padded with n_flat
     pair_ufrag_start,     # (P,) int32
     pair_fragflat_start,  # (P+1,) int32 — ascending; padded with n_flat_frags
-    pair_ref,             # (P,) int32
+    pair_ref,             # (P,) int32 — rows into popcounts
+    pair_row,             # (P,) int32 — rows into bitmaps (== pair_ref for a
+                          #   per-dispatch stack; pool rows when bitmaps IS
+                          #   the persistent pool, which skips the per-batch
+                          #   stack-gather dispatch entirely)
     n_flat,               # () int32
     n_flat_frags,         # () int32
     flatn: int,
@@ -254,13 +258,13 @@ def _pair_table_kernel(
         pair_flat_start, jnp.concatenate([pair_src_start, pair_src_start[-1:]]),
         flatn,
     )
-    ref = segment_broadcast(
-        pair_flat_start, jnp.concatenate([pair_ref, pair_ref[-1:]]), flatn
+    row = segment_broadcast(
+        pair_flat_start, jnp.concatenate([pair_row, pair_row[-1:]]), flatn
     )
     rel = flat_idx - pfs_b
     upos = jnp.clip(pss_b + rel, 0, U - 1)
     bucket = ustream[upos].astype(jnp.int32)
-    word_idx = ref * W + (bucket >> 5)
+    word_idx = row * W + (bucket >> 5)
     words = jnp.take(bitmaps.reshape(-1), word_idx)
     hit = ((words >> (bucket & 31).astype(jnp.uint32)) & jnp.uint32(1)).astype(
         jnp.int32
@@ -321,6 +325,17 @@ def _pair_table_kernel(
     return ani, af
 
 
+def _pool_direct_enabled() -> bool:
+    """Whether pair-table dispatches address the persistent bitmap
+    pool directly through per-pair row ids (default) instead of
+    gathering a per-dispatch stack first. GALAH_TPU_POOL_DIRECT=0
+    restores the stack path (bit-identical; the bitmap words read are
+    the same either way)."""
+    import os
+
+    return os.environ.get("GALAH_TPU_POOL_DIRECT", "1") != "0"
+
+
 def _arena_enabled() -> bool:
     """Whether pair-table dispatches read unique streams from the
     persistent device arena (ops/fragment_ani.py::StreamArena) instead
@@ -335,7 +350,8 @@ class PairTableVerifier:
     """Host-side batcher for the pair-table kernel."""
 
     def __init__(
-        self, cfg: PairTableConfig, bitmap_stack_fn, arena_fn=None
+        self, cfg: PairTableConfig, bitmap_stack_fn, arena_fn=None,
+        pool_rows_fn=None,
     ) -> None:
         """bitmap_stack_fn(keys, sketches, gpad, device=None) ->
         ((gpad, W) uint32 device bitmap stack, (gpad,) f32 host
@@ -344,10 +360,17 @@ class PairTableVerifier:
         GALAH_TPU_ARENA != 0), unique source streams are read from the
         persistent per-device arena — uploaded at most once per genome
         per residency window, or adopted device-to-device from the
-        device sketcher — instead of once per dispatch."""
+        device sketcher — instead of once per dispatch.
+        pool_rows_fn(keys, sketches, gpad, device=None) ->
+        ((C, W) uint32 device pool, (gpad,) int32 host rows, (gpad,)
+        f32 host popcounts) (optional): when provided, the kernel
+        addresses the persistent bitmap pool directly through per-pair
+        row ids — no per-batch stack-gather dispatch (one RPC fewer on
+        the remote relay) and no (gpad, W) stack materialization."""
         self.cfg = cfg
         self._bitmap_stack_fn = bitmap_stack_fn
         self._arena_fn = arena_fn
+        self._pool_rows_fn = pool_rows_fn
 
     def run(
         self,
@@ -516,15 +539,28 @@ class PairTableVerifier:
         from galah_tpu.ops.fragment_ani import _placed
 
         placed = _placed(device)
-        bitmaps, popcounts = self._bitmap_stack_fn(
-            tgt_order, [sketches_by_key[t] for t in tgt_order], G, device
-        )
+        if self._pool_rows_fn is not None and _pool_direct_enabled():
+            bitmaps, row_of, popcounts = self._pool_rows_fn(
+                tgt_order, [sketches_by_key[t] for t in tgt_order], G,
+                device,
+            )
+        else:
+            bitmaps, popcounts = self._bitmap_stack_fn(
+                tgt_order, [sketches_by_key[t] for t in tgt_order], G,
+                device,
+            )
+            row_of = None
 
         # per-pair descriptors
         P = cfg.max_pairs
         pair_src_start = np.zeros(P, dtype=np.int32)
         pair_ufrag_start = np.zeros(P, dtype=np.int32)
         pair_ref = np.zeros(P, dtype=np.int32)
+        pair_row = np.zeros(P, dtype=np.int32)
+        if row_of is not None:
+            # Padding pairs address the pool's zero row (row 1), never
+            # a live genome's bitmap.
+            pair_row[:] = 1
         flat_start = np.zeros(P + 1, dtype=np.int32)
         fragflat_start = np.zeros(P + 1, dtype=np.int32)
         fh = 0
@@ -534,6 +570,9 @@ class PairTableVerifier:
             pair_src_start[i] = src_start[s]
             pair_ufrag_start[i] = src_ufrag_start[s]
             pair_ref[i] = tgt_row[t]
+            pair_row[i] = (
+                row_of[tgt_row[t]] if row_of is not None else tgt_row[t]
+            )
             flat_start[i] = fh
             fragflat_start[i] = ff
             fh += len(sk.frag_buckets)
@@ -565,6 +604,7 @@ class PairTableVerifier:
                 jnp.asarray(pair_ufrag_start),
                 jnp.asarray(fragflat_start),
                 jnp.asarray(pair_ref),
+                jnp.asarray(pair_row),
                 jnp.int32(fh),
                 jnp.int32(ff),
                 flatn=flatn,

@@ -187,13 +187,17 @@ def _screen_tile_group() -> int:
     """Tiles per resident-screen dispatch. >1 amortizes per-dispatch
     relay cost; 1 restores per-tile dispatches (CPU default — no relay,
     and lax.map would serialize what XLA:CPU parallelizes across
-    calls). GALAH_TPU_SCREEN_TILE_GROUP overrides."""
+    calls). With the compacted group fetch the result bytes are flat in
+    K (one ~cap-entry packed buffer per RPC), so K trades only device
+    serialization and group-overflow probability against RPC count; 16
+    measured best on the v5e relay's 0.25-2s-latency band.
+    GALAH_TPU_SCREEN_TILE_GROUP overrides."""
     import os
 
     env = os.environ.get("GALAH_TPU_SCREEN_TILE_GROUP")
     if env:
         return max(1, int(env))
-    return 1 if jax.default_backend() in ("cpu",) else 8
+    return 1 if jax.default_backend() in ("cpu",) else 16
 
 
 @partial(jax.jit, static_argnames=("cap", "is_diag", "dtname"))
@@ -828,14 +832,17 @@ def screen_triangle_packed(
     def drain(item) -> None:
         if item[0] == "g":
             # Grouped tiles: ONE packed-buffer pull, decoded per tile.
-            _, grp, res = item
+            # grp may be padded to the group size with repeats of its
+            # first tile (fixed compiled shape); only the first nreal
+            # tiles are drained.
+            _, grp, nreal, res = item
             _, per_tile = _decode_group_result(
                 np.asarray(res), len(grp), cap, block
             )
             if per_tile is None:
                 # Group-cap overflow (survivors > cap across the K
                 # tiles): re-dispatch singly — rare, dense corpora only.
-                for bi, bj in grp:
+                for bi, bj in grp[:nreal]:
                     res1 = _resident_screen_extract(
                         x_all, s_dev, jnp.int32(bi), jnp.int32(bj),
                         block=block, bits_f=float(bits),
@@ -844,7 +851,7 @@ def screen_triangle_packed(
                     )
                     drain_one(bi, bj, res1)
             else:
-                for t, (bi, bj) in enumerate(grp):
+                for t, (bi, bj) in enumerate(grp[:nreal]):
                     drain_one(bi, bj, per_tile[t])
         else:
             _, (bi, bj), res = item
@@ -866,9 +873,10 @@ def screen_triangle_packed(
 
         def issue(buf, is_diag: bool, force: bool) -> None:
             while len(buf) >= group or (force and buf):
-                grp = buf[: group if len(buf) >= group else 1]
-                del buf[: len(grp)]
-                if len(grp) == 1:
+                nreal = min(len(buf), group)
+                grp = buf[:nreal]
+                del buf[:nreal]
+                if nreal == 1:
                     bi, bj = grp[0]
                     res = _resident_screen_extract(
                         x_all, s_dev, jnp.int32(bi), jnp.int32(bj),
@@ -878,15 +886,20 @@ def screen_triangle_packed(
                     )
                     pending.append(("s", grp[0], res))
                 else:
+                    # Pad remainder groups to the full group size with
+                    # repeats of the first tile: one compiled shape per
+                    # (block, cap, dtname, is_diag); padded results are
+                    # simply not drained.
+                    padded = grp + [grp[0]] * (group - nreal)
                     res = _resident_screen_extract_group(
                         x_all, s_dev,
-                        jnp.asarray([t[0] for t in grp], jnp.int32),
-                        jnp.asarray([t[1] for t in grp], jnp.int32),
+                        jnp.asarray([t[0] for t in padded], jnp.int32),
+                        jnp.asarray([t[1] for t in padded], jnp.int32),
                         jnp.float32(bits), jnp.float32(min_cont_f),
                         block=block, cap=cap, is_diag=is_diag,
                         dtname=dtn,
                     )
-                    pending.append(("g", grp, res))
+                    pending.append(("g", padded, nreal, res))
                 while len(pending) > TILE_WINDOW:
                     drain(pending.popleft())
 
@@ -1006,12 +1019,12 @@ def screen_rectangle_packed(
 
     def drain(item) -> None:
         if item[0] == "g":
-            _, grp, res = item
+            _, grp, nreal, res = item
             _, per_tile = _decode_group_result(
                 np.asarray(res), len(grp), cap, block
             )
             if per_tile is None:
-                for bi, bj in grp:
+                for bi, bj in grp[:nreal]:
                     res1 = _resident_screen_extract(
                         x_all, s_dev, jnp.int32(bi),
                         jnp.int32(ref_block0 + bj),
@@ -1021,7 +1034,7 @@ def screen_rectangle_packed(
                     )
                     drain_one(bi, bj, res1)
             else:
-                for t, (bi, bj) in enumerate(grp):
+                for t, (bi, bj) in enumerate(grp[:nreal]):
                     drain_one(bi, bj, per_tile[t])
         else:
             _, (bi, bj), res = item
@@ -1036,9 +1049,10 @@ def screen_rectangle_packed(
 
     def issue(force: bool) -> None:
         while len(buf) >= group or (force and buf):
-            grp = buf[: group if len(buf) >= group else 1]
-            del buf[: len(grp)]
-            if len(grp) == 1:
+            nreal = min(len(buf), group)
+            grp = buf[:nreal]
+            del buf[:nreal]
+            if nreal == 1:
                 bi, bj = grp[0]
                 res = _resident_screen_extract(
                     x_all, s_dev, jnp.int32(bi), jnp.int32(ref_block0 + bj),
@@ -1048,14 +1062,17 @@ def screen_rectangle_packed(
                 )
                 pending.append(("s", grp[0], res))
             else:
+                padded = grp + [grp[0]] * (group - nreal)
                 res = _resident_screen_extract_group(
                     x_all, s_dev,
-                    jnp.asarray([t[0] for t in grp], jnp.int32),
-                    jnp.asarray([ref_block0 + t[1] for t in grp], jnp.int32),
+                    jnp.asarray([t[0] for t in padded], jnp.int32),
+                    jnp.asarray(
+                        [ref_block0 + t[1] for t in padded], jnp.int32
+                    ),
                     jnp.float32(bits), jnp.float32(min_cont_f),
                     block=block, cap=cap, is_diag=False, dtname=dtn,
                 )
-                pending.append(("g", grp, res))
+                pending.append(("g", padded, nreal, res))
             while len(pending) > TILE_WINDOW:
                 drain(pending.popleft())
 

@@ -599,3 +599,20 @@ def test_arena_uploads_each_stream_once(monkeypatch):
     second = verifier.run(directed, sketches)
     assert not calls, "resident streams re-uploaded"
     assert first == second
+
+
+def test_pool_direct_matches_stack_path(monkeypatch):
+    """Pool-direct bitmap addressing (per-pair pool rows, no stack
+    gather) must be bit-identical to the per-dispatch stack path —
+    the kernel reads the same bitmap words either way."""
+    params, sketches, directed = _contig_fixture()
+
+    def run(flag: str):
+        monkeypatch.setenv("GALAH_TPU_POOL_DIRECT", flag)
+        eng = _engine(params)
+        return eng._pair_table().run(directed, sketches)
+
+    direct = run("1")
+    stacked = run("0")
+    assert direct == stacked
+    assert len(direct) == len(directed)
