@@ -857,11 +857,64 @@ def device_sketch_batch(
             f"selected-hash stream exceeded capacity {SEL}"
         )
 
-    flat_h = np.asarray(flat)
     offsets_h = np.asarray(offsets)
-    n_unique_h = np.asarray(n_unique)
-    member_words_h = np.asarray(member_words)
-    pref_words_h = np.asarray(pref_words)
+    mbits_n = int(params.member_bits - 1).bit_length()
+    pbits_n = int(params.prefilter_bits - 1).bit_length()
+    if _transport_mode() == "lists":
+        # Narrow transport: one small counts fetch sizes the shared
+        # pow2 cap, then ONE uint8 buffer carries bucket lists + the
+        # narrowed flat stream (fetch bytes are the sketch phase's
+        # bottleneck on the relay; see _transport_mode above). The
+        # word-bitmap form is kept for a bitmap whose list would be
+        # larger (dense MAG-scale bitmaps).
+        counts = np.asarray(_counts_concat(member_pop, n_pref, n_unique))
+        mp_h, npref_h, n_unique_h = counts[0], counts[1], counts[2]
+        cap = _next_pow2(max(int(counts.max()), 8))
+        wm, wp = member_words.shape[1], pref_words.shape[1]
+        use_m = _entry_bytes(mbits_n) * cap < wm * 4
+        use_p = _entry_bytes(pbits_n) * cap < wp * 4
+        buf = np.asarray(_sketch_transport_kernel(
+            member_words, pref_words, flat,
+            cap=cap, use_m=use_m, use_p=use_p,
+            mrow=max(1, min(G, (1 << 26) // (wm * 32))),
+            prow=max(1, min(G, (1 << 26) // (wp * 32))),
+            mbits=mbits_n, pbits=pbits_n, fbits=mbits_n,
+        ))
+        off_p = _entry_bytes(mbits_n) * cap if use_m else 0
+        off_f = off_p + (_entry_bytes(pbits_n) * cap if use_p else 0)
+        member_words_h = None if use_m else np.asarray(member_words)
+        pref_words_h = None if use_p else np.asarray(pref_words)
+
+        def _member(i):
+            if use_m:
+                return _decode_narrow(
+                    buf[i, :off_p], mbits_n, int(mp_h[i])
+                )
+            return _words_to_buckets(member_words_h[i])
+
+        def _pref(i):
+            if use_p:
+                return _decode_narrow(
+                    buf[i, off_p:off_f], pbits_n, int(npref_h[i])
+                )
+            return _words_to_buckets(pref_words_h[i])
+
+        def _flat(i, nu):
+            return _decode_narrow(buf[i, off_f:], mbits_n, nu)
+    else:
+        flat_h = np.asarray(flat)
+        n_unique_h = np.asarray(n_unique)
+        member_words_h = np.asarray(member_words)
+        pref_words_h = np.asarray(pref_words)
+
+        def _member(i):
+            return _words_to_buckets(member_words_h[i])
+
+        def _pref(i):
+            return _words_to_buckets(pref_words_h[i])
+
+        def _flat(i, nu):
+            return flat_h[i, :nu].copy()
 
     sketches: List[NativeSketch] = []
     for i, p in enumerate(plans):
@@ -871,10 +924,10 @@ def device_sketch_batch(
             NativeSketch(
                 name=names[i],
                 total_len=p.total_len,
-                prefilter_buckets=_words_to_buckets(pref_words_h[i]),
-                frag_buckets=flat_h[i, :nu].copy(),
+                prefilter_buckets=_pref(i),
+                frag_buckets=_flat(i, nu),
                 frag_offsets=offsets_h[i, : nf + 1].astype(np.int64),
-                member_buckets=_words_to_buckets(member_words_h[i]),
+                member_buckets=_member(i),
                 params=params,
             )
         )
@@ -1199,6 +1252,145 @@ def _words_to_buckets(words: np.ndarray) -> np.ndarray:
         words.view(np.uint8), bitorder="little"
     )
     return np.nonzero(bits)[0].astype(np.int32)
+
+
+# --- narrow sketch-product transport -------------------------------
+# The host copies of a batch's sketch products (member/prefilter word
+# bitmaps + the int32 flat stream) dominate the sketch phase on the
+# remote relay: a 100k x 3kb-contig run fetches ~18KB/contig (~1.8GB)
+# while the information content is a few KB of bucket indices. When
+# profitable, a post-pass converts the word bitmaps to ascending
+# bucket LISTS on device (the host-side _words_to_buckets, computed
+# where the data already is) and narrows every list to 2 or 3 bytes
+# per entry; the whole chunk then fetches as ONE uint8 buffer.
+# GALAH_TPU_SKETCH_TRANSPORT=words|lists overrides the default
+# (lists on accelerators, words on CPU where fetches are free).
+
+
+def _transport_mode() -> str:
+    mode = os.environ.get("GALAH_TPU_SKETCH_TRANSPORT")
+    if mode in ("words", "lists"):
+        return mode
+    return "words" if jax.default_backend() == "cpu" else "lists"
+
+
+def _batched_fast_cumsum(x: jax.Array) -> jax.Array:
+    """Minor-axis inclusive prefix sum for (..., N) int32 via the
+    (rows, 8192) hierarchical scan (XLA's one-long-axis cumsum is ~30x
+    slower on TPU; see ops/pair_table._fast_cumsum)."""
+    n = x.shape[-1]
+    cols = 8192
+    if n <= cols or n % cols:
+        return jnp.cumsum(x, axis=-1)
+    x3 = x.reshape(*x.shape[:-1], n // cols, cols)
+    c = jnp.cumsum(x3, axis=-1)
+    offs = jnp.cumsum(c[..., -1], axis=-1)
+    offs = jnp.concatenate(
+        [jnp.zeros_like(offs[..., :1]), offs[..., :-1]], axis=-1
+    )
+    return (c + offs[..., None]).reshape(x.shape)
+
+
+def _bits_to_lists(words: jax.Array, cap: int, row_group: int) -> jax.Array:
+    """(G, W) uint32 word bitmaps -> (G, cap) int32 ascending set-bit
+    indices (bucket = 32*word + lsb-first bit, matching
+    _words_to_buckets); slots past the row's popcount hold 0. Rows are
+    processed in groups of `row_group` under lax.map so the unpacked
+    (row_group, bits) indicator stays bounded."""
+    from galah_tpu.ops.routing import monotone_compact_tiled
+
+    g, w = words.shape
+    bits = w * 32
+    ng = -(-g // row_group)
+    pad = ng * row_group - g
+    if pad:
+        words = jnp.concatenate(
+            [words, jnp.zeros((pad, w), words.dtype)]
+        )
+
+    def one(wg):
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        ind = (wg[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+        ind = ind.reshape(row_group, bits).astype(jnp.bool_)
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, (row_group, bits), 1
+        )
+        (routed,), _ = monotone_compact_tiled(
+            ind, [iota], [0], cumsum_fn=_batched_fast_cumsum
+        )
+        return jax.lax.slice_in_dim(routed, 0, min(cap, bits), axis=1)
+
+    out = jax.lax.map(one, words.reshape(ng, row_group, w))
+    out = out.reshape(ng * row_group, -1)[:g]
+    if cap > bits:
+        out = jnp.pad(out, ((0, 0), (0, cap - bits)))
+    return out
+
+
+def _entry_bytes(nbits: int) -> int:
+    return 2 if nbits <= 16 else (3 if nbits <= 24 else 4)
+
+
+def _narrow_dev(x: jax.Array, nbits: int) -> jax.Array:
+    """(G, N) int32 values < 2^nbits -> (G, per*N) uint8 little-endian
+    transport bytes (per = 2/3/4)."""
+    g, n = x.shape
+    per = _entry_bytes(nbits)
+    bs = [((x >> (8 * i)) & 0xFF).astype(jnp.uint8) for i in range(per)]
+    return jnp.stack(bs, axis=-1).reshape(g, per * n)
+
+
+def _decode_narrow(row: np.ndarray, nbits: int, count: int) -> np.ndarray:
+    """Invert _narrow_dev for one row slice; returns (count,) int32."""
+    per = _entry_bytes(nbits)
+    b = row.reshape(-1, per)[:count].astype(np.int32)
+    v = b[:, 0]
+    for i in range(1, per):
+        v = v | (b[:, i] << (8 * i))
+    return v.astype(np.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cap", "use_m", "use_p", "mrow", "prow",
+        "mbits", "pbits", "fbits",
+    ),
+)
+def _sketch_transport_kernel(
+    member_words, pref_words, flat, *,
+    cap: int, use_m: bool, use_p: bool, mrow: int, prow: int,
+    mbits: int, pbits: int, fbits: int,
+):
+    """One uint8 transport buffer per chunk:
+    [member lists | prefilter lists | flat stream], each narrowed to
+    its entry width; member/pref appear only when their list form is
+    smaller than the word bitmap (use_m/use_p)."""
+    g = flat.shape[0]
+    parts = []
+    if use_m:
+        parts.append(
+            _narrow_dev(_bits_to_lists(member_words, cap, mrow), mbits)
+        )
+    if use_p:
+        parts.append(
+            _narrow_dev(_bits_to_lists(pref_words, cap, prow), pbits)
+        )
+    fl = jax.lax.slice_in_dim(flat, 0, min(cap, flat.shape[1]), axis=1)
+    if cap > flat.shape[1]:
+        fl = jnp.pad(fl, ((0, 0), (0, cap - flat.shape[1])))
+    parts.append(_narrow_dev(fl, fbits))
+    return jnp.concatenate(parts, axis=1)
+
+
+@jax.jit
+def _counts_concat(member_pop, n_pref, n_unique):
+    """(3, G) int32 — one small fetch for every per-genome count."""
+    return jnp.stack([
+        member_pop.astype(jnp.int32),
+        n_pref.astype(jnp.int32),
+        n_unique.astype(jnp.int32),
+    ])
 
 
 def device_sketch_files(

@@ -595,3 +595,25 @@ def test_contig_shadowing_correct(tmp_path, monkeypatch):
         assert [s.name for s in sks] == [h.name for h in hosts]
         for d, h in zip(sks, hosts):
             _assert_sketch_equal(d, h)
+
+
+@pytest.mark.parametrize("params_fn", ["medium", "small"])
+def test_lists_transport_parity(monkeypatch, params_fn):
+    """The narrow lists transport (device words->bucket-list
+    compaction + 2/3-byte entries, one uint8 buffer per chunk) must
+    produce sketches bit-identical to the words transport."""
+    monkeypatch.setenv("GALAH_TPU_SKETCH_KERNEL", "scatter")
+    rng = np.random.default_rng(11)
+    params = _params_medium() if params_fn == "medium" else small_genome_params()
+    lists = [
+        [_random_seq(rng, ln, n_prob=0.01)]
+        for ln in (350, 5000, 1200, 16000, 777, 64)
+    ]
+    names = [f"g{i}" for i in range(len(lists))]
+
+    monkeypatch.setenv("GALAH_TPU_SKETCH_TRANSPORT", "words")
+    base = device_sketch_batch(names, lists, params)
+    monkeypatch.setenv("GALAH_TPU_SKETCH_TRANSPORT", "lists")
+    via_lists = device_sketch_batch(names, lists, params)
+    for a, b in zip(via_lists, base):
+        _assert_sketch_equal(a, b)
