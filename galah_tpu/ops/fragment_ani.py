@@ -324,6 +324,26 @@ class _BitmapPool:
         self._rows[key] = r
         return r
 
+    def would_evict(self, keys) -> bool:
+        """Whether ensure(keys) could reassign any existing row —
+        callers holding prepared row ids across dispatches flush
+        before a mutating ensure (grouped verify dispatches capture
+        rows at prepare time; an eviction would silently repoint
+        them). Mirrors ensure()'s growth rule exactly; growth itself
+        preserves rows and is safe."""
+        seen = set(keys)
+        missing = sum(1 for k in seen if k not in self._rows)
+        if not missing:
+            return False
+        cap = self.capacity
+        want = min(
+            max(len(self._rows) + missing, cap),
+            max(self.hard_cap, len(seen)),
+        )
+        if want > cap:
+            cap = 1 << (want - 1).bit_length()
+        return self._next + missing > self.RESERVED + cap
+
     def ensure(self, keys, sketches) -> None:
         """Make every (key, sketch) resident; one request's keys are
         guaranteed to coexist (the pool grows past hard_cap if a single
@@ -457,14 +477,12 @@ class _BitmapPool:
                     jax.device_put(drows, self.device),
                 )
 
-    def row_map(
-        self, keys, gpad: int
-    ) -> Tuple[jax.Array, np.ndarray, np.ndarray]:
-        """(pool (C, W) uint32 device buffer, rows (gpad,) int32,
-        popcounts (gpad,) f32) for `keys` (must be resident) — the
-        no-gather alternative to stack(): kernels address the pool
-        directly through the row ids. Padding rows map to the
-        all-zero reserved row 1."""
+    def row_map(self, keys, gpad: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(rows (gpad,) int32, popcounts (gpad,) f32) for `keys`
+        (must be resident) — the no-gather alternative to stack():
+        kernels address the pool buffer (`self.buffer`, read at issue
+        time — fills donate and replace it) directly through the row
+        ids. Padding rows map to the all-zero reserved row 1."""
         rows = np.ones(gpad, np.int32)
         pc = np.zeros(gpad, np.float32)
         for i, k in enumerate(keys):
@@ -472,7 +490,11 @@ class _BitmapPool:
             self._rows.move_to_end(k)
             rows[i] = r
             pc[i] = self._popc[r]
-        return self._pool, rows, pc
+        return rows, pc
+
+    @property
+    def buffer(self) -> jax.Array:
+        return self._pool
 
     def stack(self, keys, gpad: int) -> Tuple[jax.Array, np.ndarray]:
         """(gpad, W) uint32 bitmap stack + (gpad,) f32 popcounts for
@@ -591,6 +613,28 @@ class StreamArena:
     def span(self, key):
         """(hash_off, offs_off) if key is currently resident."""
         return self._map.get(key)
+
+    def would_reset(self, keys, sketches_by_key) -> bool:
+        """Whether ensure(keys) would reset the arena (exact — _alloc
+        pads nothing). Callers holding prepared spans across dispatches
+        flush before a resetting ensure; fills never move existing
+        spans, so only resets invalidate."""
+        need_h = need_f = 0
+        seen: set = set()
+        for k in keys:
+            if k in self._map or k in seen:
+                continue
+            seen.add(k)
+            sk = sketches_by_key[k]
+            nh, nf = len(sk.frag_buckets), sk.n_fragments
+            if nh > self.hash_capacity or nf + 1 > self.frag_capacity:
+                continue
+            need_h += nh
+            need_f += nf + 1
+        return (
+            self._hash_top + need_h > self.hash_capacity
+            or self._offs_top + need_f > self.frag_capacity
+        )
 
     def _alloc(self, key, nh: int, nf: int):
         """Reserve arena space for a stream of nh hashes / nf+1 offset
@@ -1101,14 +1145,20 @@ class FragmentAniEngine:
         return pool.stack(list(keys), gpad)
 
     def bitmap_pool_rows(
-        self, keys, sketches, gpad: int, device=None
-    ) -> Tuple[jax.Array, np.ndarray, np.ndarray]:
-        """(pool device buffer, (gpad,) rows, (gpad,) popcounts) for
-        `keys` — bitmap_stack without the per-dispatch stack-gather
-        dispatch (see _BitmapPool.row_map)."""
+        self, keys, sketches, gpad: int, device=None, flush_cb=None
+    ):
+        """(pool, (gpad,) rows, (gpad,) popcounts) for `keys` —
+        bitmap_stack without the per-dispatch stack-gather dispatch
+        (see _BitmapPool.row_map; read pool.buffer at issue time).
+        flush_cb, when given, is invoked BEFORE an ensure that could
+        evict existing rows (grouped dispatches hold prepared row ids
+        until issue)."""
         pool = self._pool(device)
+        if flush_cb is not None and pool.would_evict(keys):
+            flush_cb()
         pool.ensure(keys, sketches)
-        return pool.row_map(list(keys), gpad)
+        rows, pc = pool.row_map(list(keys), gpad)
+        return pool, rows, pc
 
     def _ref_table(self, keys, chunk, rpad, device=None):
         """Bit-transposed table (and popcounts) for one ref group,

@@ -24,7 +24,7 @@ from __future__ import annotations
 import logging
 from dataclasses import dataclass
 from functools import partial
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -325,6 +325,47 @@ def _pair_table_kernel(
     return ani, af
 
 
+@partial(
+    jax.jit,
+    static_argnames=("flatn", "flatf", "bits", "k", "min_hashes", "min_ident"),
+)
+def _pair_table_group_kernel(
+    ustream, uoff, bitmaps,
+    popc, psrc, pfs, puf, pffs, pref, prow, nfl, nff, *,
+    flatn: int, flatf: int, bits: int, k: int,
+    min_hashes: int, min_ident: float,
+):
+    """K pair-table dispatches in ONE program (lax.map over the
+    leading axis of every per-dispatch descriptor): with the arena
+    holding the streams and the pool holding the bitmaps, a dispatch's
+    own operands are a few KB of descriptors — so the relay's
+    per-dispatch cost (hundreds of ms, dispatches never overlap;
+    benchmarks/verify_dispatch_probe.py) is the verify stage's floor.
+    Grouping divides it by K. Returns (K, 2P) packed [ani | af] rows —
+    one fetch for the whole group. Bit-identical to single dispatches:
+    the mapped body IS the single-dispatch kernel."""
+    return jax.lax.map(
+        lambda t: _pair_table_kernel_packed(
+            ustream, uoff, bitmaps, *t,
+            flatn=flatn, flatf=flatf, bits=bits, k=k,
+            min_hashes=min_hashes, min_ident=min_ident,
+        ),
+        (popc, psrc, pfs, puf, pffs, pref, prow, nfl, nff),
+    )
+
+
+def _verify_group() -> int:
+    """Pair-table dispatches per RPC. GALAH_TPU_VERIFY_GROUP
+    overrides; default 8 on accelerators, 1 on CPU (no relay — and
+    lax.map would serialize what XLA:CPU runs concurrently)."""
+    import os
+
+    env = os.environ.get("GALAH_TPU_VERIFY_GROUP")
+    if env:
+        return max(1, int(env))
+    return 1 if jax.default_backend() in ("cpu",) else 8
+
+
 def _pool_direct_enabled() -> bool:
     """Whether pair-table dispatches address the persistent bitmap
     pool directly through per-pair row ids (default) instead of
@@ -372,17 +413,15 @@ class PairTableVerifier:
         self._arena_fn = arena_fn
         self._pool_rows_fn = pool_rows_fn
 
-    def run(
-        self,
-        directed_pairs: Sequence[Tuple],
-        sketches_by_key: Dict,
-    ) -> Dict[Tuple, Tuple[float, float]]:
-        """Evaluate directed (src, tgt) pairs; returns
-        {(src, tgt): (ani_pct, af_src_direction)}."""
+    def _plan_batches(
+        self, directed_pairs: Sequence[Tuple], sketches_by_key: Dict
+    ) -> List[List[Tuple]]:
+        """Pack directed pairs into dispatch-sized batches (pure host
+        planning, no device calls): pairs group by source so unique
+        streams amortize; a batch closes when any capacity would
+        overflow."""
         cfg = self.cfg
-        results: Dict[Tuple, Tuple[float, float]] = {}
-        issued: List[Tuple] = []
-
+        batches: List[List[Tuple]] = []
         batch: List[Tuple] = []
         usage = _Usage()
 
@@ -390,25 +429,16 @@ class PairTableVerifier:
             sk = sketches_by_key[key]
             return len(sk.frag_buckets), sk.n_fragments
 
-        # group directed pairs by source so unique streams amortize
         from collections import defaultdict
 
         by_src = defaultdict(list)
         for s, t in directed_pairs:
             by_src[s].append(t)
 
-        # Dispatches are independent fixed-shape programs: round-robin
-        # them over the local devices like the grouped kernel's source
-        # groups (ops/fragment_ani.py::verify_devices).
-        from galah_tpu.ops.fragment_ani import verify_devices
-
-        devs = verify_devices()
-
         def flush():
             nonlocal batch, usage
             if batch:
-                dev = devs[len(issued) % len(devs)] if len(devs) > 1 else None
-                issued.append(self._dispatch(batch, sketches_by_key, dev))
+                batches.append(batch)
                 batch = []
                 usage = _Usage()
 
@@ -443,13 +473,84 @@ class PairTableVerifier:
                 usage.bitmaps.add(tgt)
                 batch.append((src, tgt))
         flush()
+        return batches
 
-        for pairs, pcap, out in issued:
+    def run(
+        self,
+        directed_pairs: Sequence[Tuple],
+        sketches_by_key: Dict,
+    ) -> Dict[Tuple, Tuple[float, float]]:
+        """Evaluate directed (src, tgt) pairs; returns
+        {(src, tgt): (ani_pct, af_src_direction)}.
+
+        Dispatches are issued in GROUPS of _verify_group() per RPC
+        when the arena + pool-direct paths are live (their prepared
+        descriptors are tiny, so K dispatches share one program and
+        one result fetch); a group flushes early when the next batch
+        would reset the arena or evict pool rows (prepared spans/rows
+        must stay valid until issue), when its static shapes differ,
+        or when a batch needs the upload fallback."""
+        cfg = self.cfg
+        results: Dict[Tuple, Tuple[float, float]] = {}
+        batches = self._plan_batches(directed_pairs, sketches_by_key)
+
+        # Dispatches are independent fixed-shape programs: round-robin
+        # them over the local devices like the grouped kernel's source
+        # groups (ops/fragment_ani.py::verify_devices).
+        from galah_tpu.ops.fragment_ani import verify_devices
+
+        devs = verify_devices()
+        gcap = _verify_group()
+
+        issued: List[Tuple] = []
+        group: List[Dict] = []
+        gkey = None
+
+        def flush_group():
+            nonlocal group, gkey
+            if not group:
+                return
+            if len(group) == 1:
+                issued.append(
+                    ("s", group[0]["batch"], self._issue_single(group[0]))
+                )
+            else:
+                issued.append((
+                    "g",
+                    [p["batch"] for p in group],
+                    self._issue_group(group),
+                ))
+            group, gkey = [], None
+
+        for i, batch in enumerate(batches):
+            dev = devs[i % len(devs)] if len(devs) > 1 else None
+            p = self._prepare(batch, sketches_by_key, dev, flush_group)
+            if p is None:
+                flush_group()
+                issued.append(
+                    ("s", batch, self._dispatch(batch, sketches_by_key, dev))
+                )
+                continue
+            key = (p["devid"], p["flatn"], p["flatf"], p["G"])
+            if gkey is not None and (key != gkey or len(group) >= gcap):
+                flush_group()
+            if gkey is None:
+                gkey = key
+            group.append(p)
+        flush_group()
+
+        P = cfg.max_pairs
+        for kind, b, out in issued:
             buf = np.asarray(out)
-            a = buf[:pcap]
-            f = buf[pcap : pcap + pcap]
-            for i, pr in enumerate(pairs):
-                results[pr] = (float(a[i]), float(f[i]))
+            if kind == "s":
+                for i, pr in enumerate(b):
+                    results[pr] = (float(buf[i]), float(buf[P + i]))
+            else:
+                for t, bt in enumerate(b):
+                    for i, pr in enumerate(bt):
+                        results[pr] = (
+                            float(buf[t, i]), float(buf[t, P + i])
+                        )
         return results
 
     def _dispatch(self, batch: List[Tuple], sketches_by_key: Dict, device=None):
@@ -540,10 +641,11 @@ class PairTableVerifier:
 
         placed = _placed(device)
         if self._pool_rows_fn is not None and _pool_direct_enabled():
-            bitmaps, row_of, popcounts = self._pool_rows_fn(
+            pool, row_of, popcounts = self._pool_rows_fn(
                 tgt_order, [sketches_by_key[t] for t in tgt_order], G,
                 device,
             )
+            bitmaps = pool.buffer
         else:
             bitmaps, popcounts = self._bitmap_stack_fn(
                 tgt_order, [sketches_by_key[t] for t in tgt_order], G,
@@ -614,7 +716,130 @@ class PairTableVerifier:
                 min_hashes=cfg.min_fragment_hashes,
                 min_ident=cfg.min_fragment_identity,
             )
-        return (list(batch), P, out)
+        return out
+
+    def _prepare(
+        self, batch: List[Tuple], sketches_by_key: Dict, device, flush_cb
+    ) -> Optional[Dict]:
+        """Build one dispatch's descriptors against the persistent
+        arena + pool (host work only; ensure() fills are content-
+        preserving). Returns None when the batch needs the upload
+        fallback. flush_cb runs BEFORE any arena reset or pool
+        eviction so already-prepared dispatches issue while their
+        spans/row ids are still valid; the device buffers themselves
+        are read at issue time (fills donate and replace them)."""
+        cfg = self.cfg
+        if (
+            self._arena_fn is None
+            or not _arena_enabled()
+            or self._pool_rows_fn is None
+            or not _pool_direct_enabled()
+        ):
+            return None
+
+        src_order: List = []
+        src_info: Dict = {}
+        for s, _ in batch:
+            if s not in src_info:
+                src_order.append(s)
+                src_info[s] = sketches_by_key[s]
+        tgt_order: List = []
+        tgt_row: Dict = {}
+        for _, t in batch:
+            if t not in tgt_row:
+                tgt_row[t] = len(tgt_order)
+                tgt_order.append(t)
+
+        arena = self._arena_fn(device)
+        if arena.would_reset(src_order, src_info):
+            flush_cb()
+        spans = arena.ensure(src_order, src_info)
+        if any(s not in spans for s in src_order):
+            return None  # oversized stream: upload path
+
+        G = min(
+            _shape_bucket(len(tgt_order), 8, cfg.max_bitmaps),
+            cfg.max_bitmaps,
+        )
+        pool, row_of, popc = self._pool_rows_fn(
+            tgt_order, [sketches_by_key[t] for t in tgt_order], G,
+            device, flush_cb=flush_cb,
+        )
+
+        P = cfg.max_pairs
+        psrc = np.zeros(P, dtype=np.int32)
+        puf = np.zeros(P, dtype=np.int32)
+        pref = np.zeros(P, dtype=np.int32)
+        prow = np.ones(P, dtype=np.int32)  # padding -> zero row 1
+        pfs = np.zeros(P + 1, dtype=np.int32)
+        pffs = np.zeros(P + 1, dtype=np.int32)
+        fh = 0
+        ff = 0
+        for i, (s, t) in enumerate(batch):
+            sk = src_info[s]
+            psrc[i] = spans[s][0]
+            puf[i] = spans[s][1]
+            pref[i] = tgt_row[t]
+            prow[i] = row_of[tgt_row[t]]
+            pfs[i] = fh
+            pffs[i] = ff
+            fh += len(sk.frag_buckets)
+            ff += sk.n_fragments
+        pfs[len(batch):] = fh
+        pffs[len(batch):] = ff
+        flatn, flatf = flat_domain_shapes(fh, ff, cfg)
+        return dict(
+            batch=list(batch), device=device, devid=id(device),
+            arena=arena, pool=pool, popc=popc, psrc=psrc, puf=puf,
+            pref=pref, prow=prow, pfs=pfs, pffs=pffs, nfl=fh, nff=ff,
+            flatn=flatn, flatf=flatf, G=G,
+        )
+
+    def _kernel_statics(self) -> Dict:
+        cfg = self.cfg
+        return dict(
+            bits=cfg.member_bits, k=cfg.k,
+            min_hashes=cfg.min_fragment_hashes,
+            min_ident=cfg.min_fragment_identity,
+        )
+
+    def _issue_single(self, p: Dict):
+        from galah_tpu.ops.fragment_ani import _placed
+
+        us, uo = p["arena"].buffers
+        with _placed(p["device"]):
+            return _pair_table_kernel_packed(
+                us, uo, p["pool"].buffer,
+                jnp.asarray(p["popc"]), jnp.asarray(p["psrc"]),
+                jnp.asarray(p["pfs"]), jnp.asarray(p["puf"]),
+                jnp.asarray(p["pffs"]), jnp.asarray(p["pref"]),
+                jnp.asarray(p["prow"]),
+                jnp.int32(p["nfl"]), jnp.int32(p["nff"]),
+                flatn=p["flatn"], flatf=p["flatf"],
+                **self._kernel_statics(),
+            )
+
+    def _issue_group(self, ps: List[Dict]):
+        from galah_tpu.ops.fragment_ani import _placed
+
+        p0 = ps[0]
+        us, uo = p0["arena"].buffers
+
+        def st(key, dt):
+            return jnp.asarray(np.stack([p[key] for p in ps]).astype(dt))
+
+        with _placed(p0["device"]):
+            return _pair_table_group_kernel(
+                us, uo, p0["pool"].buffer,
+                st("popc", np.float32), st("psrc", np.int32),
+                st("pfs", np.int32), st("puf", np.int32),
+                st("pffs", np.int32), st("pref", np.int32),
+                st("prow", np.int32),
+                jnp.asarray(np.array([p["nfl"] for p in ps], np.int32)),
+                jnp.asarray(np.array([p["nff"] for p in ps], np.int32)),
+                flatn=p0["flatn"], flatf=p0["flatf"],
+                **self._kernel_statics(),
+            )
 
 
 class _Usage:

@@ -616,3 +616,46 @@ def test_pool_direct_matches_stack_path(monkeypatch):
     stacked = run("0")
     assert direct == stacked
     assert len(direct) == len(directed)
+
+
+def test_grouped_verify_dispatch_matches_single(monkeypatch):
+    """GALAH_TPU_VERIFY_GROUP>1 maps K prepared dispatches into one
+    program; results must be bit-identical to single dispatches (the
+    mapped body IS the single-dispatch kernel)."""
+    params, sketches, directed = _contig_fixture()
+
+    def run(group: str):
+        monkeypatch.setenv("GALAH_TPU_VERIFY_GROUP", group)
+        eng = _engine(params)
+        # Tiny caps force many small batches so grouping engages.
+        pt = eng._pair_table()
+        import dataclasses
+        pt.cfg = dataclasses.replace(pt.cfg, max_pairs=8)
+        return pt.run(directed, sketches)
+
+    single = run("1")
+    grouped = run("3")
+    assert single == grouped
+    assert len(single) == len(directed)
+
+
+def test_grouped_verify_survives_arena_resets(monkeypatch):
+    """A tiny arena forces resets between prepared dispatches; the
+    would_reset flush must keep every prepared span valid (results
+    identical to the ungrouped run)."""
+    monkeypatch.setenv("GALAH_TPU_VERIFY_GROUP", "4")
+    params, sketches, directed = _contig_fixture()
+    max_nh = max(len(s.frag_buckets) for s in sketches.values())
+    max_nf = max(s.n_fragments for s in sketches.values())
+    monkeypatch.setenv("GALAH_TPU_ARENA_HASHES", str(2 * max_nh + 8))
+    monkeypatch.setenv("GALAH_TPU_ARENA_FRAGS", str(2 * (max_nf + 1) + 8))
+    import dataclasses
+    eng = _engine(params)
+    pt = eng._pair_table()
+    pt.cfg = dataclasses.replace(pt.cfg, max_pairs=4)
+    tiny = pt.run(directed, sketches)
+    monkeypatch.delenv("GALAH_TPU_ARENA_HASHES")
+    monkeypatch.delenv("GALAH_TPU_ARENA_FRAGS")
+    monkeypatch.setenv("GALAH_TPU_VERIFY_GROUP", "1")
+    full = _engine(params)._pair_table().run(directed, sketches)
+    assert tiny == full
