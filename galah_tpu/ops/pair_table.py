@@ -523,7 +523,12 @@ class PairTableVerifier:
             group, gkey = [], None
 
         for i, batch in enumerate(batches):
-            dev = devs[i % len(devs)] if len(devs) > 1 else None
+            # Blocked round-robin: consecutive batches share a device
+            # for gcap steps so groups can form; with gcap=1 (CPU)
+            # this is the plain per-batch round-robin.
+            dev = (
+                devs[(i // gcap) % len(devs)] if len(devs) > 1 else None
+            )
             p = self._prepare(batch, sketches_by_key, dev, flush_group)
             if p is None:
                 flush_group()
