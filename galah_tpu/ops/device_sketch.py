@@ -869,19 +869,22 @@ def device_sketch_batch(
         # larger (dense MAG-scale bitmaps).
         counts = np.asarray(_counts_concat(member_pop, n_pref, n_unique))
         mp_h, npref_h, n_unique_h = counts[0], counts[1], counts[2]
-        cap = _next_pow2(max(int(counts.max()), 8))
+        cap = _next_pow2(
+            max(int(mp_h.max()), int(n_unique_h.max()), 8)
+        )
+        pcap = _next_pow2(max(int(npref_h.max()), 8))
         wm, wp = member_words.shape[1], pref_words.shape[1]
         use_m = _entry_bytes(mbits_n) * cap < wm * 4
-        use_p = _entry_bytes(pbits_n) * cap < wp * 4
+        use_p = _entry_bytes(pbits_n) * pcap < wp * 4
         buf = np.asarray(_sketch_transport_kernel(
             member_words, pref_words, flat,
-            cap=cap, use_m=use_m, use_p=use_p,
+            cap=cap, pcap=pcap, use_m=use_m, use_p=use_p,
             mrow=max(1, min(G, (1 << 26) // (wm * 32))),
             prow=max(1, min(G, (1 << 26) // (wp * 32))),
             mbits=mbits_n, pbits=pbits_n, fbits=mbits_n,
         ))
         off_p = _entry_bytes(mbits_n) * cap if use_m else 0
-        off_f = off_p + (_entry_bytes(pbits_n) * cap if use_p else 0)
+        off_f = off_p + (_entry_bytes(pbits_n) * pcap if use_p else 0)
         member_words_h = None if use_m else np.asarray(member_words)
         pref_words_h = None if use_p else np.asarray(pref_words)
 
@@ -1353,19 +1356,23 @@ def _decode_narrow(row: np.ndarray, nbits: int, count: int) -> np.ndarray:
 @partial(
     jax.jit,
     static_argnames=(
-        "cap", "use_m", "use_p", "mrow", "prow",
+        "cap", "pcap", "use_m", "use_p", "mrow", "prow",
         "mbits", "pbits", "fbits",
     ),
 )
 def _sketch_transport_kernel(
     member_words, pref_words, flat, *,
-    cap: int, use_m: bool, use_p: bool, mrow: int, prow: int,
+    cap: int, pcap: int, use_m: bool, use_p: bool, mrow: int, prow: int,
     mbits: int, pbits: int, fbits: int,
 ):
     """One uint8 transport buffer per chunk:
     [member lists | prefilter lists | flat stream], each narrowed to
     its entry width; member/pref appear only when their list form is
-    smaller than the word bitmap (use_m/use_p)."""
+    smaller than the word bitmap (use_m/use_p). The prefilter list has
+    its OWN pow2 cap (pcap): gsel counts run ~5x below fsel counts
+    (genome_scale >= fragment_scale), so sharing the member cap padded
+    the sparse pref list past its word-bitmap size and pushed it back
+    to the words transport."""
     g = flat.shape[0]
     parts = []
     if use_m:
@@ -1374,7 +1381,7 @@ def _sketch_transport_kernel(
         )
     if use_p:
         parts.append(
-            _narrow_dev(_bits_to_lists(pref_words, cap, prow), pbits)
+            _narrow_dev(_bits_to_lists(pref_words, pcap, prow), pbits)
         )
     fl = jax.lax.slice_in_dim(flat, 0, min(cap, flat.shape[1]), axis=1)
     if cap > flat.shape[1]:
