@@ -355,15 +355,27 @@ def _pair_table_group_kernel(
 
 
 def _verify_group() -> int:
-    """Pair-table dispatches per RPC. GALAH_TPU_VERIFY_GROUP
-    overrides; default 8 on accelerators, 1 on CPU (no relay — and
-    lax.map would serialize what XLA:CPU runs concurrently)."""
+    """Pair-table dispatches per RPC (upper bound; see
+    _group_cap_for_shape). GALAH_TPU_VERIFY_GROUP overrides; default 8
+    on accelerators, 1 on CPU (no relay — and lax.map would serialize
+    what XLA:CPU runs concurrently)."""
     import os
 
     env = os.environ.get("GALAH_TPU_VERIFY_GROUP")
     if env:
         return max(1, int(env))
     return 1 if jax.default_backend() in ("cpu",) else 8
+
+
+def _group_cap_for_shape(flatn: int) -> int:
+    """Shape-aware group size: the relay's per-dispatch cost scales
+    SUPER-linearly with program size (verify_dispatch_probe: 4x the
+    work cost ~6x), so batching K full-cap MAG dispatches into one
+    program loses — measured 64.3s grouped-8 vs 41.6s single at the
+    2048x500kb shape — while small contig-scale dispatches win from
+    amortizing the flat per-RPC latency. Scale K inversely with the
+    flat domain: full cap (2^23) -> 1, 2^21 -> 4, <=2^20 -> 8."""
+    return max(1, min(8, (1 << 23) // max(flatn, 1)))
 
 
 def _pool_direct_enabled() -> bool:
@@ -537,11 +549,20 @@ class PairTableVerifier:
                 )
                 continue
             key = (p["devid"], p["flatn"], p["flatf"], p["G"])
-            if gkey is not None and (key != gkey or len(group) >= gcap):
+            import os
+
+            cap_here = (
+                gcap
+                if os.environ.get("GALAH_TPU_VERIFY_GROUP")
+                else min(gcap, _group_cap_for_shape(p["flatn"]))
+            )
+            if gkey is not None and (key != gkey or len(group) >= cap_here):
                 flush_group()
             if gkey is None:
                 gkey = key
             group.append(p)
+            if len(group) >= cap_here:
+                flush_group()
         flush_group()
 
         P = cfg.max_pairs
