@@ -367,15 +367,19 @@ def _verify_group() -> int:
     return 1 if jax.default_backend() in ("cpu",) else 8
 
 
-def _group_cap_for_shape(flatn: int) -> int:
+def _group_cap_for_shape(flatn: int, member_bits: int) -> int:
     """Shape-aware group size: the relay's per-dispatch cost scales
     SUPER-linearly with program size (verify_dispatch_probe: 4x the
-    work cost ~6x), so batching K full-cap MAG dispatches into one
+    work cost ~6x), so batching K gather-heavy MAG dispatches into one
     program loses — measured 64.3s grouped-8 vs 41.6s single at the
-    2048x500kb shape — while small contig-scale dispatches win from
-    amortizing the flat per-RPC latency. Scale K inversely with the
-    flat domain: full cap (2^23) -> 1, 2^21 -> 4, <=2^20 -> 8."""
-    return max(1, min(8, (1 << 23) // max(flatn, 1)))
+    2048x500kb shape (2^22-bit members; the per-pair word gathers span
+    a ~512MB pool) — while small-member contig dispatches (2^16 bits,
+    8KB rows, gather-light) measured a win from amortizing the per-RPC
+    latency. Group only the small-member class; shrink K when the flat
+    domain is below the contig-class cap anyway."""
+    if member_bits > (1 << 16):
+        return 1
+    return max(1, min(8, (1 << 26) // max(flatn, 1)))
 
 
 def _pool_direct_enabled() -> bool:
@@ -554,7 +558,10 @@ class PairTableVerifier:
             cap_here = (
                 gcap
                 if os.environ.get("GALAH_TPU_VERIFY_GROUP")
-                else min(gcap, _group_cap_for_shape(p["flatn"]))
+                else min(
+                    gcap,
+                    _group_cap_for_shape(p["flatn"], cfg.member_bits),
+                )
             )
             if gkey is not None and (key != gkey or len(group) >= cap_here):
                 flush_group()
