@@ -325,32 +325,84 @@ def _pair_table_kernel(
     return ani, af
 
 
+def _split_desc(desc, g: int, p: int):
+    """Unpack one dispatch's packed int32 descriptor row (see
+    _pack_desc: [popc-bits (g,) | psrc (p,) | pfs (p+1,) | puf (p,) |
+    pffs (p+1,) | pref (p,) | prow (p,) | nfl | nff]). One packed
+    upload replaces nine per-operand device_put RPCs per dispatch —
+    descriptor uploads were the grouped verify's remaining wall on the
+    relay."""
+    popc = jax.lax.bitcast_convert_type(desc[:g], jnp.float32)
+    o = g
+    psrc = desc[o : o + p]
+    o += p
+    pfs = desc[o : o + p + 1]
+    o += p + 1
+    puf = desc[o : o + p]
+    o += p
+    pffs = desc[o : o + p + 1]
+    o += p + 1
+    pref = desc[o : o + p]
+    o += p
+    prow = desc[o : o + p]
+    o += p
+    return popc, psrc, pfs, puf, pffs, pref, prow, desc[o], desc[o + 1]
+
+
+def _pack_desc(popc, psrc, pfs, puf, pffs, pref, prow, nfl, nff):
+    """Host-side inverse of _split_desc (one (C,) int32 row)."""
+    return np.concatenate([
+        np.ascontiguousarray(popc, dtype=np.float32).view(np.int32),
+        psrc, pfs, puf, pffs, pref, prow,
+        np.array([nfl, nff], np.int32),
+    ])
+
+
 @partial(
     jax.jit,
-    static_argnames=("flatn", "flatf", "bits", "k", "min_hashes", "min_ident"),
+    static_argnames=("g", "p", "flatn", "flatf", "bits", "k",
+                     "min_hashes", "min_ident"),
 )
-def _pair_table_group_kernel(
-    ustream, uoff, bitmaps,
-    popc, psrc, pfs, puf, pffs, pref, prow, nfl, nff, *,
-    flatn: int, flatf: int, bits: int, k: int,
+def _pair_table_kernel_desc(
+    ustream, uoff, bitmaps, desc, *,
+    g: int, p: int, flatn: int, flatf: int, bits: int, k: int,
     min_hashes: int, min_ident: float,
 ):
-    """K pair-table dispatches in ONE program (lax.map over the
-    leading axis of every per-dispatch descriptor): with the arena
-    holding the streams and the pool holding the bitmaps, a dispatch's
-    own operands are a few KB of descriptors — so the relay's
-    per-dispatch cost (hundreds of ms, dispatches never overlap;
-    benchmarks/verify_dispatch_probe.py) is the verify stage's floor.
-    Grouping divides it by K. Returns (K, 2P) packed [ani | af] rows —
-    one fetch for the whole group. Bit-identical to single dispatches:
-    the mapped body IS the single-dispatch kernel."""
+    """Single dispatch from one packed descriptor row."""
+    return _pair_table_kernel_packed(
+        ustream, uoff, bitmaps, *_split_desc(desc, g, p),
+        flatn=flatn, flatf=flatf, bits=bits, k=k,
+        min_hashes=min_hashes, min_ident=min_ident,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("g", "p", "flatn", "flatf", "bits", "k",
+                     "min_hashes", "min_ident"),
+)
+def _pair_table_group_kernel(
+    ustream, uoff, bitmaps, desc_k, *,
+    g: int, p: int, flatn: int, flatf: int, bits: int, k: int,
+    min_hashes: int, min_ident: float,
+):
+    """K pair-table dispatches in ONE program (lax.map over the packed
+    (K, C) descriptor rows): with the arena holding the streams and the
+    pool holding the bitmaps, a dispatch's own operands are a few KB of
+    descriptors — so the relay's per-dispatch cost (hundreds of ms,
+    dispatches never overlap; benchmarks/verify_dispatch_probe.py) is
+    the verify stage's floor. Grouping divides it by K, and the single
+    packed descriptor upload replaces 9 per-operand device_puts per
+    dispatch. Returns (K, 2P) packed [ani | af] rows — one fetch for
+    the whole group. Bit-identical to single dispatches: the mapped
+    body IS the single-dispatch kernel."""
     return jax.lax.map(
-        lambda t: _pair_table_kernel_packed(
-            ustream, uoff, bitmaps, *t,
+        lambda d: _pair_table_kernel_packed(
+            ustream, uoff, bitmaps, *_split_desc(d, g, p),
             flatn=flatn, flatf=flatf, bits=bits, k=k,
             min_hashes=min_hashes, min_ident=min_ident,
         ),
-        (popc, psrc, pfs, puf, pffs, pref, prow, nfl, nff),
+        desc_k,
     )
 
 
@@ -823,9 +875,10 @@ class PairTableVerifier:
         flatn, flatf = flat_domain_shapes(fh, ff, cfg)
         return dict(
             batch=list(batch), device=device, devid=id(device),
-            arena=arena, pool=pool, popc=popc, psrc=psrc, puf=puf,
-            pref=pref, prow=prow, pfs=pfs, pffs=pffs, nfl=fh, nff=ff,
-            flatn=flatn, flatf=flatf, G=G,
+            arena=arena, pool=pool,
+            desc=_pack_desc(popc, psrc, pfs, puf, pffs, pref, prow,
+                            fh, ff),
+            nfl=fh, flatn=flatn, flatf=flatf, G=G,
         )
 
     def _kernel_statics(self) -> Dict:
@@ -841,13 +894,9 @@ class PairTableVerifier:
 
         us, uo = p["arena"].buffers
         with _placed(p["device"]):
-            return _pair_table_kernel_packed(
-                us, uo, p["pool"].buffer,
-                jnp.asarray(p["popc"]), jnp.asarray(p["psrc"]),
-                jnp.asarray(p["pfs"]), jnp.asarray(p["puf"]),
-                jnp.asarray(p["pffs"]), jnp.asarray(p["pref"]),
-                jnp.asarray(p["prow"]),
-                jnp.int32(p["nfl"]), jnp.int32(p["nff"]),
+            return _pair_table_kernel_desc(
+                us, uo, p["pool"].buffer, jnp.asarray(p["desc"]),
+                g=p["G"], p=self.cfg.max_pairs,
                 flatn=p["flatn"], flatf=p["flatf"],
                 **self._kernel_statics(),
             )
@@ -857,19 +906,11 @@ class PairTableVerifier:
 
         p0 = ps[0]
         us, uo = p0["arena"].buffers
-
-        def st(key, dt):
-            return jnp.asarray(np.stack([p[key] for p in ps]).astype(dt))
-
         with _placed(p0["device"]):
             return _pair_table_group_kernel(
                 us, uo, p0["pool"].buffer,
-                st("popc", np.float32), st("psrc", np.int32),
-                st("pfs", np.int32), st("puf", np.int32),
-                st("pffs", np.int32), st("pref", np.int32),
-                st("prow", np.int32),
-                jnp.asarray(np.array([p["nfl"] for p in ps], np.int32)),
-                jnp.asarray(np.array([p["nff"] for p in ps], np.int32)),
+                jnp.asarray(np.stack([p["desc"] for p in ps])),
+                g=p0["G"], p=self.cfg.max_pairs,
                 flatn=p0["flatn"], flatf=p0["flatf"],
                 **self._kernel_statics(),
             )

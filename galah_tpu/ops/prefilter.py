@@ -91,7 +91,7 @@ def _resident_screen_extract(
     static_argnames=("block", "cap", "is_diag", "dtname"),
 )
 def _resident_screen_extract_group(
-    x_all, sizes, bis, bjs, bits_f, min_cont, *,
+    x_all, sizes, desc, *,
     block: int, cap: int, is_diag: bool, dtname: str,
 ):
     """K tiles of the resident sweep in ONE dispatch (lax.map over the
@@ -114,7 +114,18 @@ def _resident_screen_extract_group(
     row-overflow marker (<0) or exceeds cap contribute zero entries
     (the drain re-extracts/denses them — same contract as single
     tiles); if the group's total survivors exceed cap the host
-    re-dispatches the tiles singly (detectable from the cnts alone)."""
+    re-dispatches the tiles singly (detectable from the cnts alone).
+
+    desc is ONE packed int32 upload per RPC (each host device_put is
+    its own relay RPC): [bis (K,) | bjs (K,) | bits f32 bits |
+    min_cont f32 bits]."""
+    k_grp = (desc.shape[0] - 2) // 2
+    bis = desc[:k_grp]
+    bjs = desc[k_grp : 2 * k_grp]
+    bits_f = jax.lax.bitcast_convert_type(desc[2 * k_grp], jnp.float32)
+    min_cont = jax.lax.bitcast_convert_type(
+        desc[2 * k_grp + 1], jnp.float32
+    )
     cnts, iis, jjs, vss = jax.lax.map(
         lambda t: _resident_screen_extract(
             x_all, sizes, t[0], t[1], bits_f, min_cont,
@@ -149,6 +160,15 @@ def _resident_screen_extract_group(
         v16[0::2] | (v16[1::2] << 16), jnp.int32
     )
     return jnp.concatenate([cnts, codes, vals_pk])
+
+
+def _screen_group_desc(bis, bjs, bits_f: float, min_cont_f: float):
+    """One packed int32 upload for a tile group (see
+    _resident_screen_extract_group's desc layout)."""
+    scal = np.array([bits_f, min_cont_f], np.float32).view(np.int32)
+    return np.concatenate([
+        np.asarray(bis, np.int32), np.asarray(bjs, np.int32), scal,
+    ])
 
 
 def _decode_group_result(buf: np.ndarray, k_tiles: int, cap: int, block: int):
@@ -893,9 +913,11 @@ def screen_triangle_packed(
                     padded = grp + [grp[0]] * (group - nreal)
                     res = _resident_screen_extract_group(
                         x_all, s_dev,
-                        jnp.asarray([t[0] for t in padded], jnp.int32),
-                        jnp.asarray([t[1] for t in padded], jnp.int32),
-                        jnp.float32(bits), jnp.float32(min_cont_f),
+                        jnp.asarray(_screen_group_desc(
+                            [t[0] for t in padded],
+                            [t[1] for t in padded],
+                            float(bits), min_cont_f,
+                        )),
                         block=block, cap=cap, is_diag=is_diag,
                         dtname=dtn,
                     )
@@ -1065,11 +1087,11 @@ def screen_rectangle_packed(
                 padded = grp + [grp[0]] * (group - nreal)
                 res = _resident_screen_extract_group(
                     x_all, s_dev,
-                    jnp.asarray([t[0] for t in padded], jnp.int32),
-                    jnp.asarray(
-                        [ref_block0 + t[1] for t in padded], jnp.int32
-                    ),
-                    jnp.float32(bits), jnp.float32(min_cont_f),
+                    jnp.asarray(_screen_group_desc(
+                        [t[0] for t in padded],
+                        [ref_block0 + t[1] for t in padded],
+                        float(bits), min_cont_f,
+                    )),
                     block=block, cap=cap, is_diag=False, dtname=dtn,
                 )
                 pending.append(("g", padded, nreal, res))
