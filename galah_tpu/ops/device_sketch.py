@@ -858,66 +858,39 @@ def device_sketch_batch(
         )
 
     offsets_h = np.asarray(offsets)
-    mbits_n = int(params.member_bits - 1).bit_length()
-    pbits_n = int(params.prefilter_bits - 1).bit_length()
-    if _transport_mode() == "lists":
-        # Narrow transport: one small counts fetch sizes the shared
-        # pow2 cap, then ONE uint8 buffer carries bucket lists + the
-        # narrowed flat stream (fetch bytes are the sketch phase's
-        # bottleneck on the relay; see _transport_mode above). The
-        # word-bitmap form is kept for a bitmap whose list would be
-        # larger (dense MAG-scale bitmaps).
-        counts = np.asarray(_counts_concat(member_pop, n_pref, n_unique))
-        mp_h, npref_h, n_unique_h = counts[0], counts[1], counts[2]
-        cap = _next_pow2(
-            max(int(mp_h.max()), int(n_unique_h.max()), 8)
+    counts = np.asarray(_counts_concat(member_pop, n_pref, n_unique))
+    mp_h, npref_h, n_unique_h = counts[0], counts[1], counts[2]
+    if _host_copies_mode() == "lazy":
+        # Adopted pipelines never read the host copies (screen consumes
+        # device-born rows; verify reads the pool/arena): defer the
+        # product fetch entirely. Any content access materializes the
+        # WHOLE chunk once (the counts above keep len()/popcount free).
+        chunk = _LazyChunk(
+            member_words, pref_words, flat, counts, params
         )
-        pcap = _next_pow2(max(int(npref_h.max()), 8))
-        wm, wp = member_words.shape[1], pref_words.shape[1]
-        use_m = _entry_bytes(mbits_n) * cap < wm * 4
-        use_p = _entry_bytes(pbits_n) * pcap < wp * 4
-        buf = np.asarray(_sketch_transport_kernel(
-            member_words, pref_words, flat,
-            cap=cap, pcap=pcap, use_m=use_m, use_p=use_p,
-            mrow=max(1, min(G, (1 << 26) // (wm * 32))),
-            prow=max(1, min(G, (1 << 26) // (wp * 32))),
-            mbits=mbits_n, pbits=pbits_n, fbits=mbits_n,
-        ))
-        off_p = _entry_bytes(mbits_n) * cap if use_m else 0
-        off_f = off_p + (_entry_bytes(pbits_n) * pcap if use_p else 0)
-        member_words_h = None if use_m else np.asarray(member_words)
-        pref_words_h = None if use_p else np.asarray(pref_words)
+        _register_lazy_chunk(chunk)
 
         def _member(i):
-            if use_m:
-                return _decode_narrow(
-                    buf[i, :off_p], mbits_n, int(mp_h[i])
-                )
-            return _words_to_buckets(member_words_h[i])
+            return LazyBuckets(chunk, i, 2, int(mp_h[i]))
 
         def _pref(i):
-            if use_p:
-                return _decode_narrow(
-                    buf[i, off_p:off_f], pbits_n, int(npref_h[i])
-                )
-            return _words_to_buckets(pref_words_h[i])
+            return LazyBuckets(chunk, i, 0, int(npref_h[i]))
 
         def _flat(i, nu):
-            return _decode_narrow(buf[i, off_f:], mbits_n, nu)
+            return LazyBuckets(chunk, i, 1, nu)
     else:
-        flat_h = np.asarray(flat)
-        n_unique_h = np.asarray(n_unique)
-        member_words_h = np.asarray(member_words)
-        pref_words_h = np.asarray(pref_words)
+        per = _fetch_product_arrays(
+            member_words, pref_words, flat, counts, params
+        )
 
         def _member(i):
-            return _words_to_buckets(member_words_h[i])
+            return per[i][2]
 
         def _pref(i):
-            return _words_to_buckets(pref_words_h[i])
+            return per[i][0]
 
         def _flat(i, nu):
-            return flat_h[i, :nu].copy()
+            return per[i][1]
 
     sketches: List[NativeSketch] = []
     for i, p in enumerate(plans):
@@ -1398,6 +1371,174 @@ def _counts_concat(member_pop, n_pref, n_unique):
         n_pref.astype(jnp.int32),
         n_unique.astype(jnp.int32),
     ])
+
+
+def _fetch_product_arrays(member_words, pref_words, flat, counts, params):
+    """Fetch + decode one chunk's sketch products into per-genome
+    (prefilter_buckets, frag_buckets, member_buckets) host arrays,
+    using the narrow lists transport when smaller (see
+    _transport_mode; word-bitmap fetch otherwise, per bitmap)."""
+    g = flat.shape[0]
+    mp_h, npref_h, n_unique_h = counts[0], counts[1], counts[2]
+    mbits_n = int(params.member_bits - 1).bit_length()
+    pbits_n = int(params.prefilter_bits - 1).bit_length()
+    wm, wp = member_words.shape[1], pref_words.shape[1]
+    if _transport_mode() == "lists":
+        cap = _next_pow2(max(int(mp_h.max()), int(n_unique_h.max()), 8))
+        pcap = _next_pow2(max(int(npref_h.max()), 8))
+        use_m = _entry_bytes(mbits_n) * cap < wm * 4
+        use_p = _entry_bytes(pbits_n) * pcap < wp * 4
+    else:
+        cap = pcap = 8
+        use_m = use_p = False
+    if use_m or use_p:
+        buf = np.asarray(_sketch_transport_kernel(
+            member_words, pref_words, flat,
+            cap=cap, pcap=pcap, use_m=use_m, use_p=use_p,
+            mrow=max(1, min(g, (1 << 26) // (wm * 32))),
+            prow=max(1, min(g, (1 << 26) // (wp * 32))),
+            mbits=mbits_n, pbits=pbits_n, fbits=mbits_n,
+        ))
+        off_p = _entry_bytes(mbits_n) * cap if use_m else 0
+        off_f = off_p + (_entry_bytes(pbits_n) * pcap if use_p else 0)
+        flat_h = None
+    else:
+        off_p = off_f = 0
+        buf = None
+        flat_h = np.asarray(flat)
+    member_words_h = None if use_m else np.asarray(member_words)
+    pref_words_h = None if use_p else np.asarray(pref_words)
+
+    out = []
+    for i in range(g):
+        if use_p:
+            pb = _decode_narrow(buf[i, off_p:off_f], pbits_n,
+                                int(npref_h[i]))
+        else:
+            pb = _words_to_buckets(pref_words_h[i])
+        nu = int(n_unique_h[i])
+        if buf is not None:
+            fb = _decode_narrow(buf[i, off_f:], mbits_n, nu)
+        else:
+            fb = flat_h[i, :nu].copy()
+        if use_m:
+            mb = _decode_narrow(buf[i, :off_p], mbits_n, int(mp_h[i]))
+        else:
+            mb = _words_to_buckets(member_words_h[i])
+        out.append((pb, fb, mb))
+    return out
+
+
+# --- lazy host copies ------------------------------------------------
+# In the adopted device-resident pipeline nothing reads a sketch's
+# host arrays: the screen consumes device-born prefilter rows and the
+# verify stage reads the bitmap pool / stream arena. Lazy mode defers
+# each chunk's product fetch until some consumer actually touches
+# array CONTENT (store persistence, multi-process exchange, host
+# fallbacks); lengths/popcounts stay free via the eager counts fetch.
+# Pinned device products are bounded: past _LAZY_PIN_BUDGET bytes the
+# oldest pending chunk is materialized and released.
+
+_LAZY_PIN_BUDGET = 2 << 30
+_LAZY_PENDING: List = []
+
+
+def _host_copies_mode() -> str:
+    mode = os.environ.get("GALAH_TPU_SKETCH_HOST_COPIES")
+    if mode in ("eager", "lazy"):
+        return mode
+    return "eager" if jax.default_backend() == "cpu" else "lazy"
+
+
+class _LazyChunk:
+    """Deferred host materialization of one sketch chunk's products."""
+
+    def __init__(self, member_words, pref_words, flat, counts, params):
+        import threading
+
+        self._dev = (member_words, pref_words, flat)
+        self._counts = counts
+        self._params = params
+        self._per = None
+        self._lock = threading.Lock()
+        self.nbytes = sum(
+            int(np.prod(a.shape)) * a.dtype.itemsize for a in self._dev
+        )
+
+    def get(self):
+        with self._lock:
+            if self._per is None:
+                self._per = _fetch_product_arrays(
+                    *self._dev, self._counts, self._params
+                )
+                self._dev = None  # release device buffers
+                try:
+                    _LAZY_PENDING.remove(self)
+                except ValueError:
+                    pass
+            return self._per
+
+
+def _register_lazy_chunk(chunk: "_LazyChunk") -> None:
+    _LAZY_PENDING.append(chunk)
+    while (
+        sum(c.nbytes for c in _LAZY_PENDING) > _LAZY_PIN_BUDGET
+        and len(_LAZY_PENDING) > 1
+    ):
+        _LAZY_PENDING[0].get()  # materialize + drop the oldest
+
+
+class LazyBuckets(np.lib.mixins.NDArrayOperatorsMixin):
+    """Duck-typed int32 bucket array whose CONTENT materializes its
+    whole chunk on first access; len()/shape are free (eager counts).
+    Supports the codebase's uses: len(), np.asarray/__array__ (feeds
+    np.concatenate, fancy indexing, buffer assignment, np.savez),
+    every ufunc/operator (NDArrayOperatorsMixin + __array_ufunc__),
+    astype, indexing, iteration, and pickling (materializes)."""
+
+    dtype = np.dtype(np.int32)
+
+    def __init__(self, chunk: _LazyChunk, row: int, field: int, n: int):
+        self._chunk = chunk
+        self._row = row
+        self._field = field
+        self._n = n
+        self._arr = None
+
+    def _mat(self) -> np.ndarray:
+        if self._arr is None:
+            self._arr = self._chunk.get()[self._row][self._field]
+            self._chunk = None
+        return self._arr
+
+    def __len__(self) -> int:
+        return self._n
+
+    @property
+    def shape(self):
+        return (self._n,)
+
+    def __array__(self, dtype=None, copy=None):
+        a = self._mat()
+        return a.astype(dtype) if dtype is not None else a
+
+    def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        inputs = tuple(
+            x._mat() if isinstance(x, LazyBuckets) else x for x in inputs
+        )
+        return getattr(ufunc, method)(*inputs, **kwargs)
+
+    def astype(self, dtype, **kw):
+        return self._mat().astype(dtype, **kw)
+
+    def __getitem__(self, idx):
+        return self._mat()[idx]
+
+    def __iter__(self):
+        return iter(self._mat())
+
+    def __reduce__(self):
+        return (np.asarray, (self._mat(),))
 
 
 def device_sketch_files(

@@ -617,3 +617,37 @@ def test_lists_transport_parity(monkeypatch, params_fn):
     via_lists = device_sketch_batch(names, lists, params)
     for a, b in zip(via_lists, base):
         _assert_sketch_equal(a, b)
+
+
+def test_lazy_host_copies_parity(monkeypatch):
+    """Lazy host copies defer the product fetch until content access;
+    materialized arrays must be bit-identical to eager mode, lengths
+    and popcounts must be available without materializing."""
+    from galah_tpu.ops import device_sketch as D
+
+    monkeypatch.setenv("GALAH_TPU_SKETCH_KERNEL", "scatter")
+    rng = np.random.default_rng(13)
+    params = _params_medium()
+    lists = [[_random_seq(rng, ln, n_prob=0.01)] for ln in (350, 5000, 777)]
+    names = [f"g{i}" for i in range(len(lists))]
+
+    monkeypatch.setenv("GALAH_TPU_SKETCH_HOST_COPIES", "eager")
+    eager = device_sketch_batch(names, lists, params)
+    monkeypatch.setenv("GALAH_TPU_SKETCH_HOST_COPIES", "lazy")
+    lazy = device_sketch_batch(names, lists, params)
+
+    for lz, eg in zip(lazy, eager):
+        assert isinstance(lz.frag_buckets, D.LazyBuckets)
+        # lengths are free (no materialization yet)
+        assert lz.frag_buckets._arr is None
+        assert len(lz.frag_buckets) == len(eg.frag_buckets)
+        assert lz.member_popcount == eg.member_popcount
+        assert lz.n_prefilter == eg.n_prefilter
+    for lz, eg in zip(lazy, eager):
+        _assert_sketch_equal(lz, eg)  # materializes via __array__
+
+    # pickling materializes to plain arrays
+    import pickle
+
+    rt = pickle.loads(pickle.dumps(lazy[0].member_buckets))
+    np.testing.assert_array_equal(rt, np.asarray(eager[0].member_buckets))
