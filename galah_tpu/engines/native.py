@@ -536,6 +536,10 @@ class _LazyPackedRows:
         self._sketches = sketches
         self._bits = bits
         self._pack = pack_indicator
+        # Width hint: lets the screens size their buffers without
+        # touching row 0 (which would materialize a lazy sketch chunk
+        # just to read its length).
+        self.row_width = bits // 32
 
     def __len__(self) -> int:
         return len(self._sketches)

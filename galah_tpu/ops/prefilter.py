@@ -759,7 +759,7 @@ def screen_triangle_packed(
     anis: List[np.ndarray] = []
     inv_k = 1.0 / k
     sizes_f = sizes.astype(np.float32)
-    w = len(packed[0])
+    w = getattr(packed, "row_width", None) or len(packed[0])
     block = block or _screen_block_for(n)
     cap = _screen_cap_for(block)
     min_cont_f = float(np.float32(min_containment))
@@ -978,7 +978,7 @@ def screen_rectangle_packed(
     nq, nr = len(query_packed), len(ref_packed)
     if nq == 0 or nr == 0:
         return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
-    w = len(query_packed[0])
+    w = getattr(query_packed, "row_width", None) or len(query_packed[0])
     inv_k = 1.0 / k
     block = block or _screen_block_for(max(nq, nr))
     cap = _screen_cap_for(block)

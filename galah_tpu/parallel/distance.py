@@ -157,7 +157,7 @@ def sharded_screen_triangle_packed(
     n = len(packed)
     if n == 0:
         return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
-    w = len(packed[0])
+    w = getattr(packed, "row_width", None) or len(packed[0])
     block = _pick_block(n, block or _screen_block_for(n))
     cap = cap or _screen_cap_for(block)
 
@@ -355,7 +355,7 @@ def sharded_screen_rectangle_packed(
     nq, nr = len(query_packed), len(ref_packed)
     if nq == 0 or nr == 0:
         return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
-    w = len(query_packed[0])
+    w = getattr(query_packed, "row_width", None) or len(query_packed[0])
     block = _pick_block(max(nq, nr), block or _screen_block_for(max(nq, nr)))
     cap = cap or _screen_cap_for(block)
 
@@ -600,7 +600,7 @@ def sharded_screen_triangle_rowsharded(
     n = len(packed)
     if n == 0:
         return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
-    w = len(packed[0])
+    w = getattr(packed, "row_width", None) or len(packed[0])
     block = _pick_block(n, block)
 
     nblocks_real = (n + block - 1) // block
@@ -834,7 +834,7 @@ def sharded_screen_rectangle_rowsharded(
     nq, nr = len(query_packed), len(ref_packed)
     if nq == 0 or nr == 0:
         return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
-    w = len(query_packed[0])
+    w = getattr(query_packed, "row_width", None) or len(query_packed[0])
     block = _pick_block(max(nq, nr), block)
 
     nq_pad = ((nq + block - 1) // block) * block
