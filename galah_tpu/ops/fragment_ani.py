@@ -870,10 +870,12 @@ def _query_from_arena(hash_arena, offs_arena, h_off, o_off, n, f,
 
 
 def _arena_capacities():
-    """(hash_capacity, frag_capacity) defaults: 2^27 int32 (512MB) on
-    accelerators — holds ~2000 MAG-scale streams or ~250k small-contig
-    streams (2^26 thrashed on the 2048-genome chip e2e) — and 2^22 on
-    CPU (tests; host RAM). Env: GALAH_TPU_ARENA_HASHES /
+    """(hash_capacity, frag_capacity) defaults: 2^28 int32 (1GB) on
+    accelerators — holds ~4000 MAG-scale streams or ~170k small-contig
+    streams (2^26 thrashed on the 2048-genome chip e2e, and 2^27 fell
+    ~10% short of the 100k-contig corpus' ~150M stream hashes, whose
+    evictions materialized lazy sketch chunks mid-verify) — and 2^22
+    on CPU (tests; host RAM). Env: GALAH_TPU_ARENA_HASHES /
     GALAH_TPU_ARENA_FRAGS."""
     import os
 
@@ -882,7 +884,7 @@ def _arena_capacities():
     if jax.default_backend() in ("cpu",):
         dh, df = 1 << 22, 1 << 18
     else:
-        dh, df = 1 << 27, 1 << 23
+        dh, df = 1 << 28, 1 << 24
     return (int(hc) if hc else dh, int(fc) if fc else df)
 
 
