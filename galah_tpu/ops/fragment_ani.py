@@ -870,13 +870,20 @@ def _query_from_arena(hash_arena, offs_arena, h_off, o_off, n, f,
 
 
 def _arena_capacities():
-    """(hash_capacity, frag_capacity) defaults: 2^28 int32 (1GB) on
-    accelerators — holds ~4000 MAG-scale streams or ~170k small-contig
-    streams (2^26 thrashed on the 2048-genome chip e2e, and 2^27 fell
-    ~10% short of the 100k-contig corpus' ~150M stream hashes, whose
-    evictions materialized lazy sketch chunks mid-verify) — and 2^22
-    on CPU (tests; host RAM). Env: GALAH_TPU_ARENA_HASHES /
-    GALAH_TPU_ARENA_FRAGS."""
+    """(hash_capacity, frag_capacity) defaults: 2^27 int32 (512MB) on
+    accelerators — holds ~2000 MAG-scale streams or ~85k small-contig
+    streams (2^26 thrashed on the 2048-genome chip e2e) — and 2^22 on
+    CPU (tests; host RAM). Env: GALAH_TPU_ARENA_HASHES /
+    GALAH_TPU_ARENA_FRAGS.
+
+    A 2^28 (1GB) default was tried to fit the 100k-contig corpus'
+    ~150M stream hashes and measured a REGRESSION: with the 1GB arena
+    resident, the 100k-contig SCREEN phase ran 269-277s in two
+    consecutive runs vs 28.6-49.8s at 512MB under identical code (HBM
+    allocator pressure against the resident matrix + lazy product
+    pins), while verify barely changed (62-66s either way — the
+    arena-miss refills materialize whole lazy chunks, amortizing to
+    roughly the eager fetch they replaced). 512MB stands."""
     import os
 
     hc = os.environ.get("GALAH_TPU_ARENA_HASHES")
@@ -884,7 +891,7 @@ def _arena_capacities():
     if jax.default_backend() in ("cpu",):
         dh, df = 1 << 22, 1 << 18
     else:
-        dh, df = 1 << 28, 1 << 24
+        dh, df = 1 << 27, 1 << 23
     return (int(hc) if hc else dh, int(fc) if fc else df)
 
 
