@@ -1441,6 +1441,9 @@ def _fetch_product_arrays(member_words, pref_words, flat, counts, params):
 
 _LAZY_PIN_BUDGET = 2 << 30
 _LAZY_PENDING: List = []
+import threading as _threading
+
+_LAZY_LOCK = _threading.Lock()
 
 
 def _host_copies_mode() -> str:
@@ -1472,20 +1475,30 @@ class _LazyChunk:
                     *self._dev, self._counts, self._params
                 )
                 self._dev = None  # release device buffers
-                try:
-                    _LAZY_PENDING.remove(self)
-                except ValueError:
-                    pass
+                with _LAZY_LOCK:
+                    try:
+                        _LAZY_PENDING.remove(self)
+                    except ValueError:
+                        pass
             return self._per
 
 
 def _register_lazy_chunk(chunk: "_LazyChunk") -> None:
-    _LAZY_PENDING.append(chunk)
-    while (
-        sum(c.nbytes for c in _LAZY_PENDING) > _LAZY_PIN_BUDGET
-        and len(_LAZY_PENDING) > 1
-    ):
-        _LAZY_PENDING[0].get()  # materialize + drop the oldest
+    # Registered from the device worker thread, drained from whichever
+    # thread materializes first — guard the registry (the chunk's own
+    # lock serializes its fetch; get() self-removes).
+    with _LAZY_LOCK:
+        _LAZY_PENDING.append(chunk)
+    while True:
+        with _LAZY_LOCK:
+            over = (
+                sum(c.nbytes for c in _LAZY_PENDING) > _LAZY_PIN_BUDGET
+                and len(_LAZY_PENDING) > 1
+            )
+            oldest = _LAZY_PENDING[0] if over else None
+        if oldest is None or oldest is chunk:
+            return
+        oldest.get()  # materialize + release the oldest
 
 
 class LazyBuckets(np.lib.mixins.NDArrayOperatorsMixin):

@@ -651,3 +651,25 @@ def test_lazy_host_copies_parity(monkeypatch):
 
     rt = pickle.loads(pickle.dumps(lazy[0].member_buckets))
     np.testing.assert_array_equal(rt, np.asarray(eager[0].member_buckets))
+
+
+def test_lazy_pin_budget_materializes_oldest(monkeypatch):
+    """Past the pin budget the oldest pending chunk materializes and
+    releases; results stay correct."""
+    from galah_tpu.ops import device_sketch as D
+
+    monkeypatch.setenv("GALAH_TPU_SKETCH_KERNEL", "scatter")
+    monkeypatch.setenv("GALAH_TPU_SKETCH_HOST_COPIES", "lazy")
+    monkeypatch.setattr(D, "_LAZY_PIN_BUDGET", 1)  # every chunk over
+    rng = np.random.default_rng(17)
+    params = _params_medium()
+    lists = [[_random_seq(rng, 900)] for _ in range(4)]
+    names = [f"g{i}" for i in range(4)]
+    a = device_sketch_batch(names[:2], lists[:2], params)
+    b = device_sketch_batch(names[2:], lists[2:], params)
+    # the first batch's chunk was force-materialized by the second
+    assert a[0].frag_buckets._arr is not None or a[0].frag_buckets._chunk._per is not None
+    monkeypatch.setenv("GALAH_TPU_SKETCH_HOST_COPIES", "eager")
+    ae = device_sketch_batch(names[:2], lists[:2], params)
+    for lz, eg in zip(a, ae):
+        _assert_sketch_equal(lz, eg)
