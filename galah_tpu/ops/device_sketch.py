@@ -1457,13 +1457,11 @@ class _LazyChunk:
     """Deferred host materialization of one sketch chunk's products."""
 
     def __init__(self, member_words, pref_words, flat, counts, params):
-        import threading
-
         self._dev = (member_words, pref_words, flat)
         self._counts = counts
         self._params = params
         self._per = None
-        self._lock = threading.Lock()
+        self._lock = _threading.Lock()
         self.nbytes = sum(
             int(np.prod(a.shape)) * a.dtype.itemsize for a in self._dev
         )

@@ -568,7 +568,22 @@ class PairTableVerifier:
         from galah_tpu.ops.fragment_ani import verify_devices
 
         devs = verify_devices()
+        import os
+
+        gcap_forced = bool(os.environ.get("GALAH_TPU_VERIFY_GROUP"))
         gcap = _verify_group()
+        # Device-assignment stride: block batches per device only as
+        # wide as grouping can actually engage for this config —
+        # single-dispatch classes (MAG member widths) keep the plain
+        # per-batch round-robin so all local devices stay busy.
+        stride = (
+            gcap
+            if gcap_forced
+            else min(
+                gcap,
+                _group_cap_for_shape(cfg.max_flat_hashes, cfg.member_bits),
+            )
+        )
 
         issued: List[Tuple] = []
         group: List[Dict] = []
@@ -592,10 +607,11 @@ class PairTableVerifier:
 
         for i, batch in enumerate(batches):
             # Blocked round-robin: consecutive batches share a device
-            # for gcap steps so groups can form; with gcap=1 (CPU)
-            # this is the plain per-batch round-robin.
+            # for `stride` steps so groups can form; with stride=1
+            # (CPU, or single-dispatch shape classes) this is the
+            # plain per-batch round-robin.
             dev = (
-                devs[(i // gcap) % len(devs)] if len(devs) > 1 else None
+                devs[(i // stride) % len(devs)] if len(devs) > 1 else None
             )
             p = self._prepare(batch, sketches_by_key, dev, flush_group)
             if p is None:
@@ -605,11 +621,9 @@ class PairTableVerifier:
                 )
                 continue
             key = (p["devid"], p["flatn"], p["flatf"], p["G"])
-            import os
-
             cap_here = (
                 gcap
-                if os.environ.get("GALAH_TPU_VERIFY_GROUP")
+                if gcap_forced
                 else min(
                     gcap,
                     _group_cap_for_shape(p["flatn"], cfg.member_bits),

@@ -118,14 +118,18 @@ def _resident_screen_extract_group(
 
     desc is ONE packed int32 upload per RPC (each host device_put is
     its own relay RPC): [bis (K,) | bjs (K,) | bits f32 bits |
-    min_cont f32 bits]."""
-    k_grp = (desc.shape[0] - 2) // 2
+    min_cont f32 bits | nreal]. Tiles past nreal are remainder padding
+    (repeats of the first tile); they are excluded from the compaction
+    and the cap accounting so a full remainder tile can't spuriously
+    overflow the group."""
+    k_grp = (desc.shape[0] - 3) // 2
     bis = desc[:k_grp]
     bjs = desc[k_grp : 2 * k_grp]
     bits_f = jax.lax.bitcast_convert_type(desc[2 * k_grp], jnp.float32)
     min_cont = jax.lax.bitcast_convert_type(
         desc[2 * k_grp + 1], jnp.float32
     )
+    nreal = desc[2 * k_grp + 2]
     cnts, iis, jjs, vss = jax.lax.map(
         lambda t: _resident_screen_extract(
             x_all, sizes, t[0], t[1], bits_f, min_cont,
@@ -135,7 +139,8 @@ def _resident_screen_extract_group(
     )
     k_tiles = cnts.shape[0]
     cnts = cnts.astype(jnp.int32)
-    valid = jnp.where((cnts >= 0) & (cnts <= cap), cnts, 0)
+    real = jnp.arange(k_tiles, dtype=jnp.int32) < nreal
+    valid = jnp.where(real & (cnts >= 0) & (cnts <= cap), cnts, 0)
     off = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(valid, dtype=jnp.int32)]
     )
@@ -162,25 +167,30 @@ def _resident_screen_extract_group(
     return jnp.concatenate([cnts, codes, vals_pk])
 
 
-def _screen_group_desc(bis, bjs, bits_f: float, min_cont_f: float):
+def _screen_group_desc(bis, bjs, bits_f: float, min_cont_f: float,
+                       nreal: int):
     """One packed int32 upload for a tile group (see
     _resident_screen_extract_group's desc layout)."""
     scal = np.array([bits_f, min_cont_f], np.float32).view(np.int32)
     return np.concatenate([
         np.asarray(bis, np.int32), np.asarray(bjs, np.int32), scal,
+        np.array([nreal], np.int32),
     ])
 
 
-def _decode_group_result(buf: np.ndarray, k_tiles: int, cap: int, block: int):
+def _decode_group_result(buf: np.ndarray, k_tiles: int, cap: int,
+                         block: int, nreal: int):
     """Host-side decode of _resident_screen_extract_group's packed
     buffer. Returns (cnts, per_tile) where per_tile is a list of
     (cnt, ii, jj, vals) ready for _drain_tile — or (cnts, None) when
     the group's survivors overflowed the shared cap region and the
-    caller must re-dispatch the tiles singly."""
+    caller must re-dispatch the tiles singly. Padded tiles (index >=
+    nreal) contribute nothing, mirroring the kernel."""
     import ml_dtypes
 
     cnts = buf[:k_tiles]
     valid = np.where((cnts >= 0) & (cnts <= cap), cnts, 0)
+    valid[nreal:] = 0
     if int(valid.sum()) > cap:
         return cnts, None
     codes = buf[k_tiles : k_tiles + cap]
@@ -857,7 +867,7 @@ def screen_triangle_packed(
             # tiles are drained.
             _, grp, nreal, res = item
             _, per_tile = _decode_group_result(
-                np.asarray(res), len(grp), cap, block
+                np.asarray(res), len(grp), cap, block, nreal
             )
             if per_tile is None:
                 # Group-cap overflow (survivors > cap across the K
@@ -916,7 +926,7 @@ def screen_triangle_packed(
                         jnp.asarray(_screen_group_desc(
                             [t[0] for t in padded],
                             [t[1] for t in padded],
-                            float(bits), min_cont_f,
+                            float(bits), min_cont_f, nreal,
                         )),
                         block=block, cap=cap, is_diag=is_diag,
                         dtname=dtn,
@@ -1043,7 +1053,7 @@ def screen_rectangle_packed(
         if item[0] == "g":
             _, grp, nreal, res = item
             _, per_tile = _decode_group_result(
-                np.asarray(res), len(grp), cap, block
+                np.asarray(res), len(grp), cap, block, nreal
             )
             if per_tile is None:
                 for bi, bj in grp[:nreal]:
@@ -1090,7 +1100,7 @@ def screen_rectangle_packed(
                     jnp.asarray(_screen_group_desc(
                         [t[0] for t in padded],
                         [ref_block0 + t[1] for t in padded],
-                        float(bits), min_cont_f,
+                        float(bits), min_cont_f, nreal,
                     )),
                     block=block, cap=cap, is_diag=False, dtname=dtn,
                 )
