@@ -172,3 +172,43 @@ def test_grouped_dispatch_group_cap_overflow_fallback(monkeypatch):
     np.testing.assert_array_equal(p1, p4)
     np.testing.assert_array_equal(a1, a4)
     assert len(p1) == n * (n - 1) // 2
+
+
+def test_padded_remainder_group_does_not_spuriously_overflow(monkeypatch):
+    """A force-flushed remainder group pads with repeats of its first
+    tile; the padding must not count toward the shared compaction cap.
+    One real tile with ~5k survivors (well under the 16384 cap at
+    block=256) padded 8x would read as ~40k > cap under padding-blind
+    accounting and spuriously fall back to single re-dispatches."""
+    import numpy as np
+
+    from galah_tpu.ops import prefilter as pf
+
+    rng = np.random.default_rng(41)
+    n, bits = 200, 4096  # < block -> ONE diag tile, padded to group 8
+    ind = (rng.random((n, bits)) < 0.06).astype(np.uint8)
+    ind[:100] = ind[0]  # ~C(100,2)=4950 surviving pairs, < cap=16384
+    sizes = ind.sum(axis=1)
+    packed = [
+        np.packbits(r.astype(bool), bitorder="little").view(np.uint32)
+        for r in ind
+    ]
+
+    fallbacks = []
+    orig = pf._decode_group_result
+
+    def spy(buf, k_tiles, cap, block, nreal):
+        cnts, per = orig(buf, k_tiles, cap, block, nreal)
+        fallbacks.append(per is None)
+        return cnts, per
+
+    monkeypatch.setattr(pf, "_decode_group_result", spy)
+    monkeypatch.setenv("GALAH_TPU_SCREEN_TILE_GROUP", "8")
+    monkeypatch.setenv("GALAH_TPU_SCREEN_BLOCK", "256")
+    res = pf.screen_triangle_packed(
+        packed, sizes, k=15, min_containment=0.3, bits=bits
+    )
+    monkeypatch.delenv("GALAH_TPU_SCREEN_BLOCK")
+    monkeypatch.delenv("GALAH_TPU_SCREEN_TILE_GROUP")
+    assert fallbacks and not any(fallbacks)
+    assert len(res.pairs) >= 100 * 99 // 2
