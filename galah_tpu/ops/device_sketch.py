@@ -1040,7 +1040,24 @@ def _run_shadowed(
         device_worker()
         return False
 
-    dev_t = threading.Thread(target=device_worker, daemon=True)
+    # Worker failures must not be swallowed: capture the exception and
+    # re-raise it from the caller's thread when chunks remain
+    # unprocessed. first_read_done unblocks the main thread's wait; NOT
+    # setting device_hot lets the host shadow engage after the grace
+    # window and (bit-identically) finish the corpus when it can.
+    worker_exc: List[BaseException] = []
+    worker_finished = threading.Event()
+
+    def device_worker_guarded():
+        try:
+            device_worker()
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            worker_exc.append(e)
+            first_read_done.set()
+        finally:
+            worker_finished.set()
+
+    dev_t = threading.Thread(target=device_worker_guarded, daemon=True)
     dev_t.start()
 
     # The grace clock starts when the first chunk's READ completes —
@@ -1067,6 +1084,11 @@ def _run_shadowed(
             "device program compiled", done_chunks, n_chunks,
         )
     while dev_t.is_alive():
+        # A worker that set its finished flag is exiting normally —
+        # join it rather than spuriously logging "host finished first"
+        # and registering an abandoned-thread atexit join.
+        if worker_finished.is_set():
+            break
         if all_done():
             if on_abandon is not None:
                 on_abandon()
@@ -1082,6 +1104,9 @@ def _run_shadowed(
             )
             return True
         dev_t.join(timeout=0.25)
+    dev_t.join()
+    if worker_exc and not all_done():
+        raise worker_exc[0]
     return False
 
 

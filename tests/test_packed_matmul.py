@@ -177,38 +177,64 @@ def test_grouped_dispatch_group_cap_overflow_fallback(monkeypatch):
 def test_padded_remainder_group_does_not_spuriously_overflow(monkeypatch):
     """A force-flushed remainder group pads with repeats of its first
     tile; the padding must not count toward the shared compaction cap.
-    One real tile with ~5k survivors (well under the 16384 cap at
-    block=256) padded 8x would read as ~40k > cap under padding-blind
-    accounting and spuriously fall back to single re-dispatches."""
+
+    3 diagonal tiles at block=128 with group=8 form a real padded
+    remainder group (nreal=3, 5 padding repeats of tile (0,0)). Tile
+    (0,0) carries ~C(78,2)=3003 survivors, so padding-blind accounting
+    would read 6*3003 > cap=16384 and spuriously fall back to single
+    re-dispatches, while the true survivor total is well under cap.
+    The spy asserts that exact scenario formed (blind > cap >= real)
+    AND that no fallback happened — so the nreal-exclusion fix
+    (prefilter.py _decode_group_result / kernel `real` mask) is
+    load-bearing, not vacuously green."""
     import numpy as np
 
     from galah_tpu.ops import prefilter as pf
 
     rng = np.random.default_rng(41)
-    n, bits = 200, 4096  # < block -> ONE diag tile, padded to group 8
+    n, bits = 384, 4096  # 3 diag tiles at block=128
     ind = (rng.random((n, bits)) < 0.06).astype(np.uint8)
-    ind[:100] = ind[0]  # ~C(100,2)=4950 surviving pairs, < cap=16384
+    ind[:78] = ind[0]  # C(78,2)=3003 survivors, all inside tile (0,0)
     sizes = ind.sum(axis=1)
     packed = [
         np.packbits(r.astype(bool), bitorder="little").view(np.uint32)
         for r in ind
     ]
 
-    fallbacks = []
+    calls = []
     orig = pf._decode_group_result
 
     def spy(buf, k_tiles, cap, block, nreal):
         cnts, per = orig(buf, k_tiles, cap, block, nreal)
-        fallbacks.append(per is None)
+        c = np.asarray(cnts)
+        clipped = np.where((c >= 0) & (c <= cap), c, 0)
+        calls.append({
+            "fallback": per is None,
+            "padded": nreal < k_tiles,
+            "blind_total": int(clipped.sum()),
+            "real_total": int(clipped[:nreal].sum()),
+            "cap": cap,
+        })
         return cnts, per
 
     monkeypatch.setattr(pf, "_decode_group_result", spy)
     monkeypatch.setenv("GALAH_TPU_SCREEN_TILE_GROUP", "8")
-    monkeypatch.setenv("GALAH_TPU_SCREEN_BLOCK", "256")
+    monkeypatch.setenv("GALAH_TPU_SCREEN_BLOCK", "128")
     res = pf.screen_triangle_packed(
         packed, sizes, k=15, min_containment=0.3, bits=bits
     )
     monkeypatch.delenv("GALAH_TPU_SCREEN_BLOCK")
     monkeypatch.delenv("GALAH_TPU_SCREEN_TILE_GROUP")
-    assert fallbacks and not any(fallbacks)
-    assert len(res.pairs) >= 100 * 99 // 2
+    # The grouped decode ran on at least one padded remainder group…
+    padded_calls = [c for c in calls if c["padded"]]
+    assert padded_calls
+    # …where padding-blind accounting WOULD have overflowed the cap
+    # while the true (nreal-masked) total does not — the scenario the
+    # fix exists for actually formed…
+    assert any(
+        c["blind_total"] > c["cap"] >= c["real_total"]
+        for c in padded_calls
+    )
+    # …and no group fell back to single re-dispatches.
+    assert not any(c["fallback"] for c in calls)
+    assert len(res.pairs) >= 78 * 77 // 2
