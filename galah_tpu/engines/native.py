@@ -137,7 +137,11 @@ class _PrefRowCache:
         while self._bytes + nb > self._budget and self._batches:
             old_names, old_arr, old_nb = self._batches.popleft()
             for i, nm in enumerate(old_names):
-                if self._map.get(nm) == (old_arr, i):
+                # Identity compare: tuple equality over a jax array
+                # would call elementwise __eq__ and raise on truthiness
+                # (or broadcast-error across batch shapes).
+                hit = self._map.get(nm)
+                if hit is not None and hit[0] is old_arr and hit[1] == i:
                     del self._map[nm]
             self._bytes -= old_nb
         self._batches.append((list(names), pref_words, nb))
@@ -279,7 +283,14 @@ class NativeContext:
             self._store.put(path, sk)
         return sk
 
-    def sketch_many(self, paths: Sequence[str]) -> List[NativeSketch]:
+    def sketch_many(
+        self, paths: Sequence[str], extra_sink=None
+    ) -> List[NativeSketch]:
+        """extra_sink(names, sketches, dev): additional per-batch
+        device-sketch callback (the sketch->screen pipeline overlap
+        feeds the incremental screen through it). Only invoked on the
+        device-sketch path; host-sketched units never reach it and the
+        caller back-fills them."""
         missing = [p for p in dict.fromkeys(paths) if p not in self._store]
         if missing:
             logger.info("Sketching %d genomes ..", len(missing))
@@ -318,7 +329,7 @@ class NativeContext:
                         expect_params=self.params,
                     )
                 else:
-                    self._sketch_local(missing)
+                    self._sketch_local(missing, extra_sink=extra_sink)
             # Per-host truth: with the MP partition each host only
             # sketched its share (throughput math stays honest).
             metrics.current().count("genomes_sketched", sketched_here)
@@ -422,17 +433,28 @@ class NativeContext:
 
         return build
 
-    def _sketch_local(self, missing: Sequence[str]) -> None:
+    def _sketch_local(
+        self, missing: Sequence[str], extra_sink=None
+    ) -> None:
         if _use_device_sketch():
             # Accelerator sketching (ops/device_sketch.py): bit-identical
             # to the host path; on by default behind fast links (probe
             # above), forced by GALAH_TPU_DEVICE_SKETCH=1/0.
             from galah_tpu.ops.device_sketch import device_sketch_files
 
+            sink = self._device_sink()
+            if extra_sink is not None:
+                base_sink = sink
+
+                def sink(names, sketches, dev, _base=base_sink):
+                    if _base is not None:
+                        _base(names, sketches, dev)
+                    extra_sink(names, sketches, dev)
+
             for p, sk in zip(
                 missing,
                 device_sketch_files(
-                    missing, self.params, sink=self._device_sink(),
+                    missing, self.params, sink=sink,
                     shadow_threads=self.threads,
                 ),
             ):
@@ -712,8 +734,126 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
 
     # -- triangle mode --
     def distances(self, genome_fasta_paths: Sequence[str]) -> SortedPairDistanceCache:
+        if self._pipeline_enabled(len(genome_fasta_paths)):
+            return self._distances_pipelined(genome_fasta_paths)
         sketches = self.ctx.sketch_many(genome_fasta_paths)
         return self._screen_and_verify(sketches)
+
+    def _pipeline_enabled(self, n_paths: int) -> bool:
+        """Whether the sketch->screen overlap pipeline applies: the
+        single-device resident packed screen fed by device sketching
+        (the TPU production path). Sharded multi-device sweeps,
+        low-memory streaming, host sketching, and non-resident corpora
+        keep the sequential phases. GALAH_TPU_PIPELINE=0 disables;
+        =1 forces (testing on the CPU multi-device conftest)."""
+        env = os.environ.get("GALAH_TPU_PIPELINE")
+        if env == "0":
+            return False
+        if n_paths < 2:
+            return False
+        ctx = self.ctx
+        if ctx.low_memory or not _use_device_sketch():
+            return False
+        if os.environ.get("GALAH_TPU_RESIDENT", "1") == "0":
+            return False
+        if _screen_backend() != "packed":
+            return False
+        import jax
+
+        if env != "1" and (
+            jax.device_count() > 1 or jax.process_count() > 1
+        ):
+            return False
+        from galah_tpu.ops.prefilter import _device_resident_budget
+
+        w = ctx.params.prefilter_bits // 32
+        return n_paths * w * 4 <= _device_resident_budget()
+
+    def _distances_pipelined(
+        self, paths: Sequence[str]
+    ) -> SortedPairDistanceCache:
+        """Overlapped sketch->screen: the device-sketch sink feeds each
+        batch's device-born prefilter rows straight into an
+        IncrementalPackedScreen, so screen tiles dispatch while later
+        genomes are still being read/uploaded/sketched — the e2e wall
+        approaches max(phase) + tail instead of sum(phases) (the
+        reference's in-process handoff, src/skani.rs:270-304, without
+        its per-pair subprocess cost). Results are bit-identical to the
+        sequential path (tests/test_pipeline_overlap.py)."""
+        import time as _time
+
+        from galah_tpu.ops.popcount_screen import pack_indicator
+        from galah_tpu.ops.prefilter import IncrementalPackedScreen
+
+        ctx = self.ctx
+        n = len(paths)
+        k = ctx.params.k
+        bits = ctx.params.prefilter_bits
+        min_cont = _screen_min_containment(
+            self.threshold, self.min_aligned_threshold, k
+        )
+        logger.info(
+            "Pipelined sketch+screen over %d genomes (overlapped)", n
+        )
+        scr = IncrementalPackedScreen(n, k, min_cont, bits)
+        idxs_by_path: Dict[str, List[int]] = {}
+        for i, p in enumerate(paths):
+            idxs_by_path.setdefault(p, []).append(i)
+
+        def screen_feed(names, sks, dev):
+            idxs: List[int] = []
+            src_rows: List[int] = []
+            sizes: List[float] = []
+            for r, (nm, sk) in enumerate(zip(names, sks)):
+                for i in idxs_by_path.get(nm, ()):
+                    idxs.append(i)
+                    src_rows.append(r)
+                    sizes.append(float(sk.n_prefilter))
+            if idxs:
+                scr.add_device_rows(idxs, dev["pref_words"], src_rows, sizes)
+
+        _t0 = _time.perf_counter()
+        sketches = ctx.sketch_many(paths, extra_sink=screen_feed)
+        _t_sketch_done = _time.perf_counter()
+        # Back-fill rows the sink never saw: host/shadow-sketched
+        # units, overflow fallbacks, genomes already in the store.
+        late = scr.missing_rows()
+        if late:
+            scr.add_host_rows(
+                late,
+                [
+                    pack_indicator(sketches[i].prefilter_buckets, bits)
+                    for i in late
+                ],
+                [float(sketches[i].n_prefilter) for i in late],
+            )
+        res = scr.finish()
+        _dt_tail = _time.perf_counter() - _t_sketch_done
+        m = metrics.current()
+        # Phase accounting under overlap: "screen" records only the
+        # post-sketch TAIL (the overlapped portion rides inside the
+        # sketch wall — that is the win being measured).
+        m.phases["screen"] = m.phases.get("screen", 0.0) + _dt_tail
+        m.rate(
+            "screen_pairs_per_s", n * (n - 1) / 2,
+            _time.perf_counter() - _t0,
+        )
+        if scr.rows_at_first_dispatch is not None:
+            m.count(
+                "screen_rows_at_first_dispatch",
+                int(scr.rows_at_first_dispatch),
+            )
+            logger.info(
+                "Pipelined screen: first tile dispatched after %d/%d "
+                "rows; %d rows back-filled post-sketch; screen tail %.2fs",
+                scr.rows_at_first_dispatch, n, len(late), _dt_tail,
+            )
+        logger.info("Screen produced %d candidate pairs", len(res.pairs))
+        if len(res.pairs) == 0:
+            return SortedPairDistanceCache()
+        return self._verify_pairs(
+            sketches, res.pairs, self.threshold, self.min_aligned_threshold
+        )
 
     # -- contig mode --
     def distances_contigs(

@@ -744,6 +744,348 @@ def screen_triangle(
     return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
 
 
+@partial(jax.jit, donate_argnums=(0, 1))
+def _inc_adopt_rows(x, s, src, src_rows, dst_rows, size_vals):
+    """Device-to-device incremental matrix fill:
+    x[dst_rows[b]] = src[src_rows[b]], s[dst_rows[b]] = size_vals[b].
+    Index arrays are pow2-padded with duplicates of their first entry
+    (identical values at a duplicate index — order-independent)."""
+    return (
+        x.at[dst_rows].set(jnp.take(src, src_rows, axis=0)),
+        s.at[dst_rows].set(size_vals),
+    )
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _inc_fill_rows(x, s, dense, dst_rows, size_vals):
+    """Host-upload incremental matrix fill (rows the device didn't
+    sketch: shadow-stolen chunks, overflow fallbacks, store hits)."""
+    return (
+        x.at[dst_rows].set(dense),
+        s.at[dst_rows].set(size_vals),
+    )
+
+
+class IncrementalPackedScreen:
+    """Resident packed triangle screen fed row-incrementally.
+
+    The sequential resident sweep is the degenerate case (feed every
+    row, then finish()); the incremental case is the sketch->screen
+    pipeline overlap: sketch batches add their rows as they complete —
+    device-to-device for device-born prefilter rows, one dense upload
+    per host batch — and any tile whose two row blocks are complete
+    dispatches IMMEDIATELY, so screen RPCs interleave with the
+    remaining sketch uploads instead of the whole screen waiting for
+    the last sketch (the reference gets this handoff for free inside
+    one process: /root/reference/src/skani.rs:270-304; here each phase
+    rides a 50-500ms-per-dispatch relay, so overlap converts the e2e
+    wall from sum(phase bands) toward max(phase) + tail).
+
+    Grouped dispatches, padded remainder groups, the compacted group
+    fetch, caps, overflow fallbacks, and drain semantics are the SAME
+    code for both cases — screen_triangle_packed's resident branch
+    delegates here, so per-tile results are bit-identical no matter
+    when rows arrived. Thread use: feeders may call add_* from a
+    worker thread (the device-sketch sink); calls are serialized by an
+    internal lock. finish() must be called after feeding completes
+    (join your feeder first)."""
+
+    def __init__(
+        self,
+        n: int,
+        k: int,
+        min_containment: float,
+        bits: int,
+        block: int = 0,
+        row_width: int = 0,
+    ) -> None:
+        import threading
+
+        if n <= 0:
+            raise ValueError("IncrementalPackedScreen needs n >= 1")
+        self.n = n
+        self.inv_k = 1.0 / k
+        self.bits = bits
+        self.block = block or _screen_block_for(n)
+        self.cap = _screen_cap_for(self.block)
+        self.min_cont_f = float(np.float32(min_containment))
+        self.dtn = _screen_dtype_name()
+        self.w = row_width or bits // 32
+        self.n_pad = ((n + self.block - 1) // self.block) * self.block
+        self.nblocks = self.n_pad // self.block
+        self.group = _screen_tile_group()
+        self._x = jnp.zeros((self.n_pad, self.w), jnp.uint32)
+        self._s = jnp.zeros((self.n_pad,), jnp.float32)
+        self._pending: deque = deque()
+        self._bufs = {True: [], False: []}
+        self._pairs: List[np.ndarray] = []
+        self._anis: List[np.ndarray] = []
+        self._added = np.zeros(n, dtype=bool)
+        self._left = [
+            min(self.block, n - b * self.block) for b in range(self.nblocks)
+        ]
+        self._complete_order: List[int] = []
+        self._is_complete = [False] * self.nblocks
+        self._lock = threading.Lock()
+        self._finished = False
+        # Overlap instrumentation: rows fed when the first tile
+        # dispatched (None until then; < n proves the screen started
+        # before the corpus finished sketching).
+        self.rows_at_first_dispatch: Optional[int] = None
+        self.rows_added = 0
+
+    # ---- feeding -----------------------------------------------------
+
+    def _note_added(self, idxs: Sequence[int]) -> List[int]:
+        """Mark rows added; return block ids that just completed."""
+        done = []
+        for i in idxs:
+            if self._added[i]:
+                continue
+            self._added[i] = True
+            self.rows_added += 1
+            b = i // self.block
+            self._left[b] -= 1
+            if self._left[b] == 0:
+                self._is_complete[b] = True
+                done.append(b)
+        return done
+
+    def _schedule(self, new_blocks: Sequence[int]) -> None:
+        """Enqueue every tile both of whose row blocks are complete and
+        that became ready with `new_blocks`; issue full groups."""
+        for b in new_blocks:
+            self._complete_order.append(b)
+            tiles = sorted(
+                (min(b, c), max(b, c)) for c in self._complete_order
+            )
+            for bi, bj in tiles:
+                self._bufs[bi == bj].append((bi, bj))
+                self._issue(self._bufs[bi == bj], bi == bj, force=False)
+
+    def _dedupe_new(self, idxs: Sequence[int]) -> List[int]:
+        fresh = []
+        for i in idxs:
+            if not self._added[i]:
+                fresh.append(i)
+        return fresh
+
+    def add_device_rows(
+        self, idxs: Sequence[int], src, src_rows: Sequence[int],
+        sizes: Sequence[float],
+    ) -> None:
+        """Adopt device-born packed rows: matrix[idxs[b]] =
+        src[src_rows[b]] (zero host round trip). Duplicate/already-
+        added indices are skipped."""
+        with self._lock:
+            self._check_open()
+            fresh = [
+                (i, r, sz)
+                for i, r, sz in zip(idxs, src_rows, sizes)
+                if not self._added[i]
+            ]
+            if not fresh:
+                return
+            bpad = max(8, 1 << (len(fresh) - 1).bit_length())
+            dst = np.full(bpad, fresh[0][0], np.int32)
+            srow = np.full(bpad, fresh[0][1], np.int32)
+            szs = np.full(bpad, fresh[0][2], np.float32)
+            for b, (i, r, sz) in enumerate(fresh):
+                dst[b], srow[b], szs[b] = i, r, sz
+            self._x, self._s = _inc_adopt_rows(
+                self._x, self._s, src, jnp.asarray(srow),
+                jnp.asarray(dst), jnp.asarray(szs),
+            )
+            self._schedule(self._note_added([i for i, _, _ in fresh]))
+
+    def add_host_rows(
+        self, idxs: Sequence[int], rows: Sequence[np.ndarray],
+        sizes: Sequence[float],
+    ) -> None:
+        """Upload host-packed rows (pack_indicator output) in chunks."""
+        with self._lock:
+            self._check_open()
+            fresh = [
+                (i, row, sz)
+                for i, row, sz in zip(idxs, rows, sizes)
+                if not self._added[i]
+            ]
+            step = max(8, (64 << 20) // (self.w * 4))
+            for lo in range(0, len(fresh), step):
+                chunk = fresh[lo : lo + step]
+                bpad = max(8, 1 << (len(chunk) - 1).bit_length())
+                dense = np.zeros((bpad, self.w), np.uint32)
+                dst = np.full(bpad, chunk[0][0], np.int32)
+                szs = np.full(bpad, chunk[0][2], np.float32)
+                for b, (i, row, sz) in enumerate(chunk):
+                    dense[b], dst[b], szs[b] = row, i, sz
+                dense[len(chunk):] = dense[0]
+                self._x, self._s = _inc_fill_rows(
+                    self._x, self._s, jax.device_put(dense),
+                    jnp.asarray(dst), jnp.asarray(szs),
+                )
+                self._schedule(
+                    self._note_added([i for i, _, _ in chunk])
+                )
+
+    def set_prebuilt(self, x_all, s_dev) -> None:
+        """Degenerate case: the whole matrix arrives at once (host
+        assembly or engines/native.py's device-born matrix_builder).
+        Tiles enqueue in the canonical (bi, bj >= bi) sweep order."""
+        with self._lock:
+            self._check_open()
+            if self.rows_added:
+                raise RuntimeError(
+                    "set_prebuilt after incremental rows were added"
+                )
+            self._x, self._s = x_all, s_dev
+            self._added[:] = True
+            self.rows_added = self.n
+            self._left = [0] * self.nblocks
+            self._is_complete = [True] * self.nblocks
+            self._complete_order = list(range(self.nblocks))
+            for bi in range(self.nblocks):
+                for bj in range(bi, self.nblocks):
+                    self._bufs[bi == bj].append((bi, bj))
+                    self._issue(
+                        self._bufs[bi == bj], bi == bj, force=False
+                    )
+
+    def missing_rows(self) -> List[int]:
+        """Indices never fed (snapshot) — the caller back-fills these
+        with host-packed rows before finish() (shadow-stolen chunks,
+        overflow fallbacks, store-cached genomes, abandoned workers)."""
+        with self._lock:
+            return [int(i) for i in np.nonzero(~self._added)[0]]
+
+    def _check_open(self) -> None:
+        if self._finished:
+            raise RuntimeError("IncrementalPackedScreen already finished")
+
+    # ---- dispatch / drain -------------------------------------------
+
+    def _issue(self, buf, is_diag: bool, force: bool) -> None:
+        # Tiles dispatch in GROUPS of `group` per RPC (lax.map): the
+        # per-dispatch relay cost dominated large sweeps. Diagonal and
+        # off-diagonal tiles batch separately (is_diag is static);
+        # remainder groups of 2..group-1 tiles are padded to the full
+        # group size with repeats of their first tile (padding excluded
+        # from compaction and cap accounting), and only a lone nreal==1
+        # remainder goes as a single-tile dispatch — so exactly two
+        # compiled shapes exist per (block, cap, dtname, is_diag).
+        group = self.group
+        while len(buf) >= group or (force and buf):
+            if self.rows_at_first_dispatch is None:
+                self.rows_at_first_dispatch = self.rows_added
+            nreal = min(len(buf), group)
+            grp = buf[:nreal]
+            del buf[:nreal]
+            if nreal == 1:
+                bi, bj = grp[0]
+                res = _resident_screen_extract(
+                    self._x, self._s, jnp.int32(bi), jnp.int32(bj),
+                    block=self.block, bits_f=float(self.bits),
+                    min_cont=self.min_cont_f, cap=self.cap,
+                    is_diag=is_diag, dtname=self.dtn,
+                )
+                self._pending.append(("s", grp[0], res))
+            else:
+                padded = grp + [grp[0]] * (group - nreal)
+                res = _resident_screen_extract_group(
+                    self._x, self._s,
+                    jnp.asarray(_screen_group_desc(
+                        [t[0] for t in padded],
+                        [t[1] for t in padded],
+                        float(self.bits), self.min_cont_f, nreal,
+                    )),
+                    block=self.block, cap=self.cap, is_diag=is_diag,
+                    dtname=self.dtn,
+                )
+                self._pending.append(("g", padded, nreal, res))
+            while len(self._pending) > TILE_WINDOW:
+                self._drain(self._pending.popleft())
+
+    def _drain_one(self, bi: int, bj: int, res) -> None:
+        def dense_cont():
+            lo_i, lo_j = bi * self.block, bj * self.block
+            return np.array(
+                _block_containment_packed(
+                    self._x[lo_i : lo_i + self.block],
+                    self._x[lo_j : lo_j + self.block],
+                    self._s[lo_i : lo_i + self.block],
+                    self._s[lo_j : lo_j + self.block],
+                    float(self.bits), dtname=self.dtn,
+                )
+            ).astype(np.float32)
+
+        # Late-bound self._x: a tile only reads its two row blocks,
+        # which are complete (and never rewritten) by dispatch time —
+        # re-extraction against a LATER matrix version is identical.
+        reextract = lambda: _resident_screen_extract(  # noqa: E731
+            self._x, self._s, jnp.int32(bi), jnp.int32(bj),
+            block=self.block, bits_f=float(self.bits),
+            min_cont=self.min_cont_f, cap=self.cap, is_diag=bj == bi,
+            dtname=self.dtn, direct=True,
+        )
+        _drain_tile(
+            res, cap=self.cap, row0=bi * self.block,
+            col0=bj * self.block, inv_k=self.inv_k,
+            min_cont_f=self.min_cont_f, dense_cont=dense_cont,
+            reextract=reextract, diag=bi == bj,
+            keep_rows=self.n, keep_cols=self.n,
+            pairs=self._pairs, anis=self._anis,
+        )
+
+    def _drain(self, item) -> None:
+        if item[0] == "g":
+            # Grouped tiles: ONE packed-buffer pull, decoded per tile;
+            # only the first nreal tiles are real (padding repeats the
+            # first tile and is excluded from the cap accounting).
+            _, grp, nreal, res = item
+            _, per_tile = _decode_group_result(
+                np.asarray(res), len(grp), self.cap, self.block, nreal
+            )
+            if per_tile is None:
+                # Group-cap overflow (survivors > cap across the K
+                # tiles): re-dispatch singly — rare, dense corpora only.
+                for bi, bj in grp[:nreal]:
+                    res1 = _resident_screen_extract(
+                        self._x, self._s, jnp.int32(bi), jnp.int32(bj),
+                        block=self.block, bits_f=float(self.bits),
+                        min_cont=self.min_cont_f, cap=self.cap,
+                        is_diag=bj == bi, dtname=self.dtn,
+                    )
+                    self._drain_one(bi, bj, res1)
+            else:
+                for t, (bi, bj) in enumerate(grp[:nreal]):
+                    self._drain_one(bi, bj, per_tile[t])
+        else:
+            _, (bi, bj), res = item
+            self._drain_one(bi, bj, res)
+
+    def finish(self) -> ScreenResult:
+        with self._lock:
+            self._check_open()
+            self._finished = True
+            if self.rows_added != self.n:
+                missing = int(self.n - self.rows_added)
+                raise RuntimeError(
+                    f"screen finish() with {missing} rows never fed"
+                )
+            self._issue(self._bufs[True], True, force=True)
+            self._issue(self._bufs[False], False, force=True)
+            while self._pending:
+                self._drain(self._pending.popleft())
+            if self._pairs:
+                return ScreenResult(
+                    np.concatenate(self._pairs),
+                    np.concatenate(self._anis),
+                )
+            return ScreenResult(
+                np.empty((0, 2), np.int64), np.empty(0, np.float32)
+            )
+
+
 def screen_triangle_packed(
     packed: Sequence[np.ndarray],
     sizes: np.ndarray,
@@ -777,10 +1119,30 @@ def screen_triangle_packed(
 
     # Resident mode: one upload of the whole packed matrix, device-side
     # tile slicing (unless it would not fit the device's HBM budget or
-    # low-memory streaming was requested).
+    # low-memory streaming was requested). The sweep itself delegates
+    # to IncrementalPackedScreen — this sequential call is its
+    # degenerate everything-at-once case, so the grouped-dispatch /
+    # drain machinery exists exactly once.
     fits = n * w * 4 <= _device_resident_budget()
-    use_resident = cache_blocks and fits
-    if cache_blocks and not fits:
+    if cache_blocks and fits:
+        scr = IncrementalPackedScreen(
+            n, k, min_containment, bits, block=block, row_width=w
+        )
+        n_pad = scr.n_pad
+        built = matrix_builder(n_pad) if matrix_builder is not None else None
+        if built is not None:
+            scr.set_prebuilt(*built)
+        else:
+            x_all_np = np.zeros((n_pad, w), dtype=np.uint32)
+            for t in range(n):
+                x_all_np[t] = packed[t]
+            s_all = np.zeros(n_pad, dtype=np.float32)
+            s_all[:n] = sizes_f
+            scr.set_prebuilt(jnp.asarray(x_all_np), jnp.asarray(s_all))
+            del x_all_np
+        return scr.finish()
+
+    if cache_blocks:
         # Caching every block would pin the same bytes the resident
         # check just refused — stream column blocks instead.
         logger.info(
@@ -789,178 +1151,54 @@ def screen_triangle_packed(
         )
         cache_blocks = False
 
-    n_pad = ((n + block - 1) // block) * block
-    nblocks = n_pad // block
-
-    x_all = s_dev = None
-    make_block = None
-    if use_resident:
-        built = matrix_builder(n_pad) if matrix_builder is not None else None
-        if built is not None:
-            x_all, s_dev = built
-        else:
-            x_all_np = np.zeros((n_pad, w), dtype=np.uint32)
-            for t in range(n):
-                x_all_np[t] = packed[t]
-            s_all = np.zeros(n_pad, dtype=np.float32)
-            s_all[:n] = sizes_f
-            x_all = jnp.asarray(x_all_np)
-            s_dev = jnp.asarray(s_all)
-            del x_all_np
-    else:
-        dev_blocks = {}
-
-        def make_block(bi: int) -> Tuple[jax.Array, jax.Array]:
-            lo, hi = bi * block, min((bi + 1) * block, n)
-            mat = np.stack([packed[t] for t in range(lo, hi)])
-            return jnp.asarray(mat), jnp.asarray(sizes_f[lo:hi])
-
-        def get_block(bi: int):
-            if bi not in dev_blocks:
-                dev_blocks[bi] = make_block(bi)
-            return dev_blocks[bi]
-
-    def dense_blocks(bi: int, bj: int):
-        """Tile blocks for a dense recompute: resident slices when the
-        matrix is on device, re-made host blocks in streaming mode."""
-        if use_resident:
-            lo_i, lo_j = bi * block, bj * block
-            return (
-                x_all[lo_i : lo_i + block], x_all[lo_j : lo_j + block],
-                s_dev[lo_i : lo_i + block], s_dev[lo_j : lo_j + block],
-            )
-        si, ai = make_block(bi)
-        sj, aj = (si, ai) if bj == bi else make_block(bj)
-        return si, sj, ai, aj
+    def make_block(bi: int) -> Tuple[jax.Array, jax.Array]:
+        lo, hi = bi * block, min((bi + 1) * block, n)
+        mat = np.stack([packed[t] for t in range(lo, hi)])
+        return jnp.asarray(mat), jnp.asarray(sizes_f[lo:hi])
 
     def drain_one(bi: int, bj: int, res) -> None:
         def dense_cont():
-            si, sj, ai, aj = dense_blocks(bi, bj)
+            si, ai = make_block(bi)
+            sj, aj = (si, ai) if bj == bi else make_block(bj)
             return np.array(
                 _block_containment_packed(si, sj, ai, aj, float(bits),
                                           dtname=dtn)
             ).astype(np.float32)
 
-        # Row-overflow (cnt < 0) re-extracts with the direct kernel when
-        # the matrix is resident (device-resident, sparse results only);
-        # streaming mode re-pulls densely instead.
-        reextract = None
-        if use_resident:
-            reextract = lambda: _resident_screen_extract(
-                x_all, s_dev, jnp.int32(bi), jnp.int32(bj),
-                block=block, bits_f=float(bits),
-                min_cont=min_cont_f, cap=cap, is_diag=bj == bi,
-                dtname=dtn, direct=True,
-            )
+        # Streaming mode re-pulls densely on row overflow (no resident
+        # matrix to re-extract from).
         _drain_tile(
             res, cap=cap, row0=bi * block, col0=bj * block, inv_k=inv_k,
             min_cont_f=min_cont_f, dense_cont=dense_cont,
-            reextract=reextract, diag=bi == bj,
+            reextract=None, diag=bi == bj,
             keep_rows=n, keep_cols=n, pairs=pairs, anis=anis,
         )
 
-    def drain(item) -> None:
-        if item[0] == "g":
-            # Grouped tiles: ONE packed-buffer pull, decoded per tile.
-            # grp may be padded to the group size with repeats of its
-            # first tile (fixed compiled shape); only the first nreal
-            # tiles are drained.
-            _, grp, nreal, res = item
-            _, per_tile = _decode_group_result(
-                np.asarray(res), len(grp), cap, block, nreal
-            )
-            if per_tile is None:
-                # Group-cap overflow (survivors > cap across the K
-                # tiles): re-dispatch singly — rare, dense corpora only.
-                for bi, bj in grp[:nreal]:
-                    res1 = _resident_screen_extract(
-                        x_all, s_dev, jnp.int32(bi), jnp.int32(bj),
-                        block=block, bits_f=float(bits),
-                        min_cont=min_cont_f, cap=cap, is_diag=bj == bi,
-                        dtname=dtn,
-                    )
-                    drain_one(bi, bj, res1)
-            else:
-                for t, (bi, bj) in enumerate(grp[:nreal]):
-                    drain_one(bi, bj, per_tile[t])
-        else:
-            _, (bi, bj), res = item
-            drain_one(bi, bj, res)
-
     # Sliding-window issue/drain: at most TILE_WINDOW tile results are
     # in flight, so device result buffers and host pulls stay O(window)
-    # for arbitrarily long sweeps (previously the whole sweep's results
-    # were issued before any drain).
+    # for arbitrarily long sweeps.
     pending: deque = deque()
-    if use_resident:
-        # Tiles dispatch in GROUPS of `group` per RPC (lax.map): the
-        # per-dispatch relay cost dominated large sweeps. Diagonal and
-        # off-diagonal tiles batch separately (is_diag is static);
-        # remainders go as single-tile dispatches, so exactly two
-        # compiled shapes exist per (block, cap, dtname).
-        group = _screen_tile_group()
-        bufs = {True: [], False: []}
-
-        def issue(buf, is_diag: bool, force: bool) -> None:
-            while len(buf) >= group or (force and buf):
-                nreal = min(len(buf), group)
-                grp = buf[:nreal]
-                del buf[:nreal]
-                if nreal == 1:
-                    bi, bj = grp[0]
-                    res = _resident_screen_extract(
-                        x_all, s_dev, jnp.int32(bi), jnp.int32(bj),
-                        block=block, bits_f=float(bits),
-                        min_cont=min_cont_f, cap=cap, is_diag=is_diag,
-                        dtname=dtn,
-                    )
-                    pending.append(("s", grp[0], res))
-                else:
-                    # Pad remainder groups to the full group size with
-                    # repeats of the first tile: one compiled shape per
-                    # (block, cap, dtname, is_diag); padded results are
-                    # simply not drained.
-                    padded = grp + [grp[0]] * (group - nreal)
-                    res = _resident_screen_extract_group(
-                        x_all, s_dev,
-                        jnp.asarray(_screen_group_desc(
-                            [t[0] for t in padded],
-                            [t[1] for t in padded],
-                            float(bits), min_cont_f, nreal,
-                        )),
-                        block=block, cap=cap, is_diag=is_diag,
-                        dtname=dtn,
-                    )
-                    pending.append(("g", padded, nreal, res))
-                while len(pending) > TILE_WINDOW:
-                    drain(pending.popleft())
-
-        for bi in range(nblocks):
-            for bj in range(bi, nblocks):
-                bufs[bj == bi].append((bi, bj))
-                issue(bufs[bj == bi], bj == bi, force=False)
-        issue(bufs[True], True, force=True)
-        issue(bufs[False], False, force=True)
-    else:
-        for bi in range(math.ceil(n / block)):
-            si, ai = get_block(bi) if cache_blocks else make_block(bi)
-            for bj in range(bi, math.ceil(n / block)):
-                if bj == bi:
-                    sj, aj = si, ai
-                else:
-                    sj, aj = get_block(bj) if cache_blocks else make_block(bj)
-                res = _block_screen_extract_packed(
-                    si, sj, ai, aj, float(bits), min_cont_f,
-                    cap=cap, is_diag=bj == bi, dtname=dtn,
-                )
-                # Do NOT keep the device blocks alive in the window — in
-                # streaming (low-memory) mode that would pin every
-                # tile's buffers; overflow re-makes them instead.
-                pending.append(("s", (bi, bj), res))
-                if len(pending) > TILE_WINDOW:
-                    drain(pending.popleft())
+    for bi in range(math.ceil(n / block)):
+        si, ai = make_block(bi)
+        for bj in range(bi, math.ceil(n / block)):
+            if bj == bi:
+                sj, aj = si, ai
+            else:
+                sj, aj = make_block(bj)
+            res = _block_screen_extract_packed(
+                si, sj, ai, aj, float(bits), min_cont_f,
+                cap=cap, is_diag=bj == bi, dtname=dtn,
+            )
+            # Do NOT keep the device blocks alive in the window — in
+            # streaming (low-memory) mode that would pin every
+            # tile's buffers; overflow re-makes them instead.
+            pending.append(("s", (bi, bj), res))
+            if len(pending) > TILE_WINDOW:
+                _, (dbi, dbj), dres = pending.popleft()
+                drain_one(dbi, dbj, dres)
     while pending:
-        drain(pending.popleft())
+        _, (dbi, dbj), dres = pending.popleft()
+        drain_one(dbi, dbj, dres)
 
     if pairs:
         return ScreenResult(np.concatenate(pairs), np.concatenate(anis))
