@@ -473,10 +473,13 @@ class NativeContext:
             for p in missing:
                 self._store.put(p, sketch_file_native(p, self.params))
 
-    def sketch_contigs(self, paths: Sequence[str]) -> List[NativeSketch]:
+    def sketch_contigs(
+        self, paths: Sequence[str], extra_sink=None
+    ) -> List[NativeSketch]:
         """One sketch per contig, across files, in file order (the unit
         order the reference's contig mode uses,
-        src/cluster_argument_parsing.rs:595-629)."""
+        src/cluster_argument_parsing.rs:595-629). extra_sink: see
+        sketch_many — feeds the sketch->screen overlap pipeline."""
         from galah_tpu.sketch.fracminhash import sketch_contigs_native
 
         out: List[NativeSketch] = []
@@ -489,10 +492,19 @@ class NativeContext:
                         device_sketch_contig_files,
                     )
 
+                    sink = self._device_sink()
+                    if extra_sink is not None:
+                        base_sink = sink
+
+                        def sink(names, sketches, dev, _base=base_sink):
+                            if _base is not None:
+                                _base(names, sketches, dev)
+                            extra_sink(names, sketches, dev)
+
                     for path, sks in zip(
                         missing,
                         device_sketch_contig_files(
-                            missing, self.params, sink=self._device_sink(),
+                            missing, self.params, sink=sink,
                             shadow_threads=self.threads,
                         ),
                     ):
@@ -626,6 +638,91 @@ def _screen_min_containment(
     if min_af <= 0:
         return 0.0
     return defaults.NATIVE_SCREEN_MARGIN * min_af * (ani_threshold_pct / 100.0) ** k
+
+
+class _VerifyFeeder:
+    """Incremental verify: screen tiles' drained pairs flush into the
+    fragment-ANI engine in chunks WHILE the sweep (and the sketch feed)
+    continues — the screen->verify leg of the pipeline overlap. Flush
+    numerics are per-pair, so chunking never changes a result (same
+    guarantee the grouped/pair-table split already makes); the final
+    cache equals the one-batch _verify_pairs cache exactly.
+
+    chunk_pairs trades flush frequency against relay dispatch count:
+    each flush groups its own pairs by source genome, so very small
+    chunks would re-touch a stream per chunk. GALAH_TPU_VERIFY_FLUSH
+    overrides (0 disables mid-sweep flushing: everything verifies in
+    finish())."""
+
+    def __init__(self, owner, sketch_for, threshold_pct: float,
+                 min_af: float) -> None:
+        env = os.environ.get("GALAH_TPU_VERIFY_FLUSH")
+        self.chunk_pairs = int(env) if env else 50_000
+        self.owner = owner
+        self.sketch_for = sketch_for
+        self.threshold_pct = threshold_pct
+        self.min_af = min_af
+        self.cache = SortedPairDistanceCache()
+        self.total = 0
+        self.verify_seconds = 0.0
+        self._buf: List[np.ndarray] = []
+        self._buffered = 0
+
+    def feed(self, pairs: np.ndarray, anis=None) -> None:
+        if len(pairs) == 0:
+            return
+        self._buf.append(pairs)
+        self._buffered += len(pairs)
+        if self.chunk_pairs and self._buffered >= self.chunk_pairs:
+            self._flush()
+
+    def _flush(self) -> None:
+        import time as _time
+
+        if not self._buf:
+            return
+        pairs = np.concatenate(self._buf)
+        self._buf, self._buffered = [], 0
+        t0 = _time.perf_counter()
+        ctx = self.owner.ctx
+        sketches_by_key: Dict[str, NativeSketch] = {}
+        key_pairs: List[Tuple[str, str]] = []
+        idx_by_key_pair: Dict[Tuple[str, str], List[Tuple[int, int]]] = {}
+        for i, j in pairs:
+            i, j = int(i), int(j)
+            si, sj = self.sketch_for(i), self.sketch_for(j)
+            ki, kj = ctx.key_for(si), ctx.key_for(sj)
+            sketches_by_key.setdefault(ki, si)
+            sketches_by_key.setdefault(kj, sj)
+            key_pairs.append((ki, kj))
+            idx_by_key_pair.setdefault((ki, kj), []).append((i, j))
+        res = ctx.frag_engine.bidirectional(key_pairs, sketches_by_key)
+        for kp, (ani, af_f, af_r) in res.items():
+            for i, j in idx_by_key_pair[kp]:
+                if (
+                    max(af_f, af_r) >= self.min_af
+                    and ani >= self.threshold_pct
+                ):
+                    self.cache.insert((i, j), float(np.float32(ani)))
+        self.total += len(pairs)
+        self.verify_seconds += _time.perf_counter() - t0
+
+    def finish(self) -> SortedPairDistanceCache:
+        self._flush()
+        m = metrics.current()
+        m.phases["verify"] = (
+            m.phases.get("verify", 0.0) + self.verify_seconds
+        )
+        if self.total:
+            m.rate(
+                "verify_pairs_per_s", self.total, self.verify_seconds
+            )
+        logger.info(
+            "Verified %d candidate pairs (overlapped); %d passed "
+            "ANI>=%.4g with AF>=%.3g",
+            self.total, len(self.cache), self.threshold_pct, self.min_af,
+        )
+        return self.cache
 
 
 class _VerifyMixin:
@@ -772,10 +869,45 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
     def _distances_pipelined(
         self, paths: Sequence[str]
     ) -> SortedPairDistanceCache:
-        """Overlapped sketch->screen: the device-sketch sink feeds each
-        batch's device-born prefilter rows straight into an
+        """Overlapped sketch->screen over whole genomes (units keyed by
+        path)."""
+        idxs_by_key: Dict[str, List[int]] = {}
+        for i, p in enumerate(paths):
+            idxs_by_key.setdefault(p, []).append(i)
+        return self._run_pipelined(
+            len(paths), idxs_by_key,
+            lambda feed: self.ctx.sketch_many(paths, extra_sink=feed),
+        )
+
+    def _distances_contigs_pipelined(
+        self, paths: Sequence[str], contig_names: Sequence[str]
+    ) -> SortedPairDistanceCache:
+        """Overlapped sketch->screen over per-contig units (keyed by
+        contig name — duplicates are rejected upstream by the CLI's
+        contig-name extraction, matching the reference's dup check,
+        src/cluster_argument_parsing.rs:616-621)."""
+        idxs_by_key: Dict[str, List[int]] = {}
+        for i, nm in enumerate(contig_names):
+            idxs_by_key.setdefault(nm, []).append(i)
+
+        def sketch(feed):
+            sketches = self.ctx.sketch_contigs(paths, extra_sink=feed)
+            if [s.name for s in sketches] != list(contig_names):
+                raise ValueError(
+                    "Contig names passed to distances_contigs do not "
+                    "match file contents"
+                )
+            return sketches
+
+        return self._run_pipelined(len(contig_names), idxs_by_key, sketch)
+
+    def _run_pipelined(
+        self, n: int, idxs_by_key: Dict[str, List[int]], sketch_call
+    ) -> SortedPairDistanceCache:
+        """Overlapped sketch->screen core: the device-sketch sink feeds
+        each batch's device-born prefilter rows straight into an
         IncrementalPackedScreen, so screen tiles dispatch while later
-        genomes are still being read/uploaded/sketched — the e2e wall
+        units are still being read/uploaded/sketched — the e2e wall
         approaches max(phase) + tail instead of sum(phases) (the
         reference's in-process handoff, src/skani.rs:270-304, without
         its per-pair subprocess cost). Results are bit-identical to the
@@ -786,37 +918,48 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
         from galah_tpu.ops.prefilter import IncrementalPackedScreen
 
         ctx = self.ctx
-        n = len(paths)
         k = ctx.params.k
         bits = ctx.params.prefilter_bits
         min_cont = _screen_min_containment(
             self.threshold, self.min_aligned_threshold, k
         )
         logger.info(
-            "Pipelined sketch+screen over %d genomes (overlapped)", n
+            "Pipelined sketch+screen+verify over %d units (overlapped)", n
         )
         scr = IncrementalPackedScreen(n, k, min_cont, bits)
-        idxs_by_path: Dict[str, List[int]] = {}
-        for i, p in enumerate(paths):
-            idxs_by_path.setdefault(p, []).append(i)
+        # Screen->verify leg: drained tile pairs flush into the verify
+        # engine mid-sweep. Sketch objects for any drained pair's
+        # endpoints are guaranteed present in sk_by_idx — a tile only
+        # dispatches once both row blocks were fed, and every feed
+        # path records its sketches first.
+        sk_by_idx: Dict[int, NativeSketch] = {}
+        feeder = _VerifyFeeder(
+            self, sk_by_idx.__getitem__, self.threshold,
+            self.min_aligned_threshold,
+        )
+        scr.on_pairs = feeder.feed
 
         def screen_feed(names, sks, dev):
             idxs: List[int] = []
             src_rows: List[int] = []
             sizes: List[float] = []
             for r, (nm, sk) in enumerate(zip(names, sks)):
-                for i in idxs_by_path.get(nm, ()):
+                for i in idxs_by_key.get(nm, ()):
                     idxs.append(i)
                     src_rows.append(r)
                     sizes.append(float(sk.n_prefilter))
+                    sk_by_idx[i] = sk
             if idxs:
                 scr.add_device_rows(idxs, dev["pref_words"], src_rows, sizes)
 
         _t0 = _time.perf_counter()
-        sketches = ctx.sketch_many(paths, extra_sink=screen_feed)
+        sketches = sketch_call(screen_feed)
         _t_sketch_done = _time.perf_counter()
         # Back-fill rows the sink never saw: host/shadow-sketched
-        # units, overflow fallbacks, genomes already in the store.
+        # units, overflow fallbacks, units already in the store.
+        for i in range(n):
+            if i not in sk_by_idx:
+                sk_by_idx[i] = sketches[i]
         late = scr.missing_rows()
         if late:
             scr.add_host_rows(
@@ -832,7 +975,8 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
         m = metrics.current()
         # Phase accounting under overlap: "screen" records only the
         # post-sketch TAIL (the overlapped portion rides inside the
-        # sketch wall — that is the win being measured).
+        # sketch wall — that is the win being measured). The feeder
+        # likewise accumulates only its own flush time under "verify".
         m.phases["screen"] = m.phases.get("screen", 0.0) + _dt_tail
         m.rate(
             "screen_pairs_per_s", n * (n - 1) / 2,
@@ -849,16 +993,16 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
                 scr.rows_at_first_dispatch, n, len(late), _dt_tail,
             )
         logger.info("Screen produced %d candidate pairs", len(res.pairs))
-        if len(res.pairs) == 0:
-            return SortedPairDistanceCache()
-        return self._verify_pairs(
-            sketches, res.pairs, self.threshold, self.min_aligned_threshold
-        )
+        return feeder.finish()
 
     # -- contig mode --
     def distances_contigs(
         self, genome_fasta_paths: Sequence[str], contig_names: Sequence[str]
     ) -> SortedPairDistanceCache:
+        if self._pipeline_enabled(len(contig_names)):
+            return self._distances_contigs_pipelined(
+                genome_fasta_paths, contig_names
+            )
         sketches = self.ctx.sketch_contigs(genome_fasta_paths)
         if [s.name for s in sketches] != list(contig_names):
             raise ValueError(

@@ -833,6 +833,13 @@ class IncrementalPackedScreen:
         # before the corpus finished sketching).
         self.rows_at_first_dispatch: Optional[int] = None
         self.rows_added = 0
+        # Optional screen->verify overlap hook: called with each
+        # drained tile's (pairs (P,2) int64, ani_est (P,) f32) as soon
+        # as the tile is decoded — the downstream verify stage can
+        # start while the sweep (and the sketch feed) continues. Called
+        # on whichever thread drains (feeder thread mid-feed, caller
+        # thread in finish()).
+        self.on_pairs = None
 
     # ---- feeding -----------------------------------------------------
 
@@ -1027,6 +1034,7 @@ class IncrementalPackedScreen:
             min_cont=self.min_cont_f, cap=self.cap, is_diag=bj == bi,
             dtname=self.dtn, direct=True,
         )
+        before = len(self._pairs)
         _drain_tile(
             res, cap=self.cap, row0=bi * self.block,
             col0=bj * self.block, inv_k=self.inv_k,
@@ -1035,6 +1043,8 @@ class IncrementalPackedScreen:
             keep_rows=self.n, keep_cols=self.n,
             pairs=self._pairs, anis=self._anis,
         )
+        if self.on_pairs is not None and len(self._pairs) > before:
+            self.on_pairs(self._pairs[-1], self._anis[-1])
 
     def _drain(self, item) -> None:
         if item[0] == "g":

@@ -167,13 +167,17 @@ def test_engine_pipelined_distances_matches_sequential(monkeypatch, tmp_path):
         monkeypatch.setenv("GALAH_TPU_SKETCH_SHADOW", "0")
         monkeypatch.setenv("GALAH_TPU_SCREEN_BLOCK", "8")
         monkeypatch.setenv("GALAH_TPU_SCREEN_TILE_GROUP", "2")
+        # Tiny flush threshold: forces several mid-sweep verify
+        # flushes so the screen->verify overlap leg is exercised.
+        monkeypatch.setenv("GALAH_TPU_VERIFY_FLUSH", "4")
         metrics.reset()
         ctx = NativeContext(max_genome_length=60_000)
         pre = NativePreclusterer(90.0, 0.15, ctx)
         cache = pre.distances(paths)
         for v in ("GALAH_TPU_PIPELINE", "GALAH_TPU_DEVICE_SKETCH",
                   "GALAH_TPU_SCREEN", "GALAH_TPU_SKETCH_SHADOW",
-                  "GALAH_TPU_SCREEN_BLOCK", "GALAH_TPU_SCREEN_TILE_GROUP"):
+                  "GALAH_TPU_SCREEN_BLOCK", "GALAH_TPU_SCREEN_TILE_GROUP",
+                  "GALAH_TPU_VERIFY_FLUSH"):
             monkeypatch.delenv(v)
         return dict(cache.items()), dict(metrics.current().counters)
 
@@ -184,6 +188,53 @@ def test_engine_pipelined_distances_matches_sequential(monkeypatch, tmp_path):
     # The screen dispatched its first tile before the corpus finished.
     assert "screen_rows_at_first_dispatch" in counters
     assert counters["screen_rows_at_first_dispatch"] < len(paths)
+
+
+def test_engine_pipelined_contig_mode_matches_sequential(monkeypatch, tmp_path):
+    """distances_contigs with the overlap pipeline forced must match
+    the sequential contig path (per-contig units keyed by name)."""
+    from galah_tpu.engines.native import NativeContext, NativePreclusterer
+    from galah_tpu.io.fasta import read_fasta
+    from galah_tpu.utils.synth import mutate, random_genome
+
+    from galah_tpu.utils.synth import write_fasta_contigs
+
+    rng = np.random.default_rng(17)
+    base = random_genome(rng, 12_000)
+    paths = []
+    for f in range(3):
+        p = tmp_path / f"g{f}.fna"
+        # contigs of two length classes -> two device buckets
+        contigs = [
+            mutate(rng, base, 0.97) if c % 2 == 0
+            else random_genome(rng, 30_000)
+            for c in range(4)
+        ]
+        write_fasta_contigs(str(p), contigs, f"g{f}")
+        paths.append(str(p))
+    contig_names = [
+        rec.contig_name for p in paths for rec in read_fasta(p)
+    ]
+
+    def run(pipeline: str):
+        monkeypatch.setenv("GALAH_TPU_PIPELINE", pipeline)
+        monkeypatch.setenv("GALAH_TPU_DEVICE_SKETCH", "1")
+        monkeypatch.setenv("GALAH_TPU_SCREEN", "packed")
+        monkeypatch.setenv("GALAH_TPU_SKETCH_SHADOW", "0")
+        monkeypatch.setenv("GALAH_TPU_SCREEN_BLOCK", "8")
+        ctx = NativeContext(max_genome_length=30_000)
+        pre = NativePreclusterer(90.0, 0.15, ctx)
+        cache = pre.distances_contigs(paths, contig_names)
+        for v in ("GALAH_TPU_PIPELINE", "GALAH_TPU_DEVICE_SKETCH",
+                  "GALAH_TPU_SCREEN", "GALAH_TPU_SKETCH_SHADOW",
+                  "GALAH_TPU_SCREEN_BLOCK"):
+            monkeypatch.delenv(v)
+        return dict(cache.items())
+
+    seq_cache = run("0")
+    pipe_cache = run("1")
+    assert pipe_cache == seq_cache
+    assert len(pipe_cache) >= 3  # the mutated-base contigs all relate
 
 
 def test_finish_raises_on_missing_rows():
