@@ -103,6 +103,29 @@ def _check_drift_from_file() -> None:
         _log("drift check: all kernels within tolerance")
 
 
+def e2e_device_estimate(counters: dict, measured: dict) -> dict:
+    """Per-phase device-time estimate for the e2e run: the run's OWN
+    deterministic work counters priced at the SAME run's in-jit kernel
+    rates. Both inputs are band-immune (counters by construction, the
+    rates by the repeat-in-jit methodology), so the guard on the summed
+    estimate trips on real kernel slowdowns and pipeline-glue
+    regressions while staying silent across tunnel-band swings.
+    Returns {phase: seconds} for the phases whose counter AND rate are
+    both present."""
+    out = {}
+    for work, rate_name, phase in (
+        ("screen_pairs_computed", "screen_production", "screen"),
+        ("verify_directed_pairtable", "verify_pairtable", "verify"),
+        ("verify_directed_grouped", "verify_grouped", "verify_large"),
+        ("sketch_bases", "device_sketch", "sketch"),
+    ):
+        w = counters.get(work, 0.0)
+        r = measured.get(rate_name, 0.0)
+        if w and r:
+            out[phase] = out.get(phase, 0.0) + w / r
+    return out
+
+
 def _small() -> bool:
     """GALAH_BENCH_SMALL=1 shrinks shapes for CPU smoke tests."""
     return bool(os.environ.get("GALAH_BENCH_SMALL"))
@@ -211,7 +234,7 @@ def bench_screen_matmul(jax, jnp, dtname=None):
     return pairs_per_s
 
 
-def bench_screen_production(jax, jnp):
+def bench_screen_production(jax, jnp, block=None, record_name=None):
     """HEADLINE: the PRODUCTION screen tile — resident packed matrix ->
     dynamic tile slice -> fused unpack + int8 MXU matmul (Pallas on
     accelerators) -> collision correction -> routed sparse extraction.
@@ -219,7 +242,8 @@ def bench_screen_production(jax, jnp):
     every pair it computes is a useful pair, so block^2/dt is the
     sweep's genome-pairs/s. bench_screen_matmul isolates the
     matmul+epilogue on pre-materialized operands for the kernel-only
-    record."""
+    record. block overrides the tile edge (the _SCREEN_TILE_RATE
+    staleness sweep measures every table edge this way)."""
     from galah_tpu.ops.prefilter import (
         _resident_screen_extract,
         _screen_dtype_name,
@@ -229,9 +253,9 @@ def bench_screen_production(jax, jnp):
 
     B = 1 << (12 if _small() else 17)
     W = B // 32
-    BLOCK = 512 if _small() else _screen_block_for(1 << 20)
+    BLOCK = block or (512 if _small() else _screen_block_for(1 << 20))
     N_PAD = 2 * BLOCK  # one full off-diagonal (BLOCK x BLOCK) tile
-    CAP = 1024 if _small() else _screen_cap_for(BLOCK)
+    CAP = 1024 if _small() and not block else _screen_cap_for(BLOCK)
     dtn = _screen_dtype_name()
 
     @jax.jit
@@ -269,7 +293,9 @@ def bench_screen_production(jax, jnp):
         lambda xx, bit: xx.at[0, 0].set(bit.astype(jnp.uint32)),
     )
     dt = _time_reps(run, x, "screen_production") / len(tiles)
-    pairs_per_s = _record("screen_production", BLOCK * BLOCK / dt)
+    pairs_per_s = _record(
+        record_name or "screen_production", BLOCK * BLOCK / dt
+    )
     _log(
         f"screen_production[{dtn},block={BLOCK}]: "
         f"{pairs_per_s/1e6:.1f}M pairs/s "
@@ -288,6 +314,40 @@ def bench_screen_production(jax, jnp):
             f"({pairs_per_s/model*100:.0f}% of model)"
         )
     return pairs_per_s
+
+
+def bench_tile_rate_sweep(jax, jnp):
+    """VERDICT r4 #4: sweep EVERY _SCREEN_TILE_RATE edge against a
+    fresh production-tile measurement and print per-edge staleness —
+    a stale entry at any edge silently mis-picks production blocks
+    (round 3 shipped a 15-35% hot table). Run via GALAH_BENCH=tilesweep
+    (each edge pays a cold compile on a fresh cache, so this is not in
+    the default bench); refresh the table + _measured date in
+    ops/prefilter.py when any edge is >10% off."""
+    from galah_tpu.ops.prefilter import _SCREEN_TILE_RATE
+
+    worst = 0.0
+    for edge in sorted(_SCREEN_TILE_RATE):
+        measured = bench_screen_production(
+            jax, jnp, block=edge, record_name=f"screen_production_{edge}"
+        )
+        model = _SCREEN_TILE_RATE[edge]
+        dev = measured / model - 1.0
+        worst = max(worst, abs(dev))
+        _log(
+            f"tile-rate sweep: edge {edge} table={model/1e6:.0f}M "
+            f"measured={measured/1e6:.0f}M ({dev:+.1%})"
+        )
+    _log(
+        "tile-rate sweep: "
+        + (
+            f"STALE — worst edge off by {worst:.1%}; refresh "
+            "_SCREEN_TILE_RATE (ops/prefilter.py) and its date"
+            if worst > 0.10
+            else f"all edges within 10% (worst {worst:.1%})"
+        )
+    )
+    return worst
 
 
 def bench_screen_popcount(jax, jnp):
@@ -685,7 +745,9 @@ def bench_e2e(jax, jnp):
             and all(len(r) == 1 for r in fams.values())
         )
         with open(metrics_json) as f:
-            phases = _json.load(f).get("phases_s", {})
+            mj = _json.load(f)
+        phases = mj.get("phases_s", {})
+        counters = mj.get("counters", {})
         phase_str = " ".join(
             f"{k}={v:.1f}s" for k, v in sorted(phases.items())
         )
@@ -695,6 +757,40 @@ def bench_e2e(jax, jnp):
             f"({rate/1e3:.1f}K pairs/s e2e; gen {gen_s:.1f}s; "
             f"{phase_str}) families_exact={exact}"
         )
+        # Band-immune guard inputs (VERDICT r4 #3): the wall above
+        # swings 3.4x with the tunnel band, so the e2e drift guard
+        # additionally pins (a) deterministic pipeline-shape counters
+        # (dispatch RPCs / pairs computed / directed verifies — a glue
+        # regression like lost adoption or a broken tile scheduler
+        # moves these even when the band hides the wall cost) and
+        # (b) a device-time estimate: the SAME work priced at THIS
+        # run's in-jit kernel rates (band-immune by methodology), so a
+        # real kernel slowdown moves it 1:1 while band noise does not.
+        for nm in (
+            "screen_dispatch_rpcs",
+            "screen_pairs_computed",
+            "verify_directed_pairtable",
+            "verify_directed_grouped",
+        ):
+            if nm in counters:
+                _record(f"e2e_{nm}", counters[nm])
+        dev_s = e2e_device_estimate(counters, _MEASURED)
+        if dev_s:
+            total_dev = sum(dev_s.values())
+            _record("e2e_device_estimate_s", total_dev)
+            _log(
+                "e2e device-time estimate (work x this run's kernel "
+                f"rates): {total_dev:.2f}s — "
+                + " ".join(f"{k}={v:.2f}s" for k, v in sorted(dev_s.items()))
+                + "; counters: "
+                + " ".join(
+                    f"{k}={counters[k]:.0f}" for k in (
+                        "screen_dispatch_rpcs", "screen_pairs_computed",
+                        "verify_directed_pairtable",
+                        "verify_directed_grouped", "sketch_bases",
+                    ) if k in counters
+                )
+            )
         return rate
     finally:
         shutil.rmtree(corpus, ignore_errors=True)
@@ -738,6 +834,26 @@ def main() -> None:
     _log(f"backend={jax.default_backend()}")
     init_done.set()
     which = os.environ.get("GALAH_BENCH", "all")
+
+    if which == "tilesweep":
+        # Per-edge _SCREEN_TILE_RATE staleness sweep; still prints the
+        # required single JSON line (the production edge's rate).
+        bench_tile_rate_sweep(jax, jnp)
+        chosen = _MEASURED.get("screen_production_8192") or max(
+            v for k, v in _MEASURED.items()
+            if k.startswith("screen_production_")
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "screen_genome_pairs_per_s",
+                    "value": round(chosen, 1),
+                    "unit": "pairs/s",
+                    "vs_baseline": round(chosen / 1e6, 3),
+                }
+            )
+        )
+        return
 
     # Headline = the PRODUCTION tile rate (packed input, fused
     # unpack+matmul, routed extraction — what a real sweep achieves),

@@ -333,6 +333,10 @@ class NativeContext:
             # Per-host truth: with the MP partition each host only
             # sketched its share (throughput math stays honest).
             metrics.current().count("genomes_sketched", sketched_here)
+            metrics.current().count(
+                "sketch_bases",
+                sum(self._store.get(p).total_len for p in missing),
+            )
             logger.info("Finished sketching genomes")
         if self.low_memory:
             return _LazySketchList(self._store, list(paths))
@@ -728,6 +732,71 @@ class _VerifyFeeder:
 class _VerifyMixin:
     """Shared verify stage: candidate pairs -> verified sparse cache."""
 
+    def _report_indel_load(self, cache, sketch_for) -> None:
+        """Calibration honesty (VERDICT r4 #8): estimate the corpus's
+        apparent indel load from a sample of verified pairs and report
+        it in the metrics/log, so users of --ani-semantics
+        skani-calibrated can see when the fixed default load
+        (defaults.CALIBRATION_*) is off for THEIR corpus. Advisory
+        only; GALAH_TPU_INDEL_ESTIMATE=0 disables."""
+        if os.environ.get("GALAH_TPU_INDEL_ESTIMATE", "1") == "0":
+            return
+        if len(cache) == 0:
+            return
+        try:
+            from galah_tpu.ops.indel_estimate import estimate_indel_load
+
+            keys = [p for p, _ in cache.items()]
+            # Sample pairs from a COMPACT index window: in lazy
+            # host-copy mode touching a sketch's content materializes
+            # its whole device-sketch chunk over the link, so a spread
+            # sample would fetch every chunk (~13s measured on the
+            # bench e2e). Pick the densest 128-index window first and
+            # only widen if it carries too few pairs.
+            from collections import Counter
+
+            span = 128
+            blocks = Counter(
+                min(i, j) // span
+                for i, j in keys
+                if max(i, j) - min(i, j) < span
+            )
+            sample = []
+            if blocks:
+                best = blocks.most_common(1)[0][0]
+                sample = [
+                    (i, j) for i, j in keys
+                    if min(i, j) // span == best
+                    and max(i, j) - min(i, j) < span
+                ][:24]
+            if len(sample) < 8:
+                sample = keys[:24]
+            res = estimate_indel_load(
+                sample, sketch_for, self.ctx.params, max_pairs=24
+            )
+        except Exception as e:  # advisory: never fail the run
+            logger.debug("indel-load estimate failed: %r", e)
+            return
+        if res is None:
+            return
+        m = metrics.current()
+        m.count(
+            "apparent_indel_events_per_sub",
+            res["apparent_indel_events_per_sub"],
+        )
+        m.count("indel_estimate_pairs_used", res["pairs_used"])
+        apparent = res["apparent_indel_events_per_sub"]
+        default = res["calibration_default"]
+        logger.info(
+            "Apparent corpus indel load: %.3f indel events per "
+            "substitution (skani-calibrated assumes %.3f; mark ratio "
+            "%.1f over %d pair-directions / %d fragments). A large "
+            "mismatch means the calibrated threshold shift is off for "
+            "this corpus.",
+            apparent, default, res["mark_ratio"],
+            int(res["pairs_used"]), int(res["fragments_used"]),
+        )
+
     def _verify_pairs(
         self,
         sketches: Sequence[NativeSketch],
@@ -993,7 +1062,9 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
                 scr.rows_at_first_dispatch, n, len(late), _dt_tail,
             )
         logger.info("Screen produced %d candidate pairs", len(res.pairs))
-        return feeder.finish()
+        cache = feeder.finish()
+        self._report_indel_load(cache, sk_by_idx.__getitem__)
+        return cache
 
     # -- contig mode --
     def distances_contigs(
@@ -1220,9 +1291,11 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
         logger.info("Screen produced %d candidate pairs", len(res.pairs))
         if len(res.pairs) == 0:
             return SortedPairDistanceCache()
-        return self._verify_pairs(
+        cache = self._verify_pairs(
             sketches, res.pairs, self.threshold, self.min_aligned_threshold
         )
+        self._report_indel_load(cache, lambda i: sketches[i])
+        return cache
 
 
 class NativeClusterer(ClusterDistanceFinder):

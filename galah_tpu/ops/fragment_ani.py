@@ -1516,6 +1516,17 @@ class FragmentAniEngine:
             small_pairs = sorted(small_d)
             large_pairs = sorted(large_d)
 
+        # Band-immune work counters for the e2e drift guard (bench.py):
+        # directed-pair counts per kernel are deterministic for a given
+        # corpus, unlike the tunnel-band-hostage wall clock.
+        from galah_tpu.utils import metrics as _metrics
+
+        _m = _metrics.current()
+        if small_pairs:
+            _m.count("verify_directed_pairtable", len(small_pairs))
+        if large_pairs:
+            _m.count("verify_directed_grouped", len(large_pairs))
+
         fwd = {}
         if small_pairs:
             fwd.update(self._pair_table().run(small_pairs, sketches_by_key))

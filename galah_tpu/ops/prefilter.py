@@ -980,11 +980,22 @@ class IncrementalPackedScreen:
         # from compaction and cap accounting), and only a lone nreal==1
         # remainder goes as a single-tile dispatch — so exactly two
         # compiled shapes exist per (block, cap, dtname, is_diag).
+        from galah_tpu.utils import metrics
+
         group = self.group
         while len(buf) >= group or (force and buf):
             if self.rows_at_first_dispatch is None:
                 self.rows_at_first_dispatch = self.rows_added
             nreal = min(len(buf), group)
+            # Band-immune pipeline-shape counters: dispatch RPCs and
+            # pairs computed are deterministic for a given corpus, so
+            # the e2e drift guard can pin them tightly where wall-clock
+            # swings 3.4x with the tunnel band (bench.py).
+            m = metrics.current()
+            m.count("screen_dispatch_rpcs", 1)
+            m.count(
+                "screen_pairs_computed", nreal * self.block * self.block
+            )
             grp = buf[:nreal]
             del buf[:nreal]
             if nreal == 1:
@@ -1058,7 +1069,14 @@ class IncrementalPackedScreen:
             if per_tile is None:
                 # Group-cap overflow (survivors > cap across the K
                 # tiles): re-dispatch singly — rare, dense corpora only.
+                from galah_tpu.utils import metrics
+
+                m = metrics.current()
                 for bi, bj in grp[:nreal]:
+                    m.count("screen_dispatch_rpcs", 1)
+                    m.count(
+                        "screen_pairs_computed", self.block * self.block
+                    )
                     res1 = _resident_screen_extract(
                         self._x, self._s, jnp.int32(bi), jnp.int32(bj),
                         block=self.block, bits_f=float(self.bits),

@@ -65,6 +65,58 @@ def test_expected_rates_table_parses_and_covers_kernels():
         assert float(spec["expect"]) > 0
 
 
+def test_kernel_slowdown_trips_e2e_device_estimate():
+    """VERDICT r4 #3: a deliberate 2x kernel slowdown must trip the
+    band-immune e2e guard. The device estimate prices the run's work
+    counters at the run's kernel rates, so halving a kernel rate
+    doubles its phase estimate and check_drift flags it at 1.5x."""
+    bench = _bench_module()
+    counters = {
+        "screen_pairs_computed": 1.3e9,
+        "verify_directed_pairtable": 6.0e5,
+        "sketch_bases": 1.28e8,
+    }
+    healthy = {
+        "screen_production": 1.27e9,
+        "verify_pairtable": 1.05e5,
+        "device_sketch": 2.2e8,
+    }
+    est = sum(bench.e2e_device_estimate(counters, healthy).values())
+    slow = dict(healthy, verify_pairtable=healthy["verify_pairtable"] / 2)
+    est_slow = sum(bench.e2e_device_estimate(counters, slow).values())
+    assert est_slow > est * 1.25  # verify dominates this shape
+    table = {"e2e_device_estimate_s": {"expect": est}}
+    lines = []
+    drifted = bench.check_drift(
+        {"e2e_device_estimate_s": est_slow}, table, log=lines.append
+    )
+    assert drifted == ["e2e_device_estimate_s"]
+    # Band noise does NOT trip it: same counters, same rates, any wall.
+    assert bench.check_drift(
+        {"e2e_device_estimate_s": est}, table, log=lines.append
+    ) == []
+
+
+def test_pipeline_glue_regression_trips_counter_guard():
+    """Deterministic pipeline-shape counters guard glue regressions
+    (lost adoption, a broken tile scheduler doubling dispatches) that
+    the 5x wall guard cannot see through band noise."""
+    bench = _bench_module()
+    table = {
+        "e2e_screen_dispatch_rpcs": {"expect": 12.0},
+        "e2e_screen_pairs_computed": {"expect": 1.3e9},
+    }
+    lines = []
+    drifted = bench.check_drift(
+        {
+            "e2e_screen_dispatch_rpcs": 24.0,  # 2x dispatches
+            "e2e_screen_pairs_computed": 1.3e9,
+        },
+        table, log=lines.append,
+    )
+    assert drifted == ["e2e_screen_dispatch_rpcs"]
+
+
 def test_drift_clean_when_within_tolerance():
     bench = _bench_module()
     lines = []
