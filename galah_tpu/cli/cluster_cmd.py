@@ -104,6 +104,15 @@ def add_cluster_arguments(sub: argparse.ArgumentParser) -> None:
                             help="Do not use small-genomes settings when clustering contigs (>= 20kb)")
     clustering.add_argument("--low-memory", action="store_true",
                             help="Reduce memory use by streaming sketches instead of holding them resident")
+    clustering.add_argument("--sweep-checkpoint", metavar="PATH",
+                            help="Mid-sweep checkpoint log for the native screen: drained "
+                                 "tile results append to PATH as the all-vs-all sweep runs, "
+                                 "and a killed run re-invoked with the same PATH resumes the "
+                                 "sweep instead of recomputing it (byte-identical output). "
+                                 "Complements --output/--input-distance-cache, which "
+                                 "checkpoint BETWEEN phases; this checkpoints inside the "
+                                 "O(n^2) screen itself. The log is only replayed for an "
+                                 "identical corpus and sweep geometry")
     clustering.add_argument("--reference-genomes", nargs="+", metavar="PATH",
                             help="Reference genomes to cluster against (pre-clustered at the chosen ANI)")
     clustering.add_argument("--reference-genomes-list", metavar="PATH",
@@ -425,6 +434,7 @@ def generate_galah_clusterer(
             min_aligned_threshold=min_af,
             ctx=get_native_ctx(),
             ani_semantics=ani_semantics,
+            sweep_checkpoint=getattr(args, "sweep_checkpoint", None),
         )
     elif args.precluster_method == "finch":
         from galah_tpu.engines.finch_like import FinchPreclusterer

@@ -874,13 +874,17 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
         min_aligned_threshold: float,
         ctx: NativeContext,
         ani_semantics: str = defaults.DEFAULT_ANI_SEMANTICS,
+        sweep_checkpoint: Optional[str] = None,
     ) -> None:
         """threshold: percent (e.g. 95.0); min_aligned_threshold:
         fraction (e.g. 0.15), as in the reference's SkaniPreclusterer
         (src/skani.rs:12-18). ani_semantics "skani-calibrated" shifts
         the threshold by the documented indel bias so the cut matches
         gap-excluded ANI (the 85% accuracy guard applies to the
-        user-facing value, before calibration)."""
+        user-facing value, before calibration). sweep_checkpoint: path
+        of the mid-sweep tile log (ops/sweep_checkpoint.py) — drained
+        screen tiles persist incrementally and a killed sweep resumes
+        from them, byte-identical."""
         if threshold < defaults.MIN_SUPPORTED_PRECLUSTER_ANI:
             raise ValueError(
                 "Error: the native engine produces inaccurate results with ANI "
@@ -891,6 +895,7 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
         )
         self.min_aligned_threshold = min_aligned_threshold
         self.ctx = ctx
+        self.sweep_checkpoint = sweep_checkpoint
         # The preclusterer owns the prefilter screen, so ITS
         # construction — not the shared context's — sizes the bitmap
         # for (or refuses) the requested AF: a NativeClusterer-only run
@@ -946,6 +951,7 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
         return self._run_pipelined(
             len(paths), idxs_by_key,
             lambda feed: self.ctx.sketch_many(paths, extra_sink=feed),
+            unit_names=list(paths),
         )
 
     def _distances_contigs_pipelined(
@@ -968,10 +974,14 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
                 )
             return sketches
 
-        return self._run_pipelined(len(contig_names), idxs_by_key, sketch)
+        return self._run_pipelined(
+            len(contig_names), idxs_by_key, sketch,
+            unit_names=list(contig_names),
+        )
 
     def _run_pipelined(
-        self, n: int, idxs_by_key: Dict[str, List[int]], sketch_call
+        self, n: int, idxs_by_key: Dict[str, List[int]], sketch_call,
+        unit_names: Optional[List[str]] = None,
     ) -> SortedPairDistanceCache:
         """Overlapped sketch->screen core: the device-sketch sink feeds
         each batch's device-born prefilter rows straight into an
@@ -995,7 +1005,10 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
         logger.info(
             "Pipelined sketch+screen+verify over %d units (overlapped)", n
         )
-        scr = IncrementalPackedScreen(n, k, min_cont, bits)
+        scr = IncrementalPackedScreen(
+            n, k, min_cont, bits,
+            checkpoint_path=self.sweep_checkpoint, unit_names=unit_names,
+        )
         # Screen->verify leg: drained tile pairs flush into the verify
         # engine mid-sweep. Sketch objects for any drained pair's
         # endpoints are guaranteed present in sk_by_idx — a tile only
@@ -1283,6 +1296,8 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
                         sketches, sizes_arr.astype(np.float32)
                     )
                 ),
+                checkpoint_path=getattr(self, "sweep_checkpoint", None),
+                unit_names=[s.name for s in sketches],
             )
         _dt = _time.perf_counter() - _t0
         m = metrics.current()

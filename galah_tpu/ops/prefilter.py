@@ -798,6 +798,8 @@ class IncrementalPackedScreen:
         bits: int,
         block: int = 0,
         row_width: int = 0,
+        checkpoint_path: str = None,
+        unit_names=None,
     ) -> None:
         import threading
 
@@ -840,6 +842,28 @@ class IncrementalPackedScreen:
         # on whichever thread drains (feeder thread mid-feed, caller
         # thread in finish()).
         self.on_pairs = None
+        # Mid-sweep checkpoint (ops/sweep_checkpoint.py): drained tile
+        # results append to an on-disk log; a resumed sweep replays
+        # logged tiles instead of re-dispatching them.
+        self._ckpt = None
+        self.tiles_restored = 0
+        if checkpoint_path:
+            from galah_tpu.ops.sweep_checkpoint import (
+                SweepCheckpoint,
+                sweep_fingerprint,
+            )
+
+            if unit_names is None or len(unit_names) != n:
+                raise ValueError(
+                    "checkpoint_path requires unit_names (one per row)"
+                )
+            self._ckpt = SweepCheckpoint(
+                checkpoint_path,
+                sweep_fingerprint(
+                    unit_names, bits, self.block, k,
+                    self.min_cont_f, self.dtn,
+                ),
+            )
 
     # ---- feeding -----------------------------------------------------
 
@@ -867,8 +891,7 @@ class IncrementalPackedScreen:
                 (min(b, c), max(b, c)) for c in self._complete_order
             )
             for bi, bj in tiles:
-                self._bufs[bi == bj].append((bi, bj))
-                self._issue(self._bufs[bi == bj], bi == bj, force=False)
+                self._enqueue(bi, bj)
 
     def _dedupe_new(self, idxs: Sequence[int]) -> List[int]:
         fresh = []
@@ -953,10 +976,25 @@ class IncrementalPackedScreen:
             self._complete_order = list(range(self.nblocks))
             for bi in range(self.nblocks):
                 for bj in range(bi, self.nblocks):
-                    self._bufs[bi == bj].append((bi, bj))
-                    self._issue(
-                        self._bufs[bi == bj], bi == bj, force=False
-                    )
+                    self._enqueue(bi, bj)
+
+    def _enqueue(self, bi: int, bj: int) -> None:
+        """Buffer a ready tile for dispatch — or replay it from the
+        sweep checkpoint (byte-identical: a tile's result is a pure
+        function of its two completed row blocks)."""
+        if self._ckpt is not None:
+            got = self._ckpt.has(bi, bj)
+            if got is not None:
+                pairs, anis = got
+                self.tiles_restored += 1
+                if len(pairs):
+                    self._pairs.append(pairs)
+                    self._anis.append(anis)
+                    if self.on_pairs is not None:
+                        self.on_pairs(pairs, anis)
+                return
+        self._bufs[bi == bj].append((bi, bj))
+        self._issue(self._bufs[bi == bj], bi == bj, force=False)
 
     def missing_rows(self) -> List[int]:
         """Indices never fed (snapshot) — the caller back-fills these
@@ -1054,8 +1092,17 @@ class IncrementalPackedScreen:
             keep_rows=self.n, keep_cols=self.n,
             pairs=self._pairs, anis=self._anis,
         )
-        if self.on_pairs is not None and len(self._pairs) > before:
+        got_new = len(self._pairs) > before
+        if self.on_pairs is not None and got_new:
             self.on_pairs(self._pairs[-1], self._anis[-1])
+        if self._ckpt is not None:
+            self._ckpt.put(
+                bi, bj,
+                self._pairs[-1] if got_new
+                else np.empty((0, 2), np.int64),
+                self._anis[-1] if got_new
+                else np.empty(0, np.float32),
+            )
 
     def _drain(self, item) -> None:
         if item[0] == "g":
@@ -1104,6 +1151,8 @@ class IncrementalPackedScreen:
             self._issue(self._bufs[False], False, force=True)
             while self._pending:
                 self._drain(self._pending.popleft())
+            if self._ckpt is not None:
+                self._ckpt.close()
             if self._pairs:
                 return ScreenResult(
                     np.concatenate(self._pairs),
@@ -1123,6 +1172,8 @@ def screen_triangle_packed(
     block: int = 0,
     cache_blocks: bool = True,
     matrix_builder=None,
+    checkpoint_path: str = None,
+    unit_names=None,
 ) -> ScreenResult:
     """Lower-triangle screen over packed uint32 bitmaps with on-device
     unpacking — the default path: same MXU matmul as screen_triangle at
@@ -1131,7 +1182,10 @@ def screen_triangle_packed(
 
     matrix_builder(n_pad) -> (x_all, s_dev) | None: optional resident-
     matrix supplier (engines/native.py builds it from device-born
-    sketch rows so the packed matrix never crosses the host link)."""
+    sketch rows so the packed matrix never crosses the host link).
+    checkpoint_path + unit_names enable the mid-sweep tile log
+    (ops/sweep_checkpoint.py; resident mode only — the streaming
+    branch recomputes)."""
     n = len(packed)
     if n == 0:
         return ScreenResult(np.empty((0, 2), np.int64), np.empty(0, np.float32))
@@ -1154,7 +1208,8 @@ def screen_triangle_packed(
     fits = n * w * 4 <= _device_resident_budget()
     if cache_blocks and fits:
         scr = IncrementalPackedScreen(
-            n, k, min_containment, bits, block=block, row_width=w
+            n, k, min_containment, bits, block=block, row_width=w,
+            checkpoint_path=checkpoint_path, unit_names=unit_names,
         )
         n_pad = scr.n_pad
         built = matrix_builder(n_pad) if matrix_builder is not None else None

@@ -1,0 +1,197 @@
+"""Mid-sweep checkpoint/resume (VERDICT r4 #6).
+
+A killed screen sweep resumed with the same --sweep-checkpoint must
+reproduce byte-identical clusters.tsv while re-dispatching only the
+tiles the crash lost; a checkpoint from a different corpus must be
+ignored. SURVEY §5 names sketches and the sparse distance cache as
+first-class persistable artifacts — this extends that to the O(n^2)
+sweep itself.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    from galah_tpu.utils.synth import make_families
+
+    d = tmp_path / "corpus"
+    make_families(
+        str(d), n_families=6, members_per_family=4,
+        genome_length=30_000, within_ani=0.97, seed=9,
+    )
+    return sorted(str(p) for p in d.iterdir() if p.suffix == ".fna")
+
+
+def _cluster(paths, out_tsv, ckpt=None, extra_env=None, monkeypatch=None):
+    from galah_tpu.cli.main import main as cli_main
+
+    monkeypatch.setenv("GALAH_TPU_SCREEN", "packed")
+    monkeypatch.setenv("GALAH_TPU_SCREEN_BLOCK", "8")
+    monkeypatch.setenv("GALAH_TPU_SCREEN_TILE_GROUP", "2")
+    args = ["cluster", "-f", *paths, "--ani", "95",
+            "--output-cluster-definition", out_tsv, "-q"]
+    if ckpt:
+        args += ["--sweep-checkpoint", ckpt]
+    rc = cli_main(args)
+    for v in ("GALAH_TPU_SCREEN", "GALAH_TPU_SCREEN_BLOCK",
+              "GALAH_TPU_SCREEN_TILE_GROUP"):
+        monkeypatch.delenv(v)
+    return rc
+
+
+def test_kill_at_half_then_resume_byte_identical(
+    corpus, tmp_path, monkeypatch
+):
+    import galah_tpu.ops.prefilter as pf
+
+    # Drain each dispatch immediately so mid-sweep results hit the log
+    # before the crash (the default window of 16 defers drains, which
+    # on this 6-tile toy sweep would defer them all to finish()).
+    monkeypatch.setattr(pf, "TILE_WINDOW", 0)
+
+    ref_tsv = str(tmp_path / "ref.tsv")
+    assert _cluster(corpus, ref_tsv, monkeypatch=monkeypatch) == 0
+    ref_bytes = open(ref_tsv, "rb").read()
+    assert ref_bytes
+
+    # Run with a checkpoint and CRASH after ~50% of the tiles: with 24
+    # genomes at block=8 there are 3 row blocks -> 6 tiles; die after
+    # the 3rd dispatch (single or grouped).
+    ckpt = str(tmp_path / "sweep.ckpt")
+    calls = {"n": 0}
+    orig_single = pf._resident_screen_extract
+    orig_group = pf._resident_screen_extract_group
+
+    class Boom(RuntimeError):
+        pass
+
+    def crashing(orig):
+        def fn(*a, **k):
+            calls["n"] += 1
+            if calls["n"] > 3:
+                raise Boom("injected crash at ~50% of the sweep")
+            return orig(*a, **k)
+        return fn
+
+    monkeypatch.setattr(pf, "_resident_screen_extract", crashing(orig_single))
+    monkeypatch.setattr(
+        pf, "_resident_screen_extract_group", crashing(orig_group)
+    )
+    killed_tsv = str(tmp_path / "killed.tsv")
+    # The CLI's fail-fast handler turns the crash into a clean
+    # nonzero exit (SURVEY §5); the checkpoint must survive it.
+    rc = _cluster(corpus, killed_tsv, ckpt=ckpt, monkeypatch=monkeypatch)
+    assert rc != 0
+    monkeypatch.setattr(pf, "_resident_screen_extract", orig_single)
+    monkeypatch.setattr(pf, "_resident_screen_extract_group", orig_group)
+    assert os.path.exists(ckpt)
+    logged_half = os.path.getsize(ckpt)
+    assert logged_half > 0
+
+    # Resume: tiles already logged replay from the checkpoint; the
+    # dispatch counter only pays for the lost remainder.
+    calls2 = {"n": 0}
+
+    def counting(orig):
+        def fn(*a, **k):
+            calls2["n"] += 1
+            return orig(*a, **k)
+        return fn
+
+    monkeypatch.setattr(pf, "_resident_screen_extract", counting(orig_single))
+    monkeypatch.setattr(
+        pf, "_resident_screen_extract_group", counting(orig_group)
+    )
+    resumed_tsv = str(tmp_path / "resumed.tsv")
+    assert _cluster(
+        corpus, resumed_tsv, ckpt=ckpt, monkeypatch=monkeypatch
+    ) == 0
+    assert open(resumed_tsv, "rb").read() == ref_bytes
+    # The crash run drained and logged the tiles of its 3 completed
+    # dispatches; the resume replays them and only re-dispatches the
+    # lost remainder (1 tile on this 6-tile sweep) — far fewer than
+    # the 4 dispatches of a fresh sweep.
+    assert calls2["n"] <= 2
+
+
+def test_completed_checkpoint_replays_with_zero_dispatches(
+    corpus, tmp_path, monkeypatch
+):
+    import galah_tpu.ops.prefilter as pf
+
+    ckpt = str(tmp_path / "sweep.ckpt")
+    t1 = str(tmp_path / "a.tsv")
+    assert _cluster(corpus, t1, ckpt=ckpt, monkeypatch=monkeypatch) == 0
+
+    calls = {"n": 0}
+    orig_single = pf._resident_screen_extract
+    orig_group = pf._resident_screen_extract_group
+
+    def counting(orig):
+        def fn(*a, **k):
+            calls["n"] += 1
+            return orig(*a, **k)
+        return fn
+
+    monkeypatch.setattr(pf, "_resident_screen_extract", counting(orig_single))
+    monkeypatch.setattr(
+        pf, "_resident_screen_extract_group", counting(orig_group)
+    )
+    t2 = str(tmp_path / "b.tsv")
+    assert _cluster(corpus, t2, ckpt=ckpt, monkeypatch=monkeypatch) == 0
+    assert open(t2, "rb").read() == open(t1, "rb").read()
+    assert calls["n"] == 0  # every tile replayed from the log
+
+
+def test_mismatched_checkpoint_starts_fresh(corpus, tmp_path, monkeypatch):
+    """A log written for a different corpus must not be replayed."""
+    from galah_tpu.ops.sweep_checkpoint import (
+        SweepCheckpoint,
+        sweep_fingerprint,
+    )
+
+    ckpt = str(tmp_path / "sweep.ckpt")
+    other = SweepCheckpoint(
+        ckpt,
+        sweep_fingerprint(["other1", "other2"], 4096, 8, 15, 0.3, "f32"),
+    )
+    other.put(0, 0, np.array([[0, 1]], np.int64),
+              np.array([99.0], np.float32))
+    other.close()
+
+    ref_tsv = str(tmp_path / "ref.tsv")
+    assert _cluster(corpus, ref_tsv, monkeypatch=monkeypatch) == 0
+    got_tsv = str(tmp_path / "got.tsv")
+    assert _cluster(
+        corpus, got_tsv, ckpt=ckpt, monkeypatch=monkeypatch
+    ) == 0
+    assert open(got_tsv, "rb").read() == open(ref_tsv, "rb").read()
+
+
+def test_truncated_tail_record_ignored(tmp_path):
+    from galah_tpu.ops.sweep_checkpoint import (
+        SweepCheckpoint,
+        sweep_fingerprint,
+    )
+
+    fp = sweep_fingerprint(["a", "b", "c"], 4096, 8, 15, 0.3, "f32")
+    path = str(tmp_path / "log")
+    ck = SweepCheckpoint(path, fp)
+    ck.put(0, 0, np.array([[0, 1]], np.int64), np.array([97.5], np.float32))
+    ck.put(0, 1, np.array([[0, 2]], np.int64), np.array([96.5], np.float32))
+    ck.close()
+    # Simulate a crash mid-write: chop the last 6 bytes.
+    size = os.path.getsize(path)
+    with open(path, "r+b") as f:
+        f.truncate(size - 6)
+    ck2 = SweepCheckpoint(path, fp)
+    assert ck2.has(0, 0) is not None
+    assert ck2.has(0, 1) is None  # truncated record dropped
+    # And it can be re-put after the reopen.
+    ck2.put(0, 1, np.array([[0, 2]], np.int64), np.array([96.5], np.float32))
+    assert ck2.has(0, 1) is not None
+    ck2.close()
