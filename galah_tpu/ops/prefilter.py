@@ -375,6 +375,10 @@ def _screen_block_for(n: int) -> int:
     return best
 
 
+def _next_pow2_rows(x: int) -> int:
+    return 1 << max(0, (x - 1).bit_length())
+
+
 def _screen_cap_for(block: int) -> int:
     """Per-tile sparse-extraction capacity, scaled linearly with the
     tile edge: the cap-sized value gather is per-index bound, so a
@@ -816,8 +820,26 @@ class IncrementalPackedScreen:
         self.n_pad = ((n + self.block - 1) // self.block) * self.block
         self.nblocks = self.n_pad // self.block
         self.group = _screen_tile_group()
-        self._x = jnp.zeros((self.n_pad, self.w), jnp.uint32)
-        self._s = jnp.zeros((self.n_pad,), jnp.float32)
+        # Row allocation is bucketed to a power of two (>= n_pad):
+        # the extract programs' shapes include the resident matrix, so
+        # without bucketing EVERY corpus size compiles its own program
+        # (minutes each through a remote-compile relay). Bucketing
+        # bounds the shape set logarithmically and makes it
+        # pre-warmable (tools/prewarm.py). Tiles still enumerate over
+        # the REAL nblocks, so no padding tile is ever dispatched —
+        # the only cost is zeros in HBM, and the bucket falls back to
+        # the exact size when it would not fit the device budget.
+        # GALAH_TPU_SCREEN_PAD_POW2=0 disables.
+        import os as _os
+
+        alloc = self.n_pad
+        if _os.environ.get("GALAH_TPU_SCREEN_PAD_POW2", "1") != "0":
+            alloc = max(self.block, _next_pow2_rows(self.n_pad))
+            if alloc * self.w * 4 > _device_resident_budget():
+                alloc = self.n_pad
+        self.alloc_rows = alloc
+        self._x = jnp.zeros((self.alloc_rows, self.w), jnp.uint32)
+        self._s = jnp.zeros((self.alloc_rows,), jnp.float32)
         self._pending: deque = deque()
         self._bufs = {True: [], False: []}
         self._pairs: List[np.ndarray] = []
@@ -1211,15 +1233,17 @@ def screen_triangle_packed(
             n, k, min_containment, bits, block=block, row_width=w,
             checkpoint_path=checkpoint_path, unit_names=unit_names,
         )
-        n_pad = scr.n_pad
-        built = matrix_builder(n_pad) if matrix_builder is not None else None
+        # Build at the bucketed row count so the compiled program
+        # shape is stable across corpus sizes (see alloc_rows).
+        n_alloc = scr.alloc_rows
+        built = matrix_builder(n_alloc) if matrix_builder is not None else None
         if built is not None:
             scr.set_prebuilt(*built)
         else:
-            x_all_np = np.zeros((n_pad, w), dtype=np.uint32)
+            x_all_np = np.zeros((n_alloc, w), dtype=np.uint32)
             for t in range(n):
                 x_all_np[t] = packed[t]
-            s_all = np.zeros(n_pad, dtype=np.float32)
+            s_all = np.zeros(n_alloc, dtype=np.float32)
             s_all[:n] = sizes_f
             scr.set_prebuilt(jnp.asarray(x_all_np), jnp.asarray(s_all))
             del x_all_np
