@@ -82,6 +82,48 @@ def pallas_gather(unroll: int, interpret: bool):
     return run
 
 
+def pallas_gather_chains(unroll: int, interpret: bool):
+    """Round-5 variant (VERDICT r4 #5): the original probe XORs every
+    gathered row into ONE accumulator, so the whole loop is a serial
+    dependence chain — what it measured may be loop-carried LATENCY,
+    not the issue rate. Here each unroll lane keeps its own
+    independent accumulator (combined once at the end), exposing
+    `unroll` independent gather chains to the scheduler. If the bound
+    was dependence latency, throughput should scale with unroll and
+    the two-level VMEM design comes back on the table; if it stays
+    flat, the per-index scalar-issue bound is confirmed as real."""
+    def kernel(idx_ref, table_ref, out_ref):
+        def body(i, accs):
+            return tuple(
+                accs[u] ^ table_ref[idx_ref[i * unroll + u], :]
+                for u in range(unroll)
+            )
+
+        accs = jax.lax.fori_loop(
+            0, NS // unroll, body,
+            tuple(jnp.zeros((RW,), jnp.uint32) for _ in range(unroll)),
+        )
+        out = accs[0]
+        for u in range(1, unroll):
+            out = out ^ accs[u]
+        out_ref[0, :] = out
+
+    @jax.jit
+    def run(idx, table):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((1, RW), jnp.uint32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(idx, table)
+
+    return run
+
+
 def main():
     interpret = jax.default_backend() == "cpu"
     _log(f"backend={jax.default_backend()}")
@@ -112,9 +154,13 @@ def main():
     dt = (time.perf_counter() - t0) / ITERS
     _log(f"xla gather: {NS / dt / 1e6:.1f}M idx/s ({dt*1e3:.2f}ms)")
 
-    for unroll in (1, 4, 8):
+    for maker, unrolls, tag in (
+        (pallas_gather, (1, 4, 8), "serial"),
+        (pallas_gather_chains, (8, 16, 32), "chains"),
+    ):
+      for unroll in unrolls:
         try:
-            fn = pallas_gather(unroll, interpret)
+            fn = maker(unroll, interpret)
 
             @jax.jit
             def rep(idx, table, fn=fn):
@@ -139,11 +185,12 @@ def main():
             np.asarray(rep(idx, table))
             dt = (time.perf_counter() - t0) / ITERS
             _log(
-                f"pallas gather unroll={unroll}: {NS / dt / 1e6:.1f}M idx/s "
+                f"pallas gather[{tag}] unroll={unroll}: "
+                f"{NS / dt / 1e6:.1f}M idx/s "
                 f"({dt*1e3:.2f}ms, compile {comp:.0f}s)"
             )
         except Exception as e:
-            _log(f"pallas gather unroll={unroll} failed: {e!r}")
+            _log(f"pallas gather[{tag}] unroll={unroll} failed: {e!r}")
 
 
 if __name__ == "__main__":

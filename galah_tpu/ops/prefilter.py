@@ -864,6 +864,15 @@ class IncrementalPackedScreen:
         # on whichever thread drains (feeder thread mid-feed, caller
         # thread in finish()).
         self.on_pairs = None
+        # In-flight window before the oldest result drains. The
+        # sequential sweep keeps the deep TILE_WINDOW (drains are pure
+        # serialized tail work there), but an INCREMENTALLY-fed sweep
+        # shrinks it: draining early moves result fetches, decodes and
+        # the verify feeder's flushes into the sketch-feed wall — on
+        # the 100k-contig chip run the deep window deferred every
+        # drain to finish(), leaving a 146s post-sketch tail that this
+        # overlap exists to hide. GALAH_TPU_PIPELINE_WINDOW overrides.
+        self.window = TILE_WINDOW
         # Mid-sweep checkpoint (ops/sweep_checkpoint.py): drained tile
         # results append to an on-disk log; a resumed sweep replays
         # logged tiles instead of re-dispatching them.
@@ -922,6 +931,12 @@ class IncrementalPackedScreen:
                 fresh.append(i)
         return fresh
 
+    def _incremental_window(self) -> None:
+        import os as _os
+
+        env = _os.environ.get("GALAH_TPU_PIPELINE_WINDOW")
+        self.window = max(1, int(env)) if env else 2
+
     def add_device_rows(
         self, idxs: Sequence[int], src, src_rows: Sequence[int],
         sizes: Sequence[float],
@@ -931,6 +946,7 @@ class IncrementalPackedScreen:
         added indices are skipped."""
         with self._lock:
             self._check_open()
+            self._incremental_window()
             fresh = [
                 (i, r, sz)
                 for i, r, sz in zip(idxs, src_rows, sizes)
@@ -957,6 +973,7 @@ class IncrementalPackedScreen:
         """Upload host-packed rows (pack_indicator output) in chunks."""
         with self._lock:
             self._check_open()
+            self._incremental_window()
             fresh = [
                 (i, row, sz)
                 for i, row, sz in zip(idxs, rows, sizes)
@@ -1080,7 +1097,7 @@ class IncrementalPackedScreen:
                     dtname=self.dtn,
                 )
                 self._pending.append(("g", padded, nreal, res))
-            while len(self._pending) > TILE_WINDOW:
+            while len(self._pending) > self.window:
                 self._drain(self._pending.popleft())
 
     def _drain_one(self, bi: int, bj: int, res) -> None:
