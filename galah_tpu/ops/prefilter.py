@@ -331,19 +331,19 @@ def _containment(counts: jax.Array, a: jax.Array, b: jax.Array, bits_f: float):
 
 # Measured production-tile rates (pairs-computed/s) per tile edge on a
 # v5e: fused Pallas unpack+matmul + collision correction + routed
-# extraction, 16-iteration in-jit timing (benchmarks/screen_tile_probe
-# .py, 2026-08-20 — full-block refresh after the round-3 table ran up
-# to 35% hot against driver measurements; bench.py now prints
-# model-vs-measured every run so staleness is visible). The same probe
-# run put the production tile at 95-98% of its bare fused matmul at
-# every edge >= 2048 (extraction epilogue <= 5%). Bigger tiles raise
-# MXU utilization but pad the corpus to a coarser multiple;
+# extraction, in-jit repeat timing. Refreshed 2026-08-20 (round 5) by
+# the full-edge staleness sweep (GALAH_BENCH=tilesweep — run it after
+# any kernel change; the round-4 table ran 42%/24% hot at the
+# 1024/2048 edges, which this sweep exists to catch; bench.py prints
+# model-vs-measured for the production edge every run). Extraction
+# epilogue <= 6% at every edge >= 4096. Bigger tiles raise MXU
+# utilization but pad the corpus to a coarser multiple;
 # _screen_block_for trades the two off.
 _SCREEN_TILE_RATE = {
-    1024: 424e6,
-    2048: 834e6,
-    4096: 1166e6,
-    8192: 1289e6,
+    1024: 246e6,
+    2048: 638e6,
+    4096: 1095e6,
+    8192: 1246e6,
 }
 
 
