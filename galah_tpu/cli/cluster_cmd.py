@@ -112,7 +112,9 @@ def add_cluster_arguments(sub: argparse.ArgumentParser) -> None:
                                  "Complements --output/--input-distance-cache, which "
                                  "checkpoint BETWEEN phases; this checkpoints inside the "
                                  "O(n^2) screen itself. The log is only replayed for an "
-                                 "identical corpus and sweep geometry")
+                                 "identical corpus and sweep geometry. Applies to the "
+                                 "single-device resident native screen (a warning is "
+                                 "logged when another screen path is taken)")
     clustering.add_argument("--reference-genomes", nargs="+", metavar="PATH",
                             help="Reference genomes to cluster against (pre-clustered at the chosen ANI)")
     clustering.add_argument("--reference-genomes-list", metavar="PATH",
@@ -412,7 +414,7 @@ def generate_galah_clusterer(
         )
     elif (
         ani_semantics == "skani-calibrated"
-        and "native" in (args.precluster_method, args.cluster_method)
+        and args.precluster_method == "native"
     ):
         # Calibration honesty (VERDICT r4 #8): "calibrated" means
         # calibrated to a FIXED typical load, and says so up front;
@@ -420,8 +422,8 @@ def generate_galah_clusterer(
         logger.info(
             "skani-calibrated thresholds assume a fixed typical indel "
             "load (%g indel events per substitution, mean length %g); "
-            "the run reports this corpus's apparent load after "
-            "verification.",
+            "the native preclustering pass reports this corpus's "
+            "apparent load after verification.",
             defaults.CALIBRATION_INDEL_EVENTS_PER_SUB,
             defaults.CALIBRATION_MEAN_INDEL_LEN,
         )

@@ -156,6 +156,22 @@ class _PrefRowCache:
         return len(self._map)
 
 
+def _chain_sinks(base, extra):
+    """Compose the device-sketch adoption sink with an extra per-batch
+    callback (the pipeline overlap's screen feed); base runs first so
+    verify caches are adopted before any screen tile can need them."""
+    if extra is None:
+        return base
+    if base is None:
+        return extra
+
+    def chained(names, sketches, dev):
+        base(names, sketches, dev)
+        extra(names, sketches, dev)
+
+    return chained
+
+
 class NativeContext:
     """Shared state for the native engine: sketch params, sketch store,
     and the device-side fragment-ANI engine."""
@@ -317,8 +333,9 @@ class NativeContext:
 
                     mine = missing[jax.process_index()::nproc]
                     sketched_here = len(mine)
+                    bases_here = 0
                     if mine:
-                        self._sketch_local(mine)
+                        bases_here = self._sketch_local(mine)
                     logger.info(
                         "Sketched %d/%d genomes locally; exchanging "
                         "across %d processes",
@@ -329,14 +346,17 @@ class NativeContext:
                         expect_params=self.params,
                     )
                 else:
-                    self._sketch_local(missing, extra_sink=extra_sink)
+                    bases_here = self._sketch_local(
+                        missing, extra_sink=extra_sink
+                    )
             # Per-host truth: with the MP partition each host only
-            # sketched its share (throughput math stays honest).
+            # sketched its share (throughput math stays honest; the
+            # bases counter likewise sums only locally-produced
+            # sketches — re-fetching them from the store would reload
+            # full .npz files in --low-memory mode just to read a
+            # length).
             metrics.current().count("genomes_sketched", sketched_here)
-            metrics.current().count(
-                "sketch_bases",
-                sum(self._store.get(p).total_len for p in missing),
-            )
+            metrics.current().count("sketch_bases", bases_here)
             logger.info("Finished sketching genomes")
         if self.low_memory:
             return _LazySketchList(self._store, list(paths))
@@ -439,22 +459,17 @@ class NativeContext:
 
     def _sketch_local(
         self, missing: Sequence[str], extra_sink=None
-    ) -> None:
+    ) -> int:
+        """Sketch `missing` into the store; returns total bases
+        sketched (for the band-immune work counters)."""
+        bases = 0
         if _use_device_sketch():
             # Accelerator sketching (ops/device_sketch.py): bit-identical
             # to the host path; on by default behind fast links (probe
             # above), forced by GALAH_TPU_DEVICE_SKETCH=1/0.
             from galah_tpu.ops.device_sketch import device_sketch_files
 
-            sink = self._device_sink()
-            if extra_sink is not None:
-                base_sink = sink
-
-                def sink(names, sketches, dev, _base=base_sink):
-                    if _base is not None:
-                        _base(names, sketches, dev)
-                    extra_sink(names, sketches, dev)
-
+            sink = _chain_sinks(self._device_sink(), extra_sink)
             for p, sk in zip(
                 missing,
                 device_sketch_files(
@@ -463,6 +478,7 @@ class NativeContext:
                 ),
             ):
                 self._store.put(p, sk)
+                bases += sk.total_len
         elif self.threads > 1 and len(missing) > 1:
             with ThreadPoolExecutor(max_workers=self.threads) as ex:
                 for p, sk in zip(
@@ -473,9 +489,13 @@ class NativeContext:
                     ),
                 ):
                     self._store.put(p, sk)
+                    bases += sk.total_len
         else:
             for p in missing:
-                self._store.put(p, sketch_file_native(p, self.params))
+                sk = sketch_file_native(p, self.params)
+                self._store.put(p, sk)
+                bases += sk.total_len
+        return bases
 
     def sketch_contigs(
         self, paths: Sequence[str], extra_sink=None
@@ -496,15 +516,7 @@ class NativeContext:
                         device_sketch_contig_files,
                     )
 
-                    sink = self._device_sink()
-                    if extra_sink is not None:
-                        base_sink = sink
-
-                        def sink(names, sketches, dev, _base=base_sink):
-                            if _base is not None:
-                                _base(names, sketches, dev)
-                            extra_sink(names, sketches, dev)
-
+                    sink = _chain_sinks(self._device_sink(), extra_sink)
                     for path, sks in zip(
                         missing,
                         device_sketch_contig_files(
@@ -644,6 +656,18 @@ def _screen_min_containment(
     return defaults.NATIVE_SCREEN_MARGIN * min_af * (ani_threshold_pct / 100.0) ** k
 
 
+def _emit_verified(res, idx_by_key_pair, threshold_pct, min_af, cache):
+    """Insert bidirectional verify results into the sparse cache — the
+    ONE implementation of the AF/ANI filter, the duplicate-path
+    "emit every index pair per key pair" rule, and the float32
+    rounding, shared by the batch and overlapped verify paths (their
+    bit-identical guarantee rides on this being a single function)."""
+    for kp, (ani, af_f, af_r) in res.items():
+        for i, j in idx_by_key_pair[kp]:
+            if max(af_f, af_r) >= min_af and ani >= threshold_pct:
+                cache.insert((i, j), float(np.float32(ani)))
+
+
 class _VerifyFeeder:
     """Incremental verify: screen tiles' drained pairs flush into the
     fragment-ANI engine in chunks WHILE the sweep (and the sketch feed)
@@ -701,13 +725,10 @@ class _VerifyFeeder:
             key_pairs.append((ki, kj))
             idx_by_key_pair.setdefault((ki, kj), []).append((i, j))
         res = ctx.frag_engine.bidirectional(key_pairs, sketches_by_key)
-        for kp, (ani, af_f, af_r) in res.items():
-            for i, j in idx_by_key_pair[kp]:
-                if (
-                    max(af_f, af_r) >= self.min_af
-                    and ani >= self.threshold_pct
-                ):
-                    self.cache.insert((i, j), float(np.float32(ani)))
+        _emit_verified(
+            res, idx_by_key_pair, self.threshold_pct, self.min_af,
+            self.cache,
+        )
         self.total += len(pairs)
         self.verify_seconds += _time.perf_counter() - t0
 
@@ -824,13 +845,9 @@ class _VerifyMixin:
 
         def flush(key_pairs, sketches_by_key, idx_by_key_pair):
             res = ctx.frag_engine.bidirectional(key_pairs, sketches_by_key)
-            for kp, (ani, af_f, af_r) in res.items():
-                # A key pair can map to several index pairs when the
-                # same path is given twice — emit every one, or
-                # duplicates silently fall out of their cluster.
-                for i, j in idx_by_key_pair[kp]:
-                    if max(af_f, af_r) >= min_af and ani >= threshold_pct:
-                        cache.insert((i, j), float(np.float32(ani)))
+            _emit_verified(
+                res, idx_by_key_pair, threshold_pct, min_af, cache
+            )
 
         sketches_by_key: Dict[str, NativeSketch] = {}
         key_pairs: List[Tuple[str, str]] = []
@@ -1060,6 +1077,11 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
         # sketch wall — that is the win being measured). The feeder
         # likewise accumulates only its own flush time under "verify".
         m.phases["screen"] = m.phases.get("screen", 0.0) + _dt_tail
+        # Flag for metrics readers: phase timers OVERLAP in this mode
+        # (screen dispatches and verify flushes ride inside the sketch
+        # wall), so phases_s sums exceeding wall_clock_s is the
+        # overlap working, not double-billed time.
+        m.counters["phases_overlapped"] = 1.0
         m.rate(
             "screen_pairs_per_s", n * (n - 1) / 2,
             _time.perf_counter() - _t0,
@@ -1102,6 +1124,7 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
         of `genome_fasta_paths` that are references are compared against
         nothing within their own group."""
         sketches = self.ctx.sketch_many(genome_fasta_paths)
+        self._warn_checkpoint_unsupported("reference-genome rectangle")
         ref_set = set(reference_genomes)
         ref_idx = [i for i, p in enumerate(genome_fasta_paths) if p in ref_set]
         query_idx = [i for i, p in enumerate(genome_fasta_paths) if p not in ref_set]
@@ -1176,12 +1199,24 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
             ],
             axis=1,
         )
-        return self._verify_pairs(
+        cache = self._verify_pairs(
             sketches, remapped, self.threshold, self.min_aligned_threshold
         )
+        self._report_indel_load(cache, lambda i: sketches[i])
+        return cache
 
     def method_name(self) -> str:
         return "native"
+
+    def _warn_checkpoint_unsupported(self, path_name: str) -> None:
+        if getattr(self, "sweep_checkpoint", None):
+            logger.warning(
+                "--sweep-checkpoint only applies to the single-device "
+                "resident packed screen; the %s path will NOT "
+                "checkpoint mid-sweep (the between-phase caches, "
+                "--output-distance-cache and the sketch store, still "
+                "apply)", path_name,
+            )
 
     def _screen_and_verify(
         self, sketches: Sequence[NativeSketch]
@@ -1214,6 +1249,7 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
                 sharded_screen_triangle_rowsharded,
             )
 
+            self._warn_checkpoint_unsupported("row-sharded low-memory")
             bits = self.ctx.params.prefilter_bits
             logger.info(
                 "Screening on %d devices (row-sharded sweep fed from "
@@ -1238,6 +1274,7 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
                 sharded_screen_triangle_packed,
             )
 
+            self._warn_checkpoint_unsupported("sharded multi-device")
             bits = self.ctx.params.prefilter_bits
             logger.info(
                 "Screening on %d devices (sharded tile sweep)",
@@ -1257,6 +1294,8 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
                 screen_triangle_popcount,
             )
 
+            self._warn_checkpoint_unsupported("popcount")
+
             bits = self.ctx.params.prefilter_bits
             res = screen_triangle_popcount(
                 _LazyPackedRows(sketches, bits),
@@ -1266,6 +1305,7 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
                 bits,
             )
         elif _screen_backend() == "indicator":
+            self._warn_checkpoint_unsupported("indicator")
             res = screen_triangle(
                 _LazyIndicatorRows(sketches),
                 np.asarray([s.n_prefilter for s in sketches]),

@@ -1274,6 +1274,11 @@ def screen_triangle_packed(
             "streaming column blocks", n, w,
         )
         cache_blocks = False
+    if checkpoint_path:
+        logger.warning(
+            "--sweep-checkpoint only applies to the resident sweep; "
+            "this streaming sweep will NOT checkpoint mid-sweep"
+        )
 
     def make_block(bi: int) -> Tuple[jax.Array, jax.Array]:
         lo, hi = bi * block, min((bi + 1) * block, n)

@@ -78,12 +78,21 @@ class SweepCheckpoint:
         self._lock = threading.Lock()
         self._have: Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray]] = {}
         fp_bytes = json.dumps(fingerprint, sort_keys=True).encode()
+        self._good_end = 0
         if os.path.exists(path) and self._load(path, fp_bytes):
             logger.info(
                 "Sweep checkpoint: resuming %s (%d tiles logged)",
                 path, len(self._have),
             )
             self._f = open(path, "ab")
+            # Drop any truncated tail record BEFORE appending: new
+            # records written after partial garbage would be swallowed
+            # as that record's body on the next load (the partial
+            # header is intact, so its count field would consume the
+            # following valid records' bytes).
+            if os.path.getsize(path) > self._good_end:
+                self._f.truncate(self._good_end)
+                self._f.seek(self._good_end)
         else:
             if os.path.exists(path):
                 logger.warning(
@@ -105,6 +114,7 @@ class SweepCheckpoint:
                 (fp_len,) = struct.unpack("<i", f.read(4))
                 if f.read(fp_len) != fp_bytes:
                     return False
+                self._good_end = f.tell()
                 while True:
                     head = f.read(16)
                     if len(head) < 16:
@@ -122,6 +132,7 @@ class SweepCheckpoint:
                         body[count * 16 :], dtype=np.float32
                     ).copy()
                     self._have[(bi, bj)] = (pairs, anis)
+                    self._good_end = f.tell()
             return True
         except (OSError, struct.error):
             return False

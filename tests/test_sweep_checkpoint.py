@@ -195,3 +195,15 @@ def test_truncated_tail_record_ignored(tmp_path):
     ck2.put(0, 1, np.array([[0, 2]], np.int64), np.array([96.5], np.float32))
     assert ck2.has(0, 1) is not None
     ck2.close()
+    # Crash-resume-CRASH-resume: the reopen must have TRUNCATED the
+    # partial tail before appending, or this third load would parse
+    # the partial record's intact header and swallow the re-put
+    # record's bytes as its body (replaying garbage pairs).
+    ck3 = SweepCheckpoint(path, fp)
+    got00 = ck3.has(0, 0)
+    got01 = ck3.has(0, 1)
+    assert got00 is not None and got01 is not None
+    np.testing.assert_array_equal(got00[0], [[0, 1]])
+    np.testing.assert_array_equal(got01[0], [[0, 2]])
+    np.testing.assert_array_equal(got01[1], np.float32([96.5]))
+    ck3.close()
