@@ -37,6 +37,8 @@ def main() -> int:
     ap.add_argument("--threads", type=int, default=4)
     ap.add_argument("--corpus", default=None,
                     help="corpus FASTA path (generated if absent, reused if present)")
+    ap.add_argument("--sweep-checkpoint", default=None,
+                    help="pass through to the CLI (mid-sweep tile log)")
     args = ap.parse_args()
 
     if args.platform:
@@ -81,13 +83,16 @@ def main() -> int:
     clusters_tsv = os.path.join(td, "clusters.tsv")
     metrics_json = os.path.join(td, "metrics.json")
     t0 = time.perf_counter()
-    rc = cli_main([
+    cli_args = [
         "cluster", "--cluster-contigs", "--small-contigs",
         "-f", corpus, "--ani", str(args.ani),
         "--threads", str(args.threads),
         "--output-cluster-definition", clusters_tsv,
         "--metrics-json", metrics_json, "-q",
-    ])
+    ]
+    if args.sweep_checkpoint:
+        cli_args += ["--sweep-checkpoint", args.sweep_checkpoint]
+    rc = cli_main(cli_args)
     wall = time.perf_counter() - t0
     if rc != 0:
         print(f"cluster exited {rc}", file=sys.stderr)
@@ -122,6 +127,11 @@ def main() -> int:
         )
         if k in mj.get("counters", {})
     }
+    out_copy = os.environ.get("GALAH_CONTIG_E2E_KEEP_TSV")
+    if out_copy:
+        import shutil
+
+        shutil.copy(clusters_tsv, out_copy)
     print(json.dumps({
         "metric": "contig_e2e_wall_s",
         "value": round(wall, 1),
