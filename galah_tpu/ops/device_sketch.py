@@ -1176,21 +1176,37 @@ def device_sketch_contig_files(
     else:
         guarded_sink = None
 
+    # Forward read cursors: within a length bucket, chunks visit a
+    # file's contigs in ascending order, so a persistent per-file
+    # iterator turns the old start-from-record-0 re-parse (O(chunks x
+    # file) — ~20 full passes over a 100k-contig FASTA) into one
+    # sequential pass per bucket run. A request BEHIND the cursor
+    # (next bucket, or the compile shadow claiming from the END of
+    # the queue) restarts that file's iterator — correct either way,
+    # the cursor is purely a fast path.
+    read_cursors: dict = {}
+    cursor_lock = threading.Lock()
+
     def read_chunk(ci):
         chunk = chunk_descs[ci]
         wanted: dict = {}
         for pi, cj in chunk:
             wanted.setdefault(pi, set()).add(cj)
         recs: dict = {}
-        for pi, want in wanted.items():
-            last = max(want)
-            got = {}
-            for idx, rec in enumerate(read_fasta(paths[pi])):
-                if idx in want:
-                    got[idx] = (rec.contig_name, rec.seq)
-                if idx >= last:
-                    break
-            recs[pi] = got
+        with cursor_lock:
+            for pi, want in wanted.items():
+                last = max(want)
+                it, nxt = read_cursors.get(pi, (None, 0))
+                if it is None or min(want) < nxt:
+                    it, nxt = iter(read_fasta(paths[pi])), 0
+                got = {}
+                while nxt <= last:
+                    rec = next(it)
+                    if nxt in want:
+                        got[nxt] = (rec.contig_name, rec.seq)
+                    nxt += 1
+                read_cursors[pi] = (it, nxt)
+                recs[pi] = got
         cnames = [recs[pi][cj][0] for pi, cj in chunk]
         clists = [[recs[pi][cj][1]] for pi, cj in chunk]
         return cnames, clists
