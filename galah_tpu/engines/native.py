@@ -1274,7 +1274,6 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
                 sharded_screen_triangle_packed,
             )
 
-            self._warn_checkpoint_unsupported("sharded multi-device")
             bits = self.ctx.params.prefilter_bits
             logger.info(
                 "Screening on %d devices (sharded tile sweep)",
@@ -1286,6 +1285,8 @@ class NativePreclusterer(PreclusterDistanceFinder, _VerifyMixin):
                 k,
                 min_cont,
                 bits,
+                checkpoint_path=getattr(self, "sweep_checkpoint", None),
+                unit_names=[s.name for s in sketches],
             )
         elif _screen_backend() == "popcount":
             # Pallas packed-bitmap kernel (VPU AND+popcount).

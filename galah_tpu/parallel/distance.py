@@ -141,6 +141,8 @@ def sharded_screen_triangle_packed(
     mesh: Optional[Mesh] = None,
     block: int = 0,
     cap: int = 0,
+    checkpoint_path: Optional[str] = None,
+    unit_names=None,
 ) -> ScreenResult:
     """Upper-triangle all-vs-all screen over packed uint32 bitmaps with
     the tile list sharded across `mesh`. block/cap of 0 pick the
@@ -149,7 +151,12 @@ def sharded_screen_triangle_packed(
     packed: list-like of per-genome (W,) uint32 rows (may be lazy —
     rows materialize once while building the resident matrix).
     sizes: (n,) bucket counts.
-    """
+    checkpoint_path + unit_names: mid-sweep tile log
+    (ops/sweep_checkpoint.py) — logged tiles replay instead of
+    re-dispatching. Single-process only: the lockstep multi-process
+    contract requires every process to dispatch the identical tile
+    list, and per-host logs could diverge; with several processes the
+    checkpoint is ignored with a warning."""
     if mesh is None:
         from galah_tpu.parallel.mesh import make_mesh
 
@@ -193,11 +200,38 @@ def sharded_screen_triangle_packed(
     s_np = np.zeros((n_pad,), dtype=np.float32)
     s_np[:n] = sizes.astype(np.float32)
 
+    checkpoint = None
+    if checkpoint_path:
+        if jax.process_count() > 1:
+            logger.warning(
+                "--sweep-checkpoint is ignored on multi-process runs "
+                "of the sharded sweep (per-host logs would break the "
+                "lockstep dispatch contract)"
+            )
+        elif unit_names is None:
+            logger.warning(
+                "--sweep-checkpoint needs unit names; ignored"
+            )
+        else:
+            from galah_tpu.ops.sweep_checkpoint import (
+                SweepCheckpoint,
+                sweep_fingerprint,
+            )
+
+            checkpoint = SweepCheckpoint(
+                checkpoint_path,
+                sweep_fingerprint(
+                    unit_names, bits, block, k,
+                    float(np.float32(min_containment)),
+                    _screen_dtype_name(),
+                ),
+            )
+
     tiles = [(bi, bj) for bi in range(nblocks) for bj in range(bi, nblocks)]
     return _replicated_tile_sweep(
         x_np, s_np, tiles, mesh, block, cap, bits,
         float(np.float32(min_containment)), 1.0 / k,
-        col0_blocks=0, n_rows=n, n_cols=n,
+        col0_blocks=0, n_rows=n, n_cols=n, checkpoint=checkpoint,
     )
 
 
@@ -215,6 +249,7 @@ def _replicated_tile_sweep(
     col0_blocks: int,
     n_rows: int,
     n_cols: int,
+    checkpoint=None,
 ) -> ScreenResult:
     """Shared driver for the replicated-resident tile sweeps (triangle
     AND rectangle): make the packed matrix resident on every device,
@@ -253,6 +288,27 @@ def _replicated_tile_sweep(
     pairs: List[np.ndarray] = []
     anis: List[np.ndarray] = []
 
+    if checkpoint is not None and len(checkpoint):
+        # Replay logged tiles and sweep only the remainder (a tile's
+        # result is a pure function of the resident matrix, which the
+        # checkpoint fingerprint pins).
+        remaining = []
+        restored = 0
+        for bi, bjg in tiles:
+            got = checkpoint.has(bi, bjg)
+            if got is None:
+                remaining.append((bi, bjg))
+            else:
+                restored += 1
+                p, a = got
+                if len(p):
+                    pairs.append(p)
+                    anis.append(a)
+        logger.info(
+            "Sweep checkpoint: %d/%d tiles replayed", restored, len(tiles)
+        )
+        tiles = remaining
+
     def collect(tile_chunk, outs):
         if multiproc:
             from jax.experimental import multihost_utils
@@ -267,6 +323,7 @@ def _replicated_tile_sweep(
         jj = np.asarray(jj)
         vals = np.asarray(vals).astype(np.float32)
         for t, (bi, bjg) in enumerate(tile_chunk):
+            before = len(pairs)
 
             def dense_cont(bi=bi, bjg=bjg):
                 lo_i, lo_j = bi * block, bjg * block
@@ -299,6 +356,13 @@ def _replicated_tile_sweep(
                 diag=bi == bjg, keep_rows=n_rows, keep_cols=n_cols,
                 pairs=pairs, anis=anis,
             )
+            if checkpoint is not None:
+                got_new = len(pairs) > before
+                checkpoint.put(
+                    bi, bjg,
+                    pairs[-1] if got_new else np.empty((0, 2), np.int64),
+                    anis[-1] if got_new else np.empty(0, np.float32),
+                )
 
     pending: deque = deque()
     tij = np.zeros((chunk_tiles, 3), dtype=np.int32)
@@ -316,6 +380,8 @@ def _replicated_tile_sweep(
             collect(*pending.popleft())
     while pending:
         collect(*pending.popleft())
+    if checkpoint is not None:
+        checkpoint.close()
 
     if pairs:
         return ScreenResult(np.concatenate(pairs), np.concatenate(anis))

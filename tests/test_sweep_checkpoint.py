@@ -172,6 +172,83 @@ def test_mismatched_checkpoint_starts_fresh(corpus, tmp_path, monkeypatch):
     assert open(got_tsv, "rb").read() == open(ref_tsv, "rb").read()
 
 
+def test_sharded_sweep_checkpoint_kill_and_replay(tmp_path, monkeypatch):
+    """The mesh-sharded triangle sweep (the multi-device fleet path the
+    checkpoint exists for) must also log drained tiles and resume: a
+    crash mid-sweep loses only undrained chunks, and a completed log
+    replays with ZERO tile dispatches."""
+    import numpy as np
+
+    import galah_tpu.parallel.distance as dist
+
+    rng = np.random.default_rng(13)
+    n, bits = 96, 4096
+    ind = (rng.random((n, bits)) < 0.06).astype(np.uint8)
+    ind[:30] = ind[0]
+    sizes = ind.sum(axis=1)
+    packed = [
+        np.packbits(r.astype(bool), bitorder="little").view(np.uint32)
+        for r in ind
+    ]
+    names = [f"g{i}" for i in range(n)]
+    monkeypatch.setattr(dist, "TILES_PER_DEVICE", 1)
+    # Collect each chunk as it lands so the crash run logs its
+    # completed chunks (the default window of 8 would defer every
+    # collect past the injected crash on this 3-chunk toy sweep).
+    monkeypatch.setattr(dist, "DISPATCH_WINDOW", 0)
+
+    def run(ckpt=None, crash_after=None, count=None):
+        orig = dist._tile_screen_fn
+
+        def wrapped(*a, **k):
+            fn = orig(*a, **k)
+
+            def counting(*fa, **fk):
+                if count is not None:
+                    count["n"] += 1
+                if crash_after is not None and count["n"] > crash_after:
+                    raise RuntimeError("injected sweep crash")
+                return fn(*fa, **fk)
+
+            return counting
+
+        monkeypatch.setattr(dist, "_tile_screen_fn", wrapped)
+        try:
+            return dist.sharded_screen_triangle_packed(
+                packed, sizes, 15, 0.3, bits, block=16,
+                checkpoint_path=ckpt, unit_names=names,
+            )
+        finally:
+            monkeypatch.setattr(dist, "_tile_screen_fn", orig)
+
+    ref = run(count={"n": 0})
+    order = np.lexsort((ref.pairs[:, 1], ref.pairs[:, 0]))
+
+    ckpt = str(tmp_path / "sharded.ckpt")
+    c1 = {"n": 0}
+    with pytest.raises(RuntimeError, match="injected sweep crash"):
+        run(ckpt=ckpt, crash_after=1, count=c1)
+    assert os.path.getsize(ckpt) > 0
+
+    c2 = {"n": 0}
+    resumed = run(ckpt=ckpt, count=c2)
+    r_order = np.lexsort((resumed.pairs[:, 1], resumed.pairs[:, 0]))
+    np.testing.assert_array_equal(ref.pairs[order], resumed.pairs[r_order])
+    np.testing.assert_array_equal(ref.ani_est[order], resumed.ani_est[r_order])
+    # The crash run collected (and logged) its first chunk's tiles,
+    # so the resume sweeps strictly fewer chunks than a fresh run.
+    fresh = {"n": 0}
+    run(count=fresh)
+    assert c2["n"] < fresh["n"]
+
+    # Completed log: zero dispatches on replay.
+    c3 = {"n": 0}
+    replayed = run(ckpt=ckpt, count=c3)
+    assert c3["n"] == 0
+    p_order = np.lexsort((replayed.pairs[:, 1], replayed.pairs[:, 0]))
+    np.testing.assert_array_equal(ref.pairs[order], replayed.pairs[p_order])
+
+
 def test_truncated_tail_record_ignored(tmp_path):
     from galah_tpu.ops.sweep_checkpoint import (
         SweepCheckpoint,
