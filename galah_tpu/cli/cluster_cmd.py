@@ -104,6 +104,12 @@ def add_cluster_arguments(sub: argparse.ArgumentParser) -> None:
                             help="Do not use small-genomes settings when clustering contigs (>= 20kb)")
     clustering.add_argument("--low-memory", action="store_true",
                             help="Reduce memory use by streaming sketches instead of holding them resident")
+    clustering.add_argument("--sketch-directory", metavar="PATH",
+                            help="Persistent sketch cache: sketches are written to (and "
+                                 "reused from) this directory across runs, keyed by input "
+                                 "file, sketch parameters and file signature — a re-run or "
+                                 "a resumed crash skips the whole sketch phase. Stale "
+                                 "entries (changed file or parameters) are never reused")
     clustering.add_argument("--sweep-checkpoint", metavar="PATH",
                             help="Mid-sweep checkpoint log for the native screen: drained "
                                  "tile results append to PATH as the all-vs-all sweep runs, "
@@ -391,6 +397,7 @@ def generate_galah_clusterer(
                 threads=args.threads,
                 low_memory=args.low_memory,
                 max_genome_length=max_len,
+                sketch_directory=getattr(args, "sketch_directory", None),
             )
         return native_ctx
 

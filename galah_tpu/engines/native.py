@@ -184,7 +184,16 @@ class NativeContext:
         low_memory: bool = False,
         params: Optional[NativeSketchParams] = None,
         max_genome_length: Optional[int] = None,
+        sketch_directory: Optional[str] = None,
     ) -> None:
+        """sketch_directory: persistent cross-run sketch cache
+        (--sketch-directory): sketches land at content-stable paths
+        keyed by unit, parameters and source-file signature, so a
+        re-run (or a crash resumed via --sweep-checkpoint /
+        --input-distance-cache) reuses them instead of re-sketching —
+        the sketch-phase leg of SURVEY §5's first-class persistable
+        artifacts (reference analog: skani's reusable sketch DB,
+        src/skani.rs:265-290)."""
         if params is not None:
             self.params = params
         elif small_genomes:
@@ -205,7 +214,19 @@ class NativeContext:
         self._sketched_any = False
         self.threads = max(1, threads)
         self.low_memory = low_memory
-        if low_memory:
+        self.sketch_directory = sketch_directory
+        if sketch_directory:
+            # Persistent cross-run store; in --low-memory it doubles
+            # as the spill target (bounded working set), otherwise
+            # everything stays resident and the disk copy is the
+            # reusable artifact.
+            from galah_tpu.sketch.store import PersistentSketchStore
+
+            self._store = PersistentSketchStore(
+                sketch_directory, self.params,
+                max_resident=64 if low_memory else (1 << 31),
+            )
+        elif low_memory:
             # Disk-backed sketch store with an LRU working set — the
             # low-memory analog of skani sketch-then-search
             # (src/skani.rs:229-377).
@@ -508,6 +529,31 @@ class NativeContext:
 
         out: List[NativeSketch] = []
         missing = [p for p in paths if p not in self._contig_store]
+        if missing and self.sketch_directory:
+            # Persistent contig bundles: one file per input FASTA
+            # (content-stable name), loaded whole on a hit.
+            from galah_tpu.sketch.store import load_contig_sketches
+
+            still = []
+            for p in missing:
+                bp = self._contig_bundle_path(p)
+                if os.path.exists(bp):
+                    try:
+                        self._contig_store[p] = load_contig_sketches(bp)
+                        continue
+                    except Exception as e:
+                        logger.warning(
+                            "ignoring unreadable contig sketch bundle "
+                            "%s: %r", bp, e,
+                        )
+                still.append(p)
+            if len(still) < len(missing):
+                logger.info(
+                    "Reused contig sketches for %d/%d files from %s",
+                    len(missing) - len(still), len(missing),
+                    self.sketch_directory,
+                )
+            missing = still
         if missing:
             self._sketched_any = True
             with metrics.current().phase("sketch"):
@@ -530,12 +576,27 @@ class NativeContext:
                         self._contig_store[path] = sketch_contigs_native(
                             path, self.params, threads=self.threads
                         )
+        if missing and self.sketch_directory:
+            from galah_tpu.sketch.store import save_contig_sketches
+
+            for p in missing:
+                save_contig_sketches(
+                    self._contig_bundle_path(p), self._contig_store[p]
+                )
         for path in paths:
             out.extend(self._contig_store[path])
         n_contigs = sum(len(self._contig_store[p]) for p in missing)
         if n_contigs:
             metrics.current().count("contigs_sketched", n_contigs)
         return out
+
+    def _contig_bundle_path(self, path: str) -> str:
+        from galah_tpu.sketch.store import _file_sig, _stable_sketch_name
+
+        name = _stable_sketch_name(
+            "contigs:" + path, self.params, _file_sig(path)
+        )
+        return os.path.join(self.sketch_directory, name)
 
 
 def _use_device_sketch() -> bool:

@@ -125,6 +125,141 @@ class DiskSketchStore:
             self._resident.popitem(last=False)
 
 
+def _stable_sketch_name(key: str, params: NativeSketchParams,
+                        stat_sig: str = "") -> str:
+    """Content-stable filename for a persistent sketch: unit key +
+    parameter fingerprint + source-file signature. A changed input
+    file (different size/mtime) or different sketch params hashes to
+    a different name, so stale sketches are never reused (orphans are
+    left behind; the directory is a cache, not a database)."""
+    import hashlib
+
+    meta = json.dumps(
+        {f: getattr(params, f) for f in _PARAM_FIELDS}, sort_keys=True
+    )
+    h = hashlib.sha256()
+    h.update(key.encode())
+    h.update(b"\0")
+    h.update(meta.encode())
+    h.update(b"\0")
+    h.update(stat_sig.encode())
+    return f"sketch_{h.hexdigest()[:40]}.npz"
+
+
+def _file_sig(key: str) -> str:
+    """Size+mtime signature when the key is an existing file path
+    (genome mode); empty otherwise."""
+    try:
+        st = os.stat(key)
+        return f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        return ""
+
+
+class PersistentSketchStore(DiskSketchStore):
+    """Cross-RUN sketch store (`--sketch-directory`): sketches land at
+    content-stable paths, so a re-run — including one resuming a crash
+    via --sweep-checkpoint / --input-distance-cache — reuses every
+    sketch from disk instead of re-sketching the corpus (SURVEY §5:
+    sketches as first-class persistable artifacts; the reference's
+    analog is skani's on-disk sketch DB, src/skani.rs:265-290, which
+    is likewise reusable across invocations)."""
+
+    def _disk_path(self, key: str) -> str:
+        p = self._on_disk.get(key)
+        if p is None:
+            p = os.path.join(
+                self.directory,
+                _stable_sketch_name(key, self.params, _file_sig(key)),
+            )
+            self._on_disk[key] = p
+        return p
+
+    def __contains__(self, key: str) -> bool:
+        return (
+            key in self._resident
+            or os.path.exists(self._disk_path(key))
+        )
+
+    def get(self, key: str) -> Optional[NativeSketch]:
+        sk = self._resident.get(key)
+        if sk is not None:
+            self._resident.move_to_end(key)
+            return sk
+        p = self._disk_path(key)
+        if not os.path.exists(p):
+            return None
+        sk = load_sketch(p)
+        self._resident[key] = sk
+        self._evict()
+        return sk
+
+
+def save_contig_sketches(path: str, sketches) -> None:
+    """One bundle file per input FASTA for contig mode (per-contig
+    files would mean 100k+ tiny npz files): concatenated arrays with
+    offsets, loadable in one read."""
+    names = [s.name for s in sketches]
+    arrays: dict = {"names": np.array(names)}
+    arrays["total_lens"] = np.array(
+        [s.total_len for s in sketches], np.int64
+    )
+    for field in ("prefilter_buckets", "frag_buckets", "member_buckets"):
+        parts = [np.asarray(getattr(s, field)) for s in sketches]
+        arrays[field] = (
+            np.concatenate(parts) if parts else np.empty(0, np.int32)
+        )
+        arrays[field + "_off"] = np.cumsum(
+            [0] + [len(p) for p in parts]
+        ).astype(np.int64)
+    fo_parts = [np.asarray(s.frag_offsets) for s in sketches]
+    arrays["frag_offsets"] = (
+        np.concatenate(fo_parts) if fo_parts else np.empty(0, np.int64)
+    )
+    arrays["frag_offsets_off"] = np.cumsum(
+        [0] + [len(p) for p in fo_parts]
+    ).astype(np.int64)
+    if sketches:
+        meta = {
+            f: getattr(sketches[0].params, f) for f in _PARAM_FIELDS
+        }
+    else:
+        meta = {}
+    arrays["params_json"] = np.array(json.dumps(meta))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        _savez(fh, **arrays)
+    os.replace(tmp, path)
+
+
+def load_contig_sketches(path: str):
+    """Inverse of save_contig_sketches; returns List[NativeSketch]."""
+    out = []
+    with np.load(path, allow_pickle=False) as z:
+        params = (
+            NativeSketchParams(**json.loads(str(z["params_json"])))
+            if str(z["params_json"]) != "{}" else None
+        )
+        names = z["names"]
+        total_lens = z["total_lens"]
+        cols = {
+            f: (z[f], z[f + "_off"])
+            for f in ("prefilter_buckets", "frag_buckets",
+                      "member_buckets", "frag_offsets")
+        }
+        for i in range(len(names)):
+            fields = {}
+            for f, (arr, off) in cols.items():
+                fields[f] = arr[off[i] : off[i + 1]].copy()
+            out.append(NativeSketch(
+                name=str(names[i]),
+                total_len=int(total_lens[i]),
+                params=params,
+                **fields,
+            ))
+    return out
+
+
 def save_distance_cache(
     cache: SortedPairDistanceCache, path: str, names=None,
     threshold: Optional[float] = None,
