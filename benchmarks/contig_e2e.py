@@ -39,6 +39,8 @@ def main() -> int:
                     help="corpus FASTA path (generated if absent, reused if present)")
     ap.add_argument("--sweep-checkpoint", default=None,
                     help="pass through to the CLI (mid-sweep tile log)")
+    ap.add_argument("--sketch-directory", default=None,
+                    help="pass through to the CLI (persistent sketch cache)")
     args = ap.parse_args()
 
     if args.platform:
@@ -92,6 +94,8 @@ def main() -> int:
     ]
     if args.sweep_checkpoint:
         cli_args += ["--sweep-checkpoint", args.sweep_checkpoint]
+    if args.sketch_directory:
+        cli_args += ["--sketch-directory", args.sketch_directory]
     rc = cli_main(cli_args)
     wall = time.perf_counter() - t0
     if rc != 0:

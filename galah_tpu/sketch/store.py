@@ -55,9 +55,14 @@ def dump_sketch(sketch: NativeSketch, fh, compress: bool = True) -> None:
 
 def save_sketch(sketch: NativeSketch, path: str) -> None:
     # np.savez appends ".npz" to bare paths; write through a file handle
-    # so the file lands exactly where the caller asked.
-    with open(path, "wb") as fh:
+    # so the file lands exactly where the caller asked. Write-temp +
+    # atomic rename: several processes may write the same stable path
+    # in a shared --sketch-directory (the MP sketch exchange), and a
+    # reader must never see a half-written file.
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "wb") as fh:
         dump_sketch(sketch, fh)
+    os.replace(tmp, path)
 
 
 def load_sketch(path) -> NativeSketch:
