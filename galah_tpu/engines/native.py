@@ -306,6 +306,13 @@ class NativeContext:
             self.params = dataclasses.replace(
                 self.params, prefilter_bits=bits
             )
+            # The disk sketch stores fingerprint filenames with the
+            # params object; a stale snapshot here would let a
+            # --sketch-directory run reuse sketches built at a
+            # DIFFERENT width across runs (wrong containments or
+            # out-of-range bucket indices).
+            if hasattr(self._store, "set_params"):
+                self._store.set_params(self.params)
 
     def key_for(self, sketch: NativeSketch) -> str:
         # Keyed by unit name (path or contig name) so device-side caches

@@ -1183,9 +1183,16 @@ def device_sketch_contig_files(
     # sequential pass per bucket run. A request BEHIND the cursor
     # (next bucket, or the compile shadow claiming from the END of
     # the queue) restarts that file's iterator — correct either way,
-    # the cursor is purely a fast path.
-    read_cursors: dict = {}
+    # the cursor is purely a fast path. Each live iterator pins an
+    # open file descriptor, so the cache is LRU-bounded (a
+    # thousand-file contig corpus must not exhaust ulimit), and a
+    # cursor whose read raised is dropped so a retry re-reads the
+    # file from scratch instead of resuming a closed generator.
+    from collections import OrderedDict
+
+    read_cursors: "OrderedDict" = OrderedDict()
     cursor_lock = threading.Lock()
+    MAX_CURSORS = 64
 
     def read_chunk(ci):
         chunk = chunk_descs[ci]
@@ -1196,16 +1203,25 @@ def device_sketch_contig_files(
         with cursor_lock:
             for pi, want in wanted.items():
                 last = max(want)
-                it, nxt = read_cursors.get(pi, (None, 0))
+                it, nxt = read_cursors.pop(pi, (None, 0))
                 if it is None or min(want) < nxt:
+                    if it is not None:
+                        it.close()
                     it, nxt = iter(read_fasta(paths[pi])), 0
                 got = {}
-                while nxt <= last:
-                    rec = next(it)
-                    if nxt in want:
-                        got[nxt] = (rec.contig_name, rec.seq)
-                    nxt += 1
+                try:
+                    while nxt <= last:
+                        rec = next(it)
+                        if nxt in want:
+                            got[nxt] = (rec.contig_name, rec.seq)
+                        nxt += 1
+                except BaseException:
+                    it.close()  # dead cursor: retries restart the file
+                    raise
                 read_cursors[pi] = (it, nxt)
+                while len(read_cursors) > MAX_CURSORS:
+                    _, (old_it, _n) = read_cursors.popitem(last=False)
+                    old_it.close()
                 recs[pi] = got
         cnames = [recs[pi][cj][0] for pi, cj in chunk]
         clists = [[recs[pi][cj][1]] for pi, cj in chunk]

@@ -183,6 +183,11 @@ def sharded_screen_triangle_packed(
             "Row-sharding the resident packed matrix (%d rows x %d words "
             "> per-device budget)", n, w,
         )
+        if checkpoint_path:
+            logger.warning(
+                "--sweep-checkpoint is not supported by the row-sharded "
+                "sweep; this run will NOT checkpoint mid-sweep"
+            )
         return sharded_screen_triangle_rowsharded(
             packed, sizes, k, min_containment, bits, mesh=mesh,
             # the row-sharded sweep broadcasts one column block per
@@ -193,12 +198,6 @@ def sharded_screen_triangle_packed(
 
     n_pad = ((n + block - 1) // block) * block
     nblocks = n_pad // block
-
-    x_np = np.zeros((n_pad, w), dtype=np.uint32)
-    for t in range(n):
-        x_np[t] = packed[t]
-    s_np = np.zeros((n_pad,), dtype=np.float32)
-    s_np[:n] = sizes.astype(np.float32)
 
     checkpoint = None
     if checkpoint_path:
@@ -228,11 +227,58 @@ def sharded_screen_triangle_packed(
             )
 
     tiles = [(bi, bj) for bi in range(nblocks) for bj in range(bi, nblocks)]
-    return _replicated_tile_sweep(
+    restored_pairs: List[np.ndarray] = []
+    restored_anis: List[np.ndarray] = []
+    if checkpoint is not None and len(checkpoint):
+        # Replay logged tiles BEFORE materializing/uploading the
+        # resident matrix: a completed log must return without paying
+        # the multi-GB replicated device_put at all.
+        remaining = []
+        for bi, bj in tiles:
+            got = checkpoint.has(bi, bj)
+            if got is None:
+                remaining.append((bi, bj))
+            else:
+                p, a = got
+                if len(p):
+                    restored_pairs.append(p)
+                    restored_anis.append(a)
+        logger.info(
+            "Sweep checkpoint: %d/%d tiles replayed",
+            len(tiles) - len(remaining), len(tiles),
+        )
+        tiles = remaining
+        if not tiles:
+            checkpoint.close()
+            if restored_pairs:
+                return ScreenResult(
+                    np.concatenate(restored_pairs),
+                    np.concatenate(restored_anis),
+                )
+            return ScreenResult(
+                np.empty((0, 2), np.int64), np.empty(0, np.float32)
+            )
+
+    # Materialize the resident matrix only when tiles remain to sweep
+    # (rows may be lazy; a completed checkpoint replay never pays this
+    # build or its replicated device upload).
+    x_np = np.zeros((n_pad, w), dtype=np.uint32)
+    for t in range(n):
+        x_np[t] = packed[t]
+    s_np = np.zeros((n_pad,), dtype=np.float32)
+    s_np[:n] = sizes.astype(np.float32)
+
+    res = _replicated_tile_sweep(
         x_np, s_np, tiles, mesh, block, cap, bits,
         float(np.float32(min_containment)), 1.0 / k,
         col0_blocks=0, n_rows=n, n_cols=n, checkpoint=checkpoint,
     )
+    if restored_pairs:
+        return ScreenResult(
+            np.concatenate(restored_pairs + [res.pairs]),
+            np.concatenate(restored_anis + [res.ani_est]),
+        )
+    return res
 
 
 def _replicated_tile_sweep(
@@ -287,27 +333,6 @@ def _replicated_tile_sweep(
 
     pairs: List[np.ndarray] = []
     anis: List[np.ndarray] = []
-
-    if checkpoint is not None and len(checkpoint):
-        # Replay logged tiles and sweep only the remainder (a tile's
-        # result is a pure function of the resident matrix, which the
-        # checkpoint fingerprint pins).
-        remaining = []
-        restored = 0
-        for bi, bjg in tiles:
-            got = checkpoint.has(bi, bjg)
-            if got is None:
-                remaining.append((bi, bjg))
-            else:
-                restored += 1
-                p, a = got
-                if len(p):
-                    pairs.append(p)
-                    anis.append(a)
-        logger.info(
-            "Sweep checkpoint: %d/%d tiles replayed", restored, len(tiles)
-        )
-        tiles = remaining
 
     def collect(tile_chunk, outs):
         if multiproc:

@@ -95,6 +95,11 @@ class DiskSketchStore:
         self._on_disk: Dict[str, str] = {}
         self._counter = 0
 
+    def set_params(self, params: NativeSketchParams) -> None:
+        """Adopt late parameter changes (bitmap widening happens at
+        preclusterer construction, after the store exists)."""
+        self.params = params
+
     def _disk_path(self, key: str) -> str:
         p = self._on_disk.get(key)
         if p is None:
@@ -170,6 +175,14 @@ class PersistentSketchStore(DiskSketchStore):
     analog is skani's on-disk sketch DB, src/skani.rs:265-290, which
     is likewise reusable across invocations)."""
 
+    def set_params(self, params: NativeSketchParams) -> None:
+        # Stable paths derive from params: drop cached paths so
+        # post-widening lookups hash the NEW width (sketches saved at
+        # the old width become unreachable orphans, never reused).
+        self.params = params
+        self._on_disk.clear()
+        self._resident.clear()
+
     def _disk_path(self, key: str) -> str:
         p = self._on_disk.get(key)
         if p is None:
@@ -231,7 +244,9 @@ def save_contig_sketches(path: str, sketches) -> None:
     else:
         meta = {}
     arrays["params_json"] = np.array(json.dumps(meta))
-    tmp = path + ".tmp"
+    # pid-suffixed tmp + atomic rename: concurrent writers of the same
+    # bundle in a shared --sketch-directory must not interleave.
+    tmp = f"{path}.tmp{os.getpid()}"
     with open(tmp, "wb") as fh:
         _savez(fh, **arrays)
     os.replace(tmp, path)

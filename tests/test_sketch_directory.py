@@ -103,6 +103,34 @@ def test_contig_mode_bundles(tmp_path, monkeypatch):
     )
 
 
+def test_widened_params_never_reuse_other_width(corpus, tmp_path, monkeypatch):
+    """--min-aligned-fraction widening rebinds ctx.params AFTER the
+    store exists; the store must fingerprint with the WIDENED params
+    or run 2 at default width would silently reuse wrong-width
+    sketches (review r5 finding: wrong containments / out-of-range
+    bucket indices)."""
+    skdir = str(tmp_path / "sketches")
+    c1 = _run(
+        corpus, str(tmp_path / "a.tsv"), skdir, monkeypatch,
+        extra=("--min-aligned-fraction", "0.05"),
+    )
+    assert c1.get("genomes_sketched", 0) == len(corpus)
+    # Default width: different params -> different fingerprints ->
+    # full re-sketch, not a cache hit on wide sketches.
+    c2 = _run(corpus, str(tmp_path / "b.tsv"), skdir, monkeypatch)
+    assert c2.get("genomes_sketched", 0) == len(corpus)
+    # And the widened config itself IS reusable.
+    c3 = _run(
+        corpus, str(tmp_path / "c.tsv"), skdir, monkeypatch,
+        extra=("--min-aligned-fraction", "0.05"),
+    )
+    assert c3.get("genomes_sketched", 0) == 0
+    assert (
+        open(tmp_path / "c.tsv", "rb").read()
+        == open(tmp_path / "a.tsv", "rb").read()
+    )
+
+
 def test_low_memory_uses_directory_as_spill(corpus, tmp_path, monkeypatch):
     skdir = str(tmp_path / "sketches")
     c1 = _run(
