@@ -109,7 +109,11 @@ def add_cluster_arguments(sub: argparse.ArgumentParser) -> None:
                                  "reused from) this directory across runs, keyed by input "
                                  "file, sketch parameters and file signature — a re-run or "
                                  "a resumed crash skips the whole sketch phase. Stale "
-                                 "entries (changed file or parameters) are never reused")
+                                 "entries (changed file or parameters) are never reused. "
+                                 "Note: cached sketches upload from the host instead of "
+                                 "being born on-device, so on slow accelerator links "
+                                 "re-sketching can be cheaper; pair with --sweep-checkpoint "
+                                 "to skip the upload too")
     clustering.add_argument("--sweep-checkpoint", metavar="PATH",
                             help="Mid-sweep checkpoint log for the native screen: drained "
                                  "tile results append to PATH as the all-vs-all sweep runs, "
