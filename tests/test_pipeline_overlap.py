@@ -237,6 +237,43 @@ def test_engine_pipelined_contig_mode_matches_sequential(monkeypatch, tmp_path):
     assert len(pipe_cache) >= 3  # the mutated-base contigs all relate
 
 
+def test_pipelined_duplicate_paths_emit_every_index_pair(
+    monkeypatch, tmp_path
+):
+    """The reference emits a duplicate input in every cluster it
+    belongs to; the overlapped verify feeder must apply the same
+    "emit every index pair per key pair" rule (the shared
+    _emit_verified contract)."""
+    from galah_tpu.engines.native import NativeContext, NativePreclusterer
+    from galah_tpu.utils.synth import make_families
+
+    paths, _ = make_families(
+        str(tmp_path / "c"), n_families=2, members_per_family=3,
+        genome_length=24_000, within_ani=0.97, seed=8,
+    )
+    dup = list(paths) + [paths[0]]  # same path at two indices
+
+    def run(pipeline):
+        monkeypatch.setenv("GALAH_TPU_PIPELINE", pipeline)
+        monkeypatch.setenv("GALAH_TPU_DEVICE_SKETCH", "1")
+        monkeypatch.setenv("GALAH_TPU_SCREEN", "packed")
+        monkeypatch.setenv("GALAH_TPU_SKETCH_SHADOW", "0")
+        ctx = NativeContext(max_genome_length=24_000)
+        pre = NativePreclusterer(90.0, 0.15, ctx)
+        cache = pre.distances(dup)
+        for v in ("GALAH_TPU_PIPELINE", "GALAH_TPU_DEVICE_SKETCH",
+                  "GALAH_TPU_SCREEN", "GALAH_TPU_SKETCH_SHADOW"):
+            monkeypatch.delenv(v)
+        return dict(cache.items())
+
+    seq = run("0")
+    pipe = run("1")
+    assert pipe == seq
+    # The duplicate index (last) must relate to its family members.
+    last = len(dup) - 1
+    assert any(last in k for k in pipe)
+
+
 def test_finish_raises_on_missing_rows():
     from galah_tpu.ops.prefilter import IncrementalPackedScreen
 

@@ -172,6 +172,50 @@ def test_mismatched_checkpoint_starts_fresh(corpus, tmp_path, monkeypatch):
     assert open(got_tsv, "rb").read() == open(ref_tsv, "rb").read()
 
 
+def test_checkpoint_with_overlap_pipeline(corpus, tmp_path, monkeypatch):
+    """--sweep-checkpoint must compose with the overlapped pipeline
+    (GALAH_TPU_PIPELINE=1): tiles logged by a pipelined run replay in
+    a second pipelined run with zero screen dispatches, and the
+    replayed pairs still flow through the mid-sweep verify feeder."""
+    import galah_tpu.ops.prefilter as pf
+    from galah_tpu.cli.main import main as cli_main
+
+    def run(out, ckpt):
+        monkeypatch.setenv("GALAH_TPU_PIPELINE", "1")
+        monkeypatch.setenv("GALAH_TPU_DEVICE_SKETCH", "1")
+        monkeypatch.setenv("GALAH_TPU_SCREEN", "packed")
+        monkeypatch.setenv("GALAH_TPU_SKETCH_SHADOW", "0")
+        monkeypatch.setenv("GALAH_TPU_SCREEN_BLOCK", "8")
+        rc = cli_main([
+            "cluster", "-f", *corpus, "--ani", "95",
+            "--sweep-checkpoint", ckpt,
+            "--output-cluster-definition", out, "-q",
+        ])
+        for v in ("GALAH_TPU_PIPELINE", "GALAH_TPU_DEVICE_SKETCH",
+                  "GALAH_TPU_SCREEN", "GALAH_TPU_SKETCH_SHADOW",
+                  "GALAH_TPU_SCREEN_BLOCK"):
+            monkeypatch.delenv(v)
+        return rc
+
+    ckpt = str(tmp_path / "pipe.ckpt")
+    a = str(tmp_path / "a.tsv")
+    assert run(a, ckpt) == 0
+
+    calls = {"n": 0}
+    for name in ("_resident_screen_extract", "_resident_screen_extract_group"):
+        orig = getattr(pf, name)
+
+        def counting(*args, _orig=orig, **kw):
+            calls["n"] += 1
+            return _orig(*args, **kw)
+
+        monkeypatch.setattr(pf, name, counting)
+    b = str(tmp_path / "b.tsv")
+    assert run(b, ckpt) == 0
+    assert calls["n"] == 0  # every tile replayed from the log
+    assert open(b, "rb").read() == open(a, "rb").read()
+
+
 def test_sharded_sweep_checkpoint_kill_and_replay(tmp_path, monkeypatch):
     """The mesh-sharded triangle sweep (the multi-device fleet path the
     checkpoint exists for) must also log drained tiles and resume: a
